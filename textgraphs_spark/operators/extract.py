@@ -1,0 +1,230 @@
+"""Distributed extraction: documents → per-doc lemma graphs, one Arrow pass.
+
+The per-document work (parse, element collection, PageRank + restack) is the
+reference's per-chunk pipeline (reference: textgraphs/doc.py:381-471,
+893-937); here it runs inside ``mapInPandas`` so each Arrow batch of
+documents is handled by one vectorized UDF invocation per partition —
+documents are independent, so this scales linearly with executors.
+
+Output is ONE nested row per document (mentions / nodes / edges / phrases as
+array<struct> columns). Rationale at 100 TB:
+  * a single parse per document (parsing dominates cost; never re-parse),
+  * the nested row is the natural stage-checkpoint unit (columnar parquet,
+    column pruning lets downstream read only the arrays it needs),
+  * downstream tables are cheap ``explode`` projections with no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MENTION_T = T.StructType([
+    T.StructField("para_id", T.IntegerType()),
+    T.StructField("sent_id", T.IntegerType()),
+    T.StructField("token_id", T.IntegerType()),
+    T.StructField("node_key", T.StringType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("length", T.IntegerType()),
+    T.StructField("sub_obj", T.BooleanType()),
+    T.StructField("dep", T.StringType()),
+    T.StructField("head_key", T.StringType()),
+])
+
+NODE_T = T.StructType([
+    T.StructField("node_id", T.IntegerType()),
+    T.StructField("node_key", T.StringType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("length", T.IntegerType()),
+    T.StructField("count", T.IntegerType()),
+    T.StructField("sub_obj", T.BooleanType()),
+    T.StructField("neighbors", T.IntegerType()),
+    T.StructField("weight", T.DoubleType()),
+    T.StructField("annotated", T.BooleanType()),
+])
+
+EDGE_T = T.StructType([
+    T.StructField("src_id", T.IntegerType()),
+    T.StructField("dst_id", T.IntegerType()),
+    T.StructField("src_key", T.StringType()),
+    T.StructField("dst_key", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("rel", T.StringType()),
+    T.StructField("prob", T.DoubleType()),
+    T.StructField("count", T.IntegerType()),
+])
+
+PHRASE_T = T.StructType([
+    T.StructField("node_id", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("count", T.IntegerType()),
+    T.StructField("weight", T.DoubleType()),
+])
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("mentions", T.ArrayType(MENTION_T)),
+    T.StructField("nodes", T.ArrayType(NODE_T)),
+    T.StructField("edges", T.ArrayType(EDGE_T)),
+    T.StructField("phrases", T.ArrayType(PHRASE_T)),
+])
+
+
+def _process_doc(doc_id: int, text: str) -> dict:
+    """Run the full per-doc pipeline; imports stay function-local so the
+    module pickles cheaply to executors."""
+    import numpy as np
+
+    from ..doclevel.build import build_doc_graph
+    from ..doclevel.rank import pagerank, restack_ranks
+
+    g = build_doc_graph(text)
+    nodes = list(g.nodes.values())
+    n = len(nodes)
+    edge_list = [(e.src, e.dst, float(e.count)) for e in g.edges.values()]
+
+    # hood = distinct successors, matching nx.neighbors on a DiGraph
+    # (reference: doc.py:914-924)
+    succ: dict[int, set] = {}
+    for s, d, _ in edge_list:
+        succ.setdefault(s, set()).add(d)
+    for nd in nodes:
+        nd.neighbors = len(succ.get(nd.node_id, ()))
+
+    ranks = pagerank(n, edge_list)
+    stacked = np.array(
+        [0 if (nd.pos == "VERB" or nd.kind == "iri") else nd.count for nd in nodes],
+        dtype=np.int64,
+    )
+    final = restack_ranks(
+        ranks,
+        stacked,
+        np.array([nd.neighbors for nd in nodes], dtype=np.int64),
+        np.array([int(nd.sub_obj) for nd in nodes], dtype=np.int64),
+        np.array([nd.kind == "ent" for nd in nodes]),
+    )
+    for nd, w in zip(nodes, final):
+        nd.weight = float(w)
+
+    id2key = {nd.node_id: nd.key for nd in nodes}
+
+    mentions = []
+    for nd in nodes:
+        for loc in nd.loc:
+            mentions.append({
+                "para_id": loc[1], "sent_id": loc[2], "token_id": loc[3],
+                "node_key": nd.key, "surface": nd.text, "pos": nd.pos,
+                "kind": nd.kind, "label": nd.label, "length": nd.length,
+                "sub_obj": nd.sub_obj, "dep": None, "head_key": None,
+            })
+
+    node_rows = [{
+        "node_id": nd.node_id, "node_key": nd.key, "surface": nd.text,
+        "pos": nd.pos, "kind": nd.kind, "label": nd.label,
+        "length": nd.length, "count": nd.count, "sub_obj": nd.sub_obj,
+        "neighbors": nd.neighbors, "weight": nd.weight,
+        "annotated": nd.annotated,
+    } for nd in nodes]
+
+    edge_rows = [{
+        "src_id": e.src, "dst_id": e.dst,
+        "src_key": id2key[e.src], "dst_key": id2key[e.dst],
+        "kind": e.kind, "rel": e.rel, "prob": e.prob, "count": e.count,
+    } for e in g.edges.values()]
+
+    # ranked phrases: weight > 0, sorted desc, stable on insertion order
+    # (reference: doc.py:940-970)
+    phrase_rows = [{
+        "node_id": nd.node_id, "text": nd.text, "pos": nd.pos,
+        "label": nd.label, "count": nd.count, "weight": nd.weight,
+    } for nd in sorted(
+        (nd for nd in nodes if nd.weight > 0),
+        key=lambda x: -x.weight,
+    )]
+
+    return {
+        "doc_id": doc_id, "mentions": mentions, "nodes": node_rows,
+        "edges": edge_rows, "phrases": phrase_rows,
+    }
+
+
+def extract_graphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents(id, text, ...) → nested per-doc lemma-graph rows."""
+    cols = [id_col, text_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _process_doc(int(r_id), r_text if r_text is not None else "")
+                for r_id, r_text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+    return df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def mentions_table(extracted: DataFrame) -> DataFrame:
+    m = extracted.select("doc_id", F.explode("mentions").alias("m"))
+    return m.select("doc_id", "m.*")
+
+
+def nodes_table(extracted: DataFrame) -> DataFrame:
+    n = extracted.select("doc_id", F.explode("nodes").alias("n"))
+    return n.select("doc_id", "n.*")
+
+
+def edges_table(extracted: DataFrame) -> DataFrame:
+    e = extracted.select("doc_id", F.explode("edges").alias("e"))
+    return e.select("doc_id", "e.*")
+
+
+def phrases_table(extracted: DataFrame) -> DataFrame:
+    p = extracted.select("doc_id", F.posexplode("phrases").alias("rank_pos", "p"))
+    return p.select("doc_id", "rank_pos", "p.*")
+
+
+def corpus_nodes(extracted: DataFrame) -> DataFrame:
+    """Aggregate per-doc nodes into the corpus-level lemma-graph node table.
+
+    Same-key mentions across documents collapse into one node with summed
+    counts — the distributed analog of the reference's node upsert
+    (graph.py:134-157) performed as a hash aggregation (partial + final,
+    no driver involvement).
+    """
+    n = nodes_table(extracted)
+    return (
+        n.groupBy("node_key")
+        .agg(
+            F.first("kind", ignorenulls=True).alias("kind"),
+            F.first("surface", ignorenulls=True).alias("surface"),
+            F.first("pos", ignorenulls=True).alias("pos"),
+            F.first("label", ignorenulls=True).alias("label"),
+            F.first("length", ignorenulls=True).alias("length"),
+            F.sum("count").alias("count"),
+            F.max(F.col("sub_obj").cast("int")).cast("boolean").alias("sub_obj"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+def corpus_edges(extracted: DataFrame) -> DataFrame:
+    """Aggregate per-doc edges into corpus-level typed, counted edges —
+    the distributed analog of graph.py:206-228 edge dedup (self-loops
+    already precluded per doc)."""
+    e = edges_table(extracted)
+    return (
+        e.groupBy("src_key", "dst_key", "kind", "rel")
+        .agg(F.sum("count").alias("count"), F.max("prob").alias("prob"))
+    )
