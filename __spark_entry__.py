@@ -1,38 +1,560 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution query (documents →
+entity clusters) at sf0.001. ``queries()`` exposes every implemented
+operator from SURVEY.md §2 as (spark, sf_dir) → DataFrame; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each SQL-expressible one. Column names
+and value rounding are aligned pairwise between the two.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """documents → extraction → blocking → scoring → CC → entity clusters."""
+    from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    out = ERPipeline(spark).run(docs)
+    return cluster_summary(out["clusters"])
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from textgraphs_spark.operators import dedup as D
+    from textgraphs_spark.operators import gor as G
+    from textgraphs_spark.operators import similarity as SIM
+    from textgraphs_spark.operators import textquality as TQ
+    from textgraphs_spark.operators.extract import (
+        corpus_edges, corpus_nodes, extract_graphs, mentions_table, phrases_table,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- ER / lemma-graph family (extraction is UDF-based → rows-only) --
+
+    def extract_mentions(spark, sf_dir):
+        ex = extract_graphs(_docs(spark, sf_dir))
+        return mentions_table(ex).orderBy("doc_id", "sent_id", "token_id")
+
+    def lemma_nodes(spark, sf_dir):
+        ex = extract_graphs(_docs(spark, sf_dir))
+        return corpus_nodes(ex)
+
+    def lemma_edges(spark, sf_dir):
+        ex = extract_graphs(_docs(spark, sf_dir))
+        return corpus_edges(ex)
+
+    def ranked_phrases(spark, sf_dir):
+        ex = extract_graphs(_docs(spark, sf_dir))
+        return phrases_table(ex).filter(F.col("rank_pos") < 5)
+
+    def er_clusters(spark, sf_dir):
+        from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
+
+        out = ERPipeline(spark).run(_docs(spark, sf_dir))
+        return cluster_summary(out["clusters"])
+
+    def corpus_pagerank(spark, sf_dir):
+        from textgraphs_spark.operators.pagerank import pagerank
+
+        ex = extract_graphs(_docs(spark, sf_dir).limit(50))
+        edges = corpus_edges(ex).select(
+            F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
+            F.col("count").alias("weight"),
+        )
+        pr = pagerank(edges, max_iter=15)
+        return pr.orderBy(F.desc("rank")).limit(50).select(
+            "node", F.round("rank", 6).alias("rank")
+        )
+
+    # ---- GOR affinity over TPC-H-derived triples (oracle-checked) -------
+
+    def gor_affinity(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer").join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select(
+            F.col("c_name").alias("src"), F.lit("customer_in").alias("rel"),
+            F.col("n_name").alias("dst"),
+        )
+        supp = _t(spark, sf_dir, "supplier").join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select(
+            F.col("s_name").alias("src"), F.lit("supplier_in").alias("rel"),
+            F.col("n_name").alias("dst"),
+        )
+        nat = _t(spark, sf_dir, "nation").join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(
+            F.col("n_name").alias("src"), F.lit("nation_in").alias("rel"),
+            F.col("r_name").alias("dst"),
+        )
+        triples = cust.unionByName(supp).unionByName(nat)
+        out = G.affinity_scores(triples)
+        return out.select("rel_a", "rel_b", F.round("affinity", 6).alias("affinity"))
+
+    # ---- dedup family ---------------------------------------------------
+
+    def dedup_exact(spark, sf_dir):
+        return TQ.fingerprint(_docs(spark, sf_dir)).select(
+            "doc_id", "content_hash", "norm_hash", "n_chars"
+        )
+
+    def dedup_exact_groups(spark, sf_dir):
+        return D.exact_duplicates(_docs(spark, sf_dir)).select(
+            "text_hash", "n_docs", "keep_id", "doc_ids"
+        )
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return D.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), block_col="source", n=2, threshold=0.2
+        )
+
+    def dedup_minhash(spark, sf_dir):
+        return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+    def dedup_simhash(spark, sf_dir):
+        return D.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+    def simhash_fingerprints(spark, sf_dir):
+        return D.simhash(_docs(spark, sf_dir))
+
+    # ---- similarity search ----------------------------------------------
+
+    def knn_cosine(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return SIM.brute_force_topk(q, emb, k=5)
+
+    def ann_cosine(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return SIM.ann_topk(q, emb, k=5)
+
+    def embedding_near_dup(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv"))
+        b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv"))
+        from textgraphs_spark.operators.scoring import cosine_expr
+
+        return (
+            a.crossJoin(b)
+            .filter(F.col("left_id") < F.col("right_id"))
+            .withColumn("cosine", cosine_expr("lv", "rv"))
+            .filter(F.col("cosine") >= 0.4)
+            .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
+        )
+
+    def embedding_near_dup_lsh(spark, sf_dir):
+        return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+    # ---- text analysis ---------------------------------------------------
+
+    def lang_id(spark, sf_dir):
+        return TQ.lang_id(_docs(spark, sf_dir))
+
+    def quality_score(spark, sf_dir):
+        return TQ.quality_score(_docs(spark, sf_dir))
+
+    def token_count(spark, sf_dir):
+        return TQ.token_count(_docs(spark, sf_dir))
+
+    # ---- generic operator checks on TPC-H-ish tables --------------------
+
+    def tpch_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,4)")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+                F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")).cast("double"),
+                    2,
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def customer_order_rollup(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        n = _t(spark, sf_dir, "nation")
+        return (
+            o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias("total_price"),
+                F.countDistinct("c_custkey").alias("n_customers"),
+            )
+            .orderBy("n_name")
+        )
+
+    def customers_without_orders(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey")
+        )
+
+    def distinct_supplier_part_pairs(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.select(
+                F.least("l_suppkey", "l_partkey").alias("lo"),
+                F.greatest("l_suppkey", "l_partkey").alias("hi"),
+            )
+            .distinct()
+            .groupBy("lo")
+            .agg(F.count("*").alias("n_pairs"), F.max("hi").alias("max_hi"))
+            .orderBy("lo")
+        )
+
+    def top_parts_by_revenue(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+        return (
+            li.groupBy("l_partkey")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_partkey", "p_name", "revenue")
+            .orderBy(F.desc("revenue"), "p_partkey")
+            .limit(10)
+        )
+
+    def events_user_windows(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("seq", F.row_number().over(w))
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn(
+                "gap_us",
+                F.when(
+                    F.col("prev_ts").isNotNull(),
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp")),
+                ),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("seq").alias("max_seq"),
+                F.round(F.avg("gap_us") / 1000000.0, 4).alias("avg_gap_s"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+            .orderBy("user_id")
+        )
+
+    def events_ntile(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+        return (
+            ev.withColumn("stripe", F.ntile(8).over(w))
+            .groupBy("stripe")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("value"), 6).alias("min_v"),
+                F.round(F.max("value"), 6).alias("max_v"),
+            )
+            .orderBy("stripe")
+        )
+
+    def multimodal_features(spark, sf_dir):
+        from textgraphs_spark.operators.multimodal import extract_features, synth_media
+
+        media = synth_media(spark, 200)
+        return extract_features(media).orderBy("media_id")
+
+    return {
+        "extract_mentions": extract_mentions,
+        "lemma_nodes": lemma_nodes,
+        "lemma_edges": lemma_edges,
+        "ranked_phrases": ranked_phrases,
+        "er_clusters": er_clusters,
+        "corpus_pagerank": corpus_pagerank,
+        "gor_affinity": gor_affinity,
+        "dedup_exact": dedup_exact,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "simhash_fingerprints": simhash_fingerprints,
+        "knn_cosine": knn_cosine,
+        "ann_cosine": ann_cosine,
+        "embedding_near_dup": embedding_near_dup,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "tpch_pricing_summary": tpch_pricing_summary,
+        "customer_order_rollup": customer_order_rollup,
+        "customers_without_orders": customers_without_orders,
+        "distinct_supplier_part_pairs": distinct_supplier_part_pairs,
+        "top_parts_by_revenue": top_parts_by_revenue,
+        "events_user_windows": events_user_windows,
+        "events_ntile": events_ntile,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, ANSI where possible)
+
+_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textgraphs_spark.operators.gor import affinity_oracle_sql
+
+    toks = _TOKS.format(c="text")
+
+    gor_triples = """
+SELECT c_name AS src, 'customer_in' AS rel, n_name AS dst
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT s_name AS src, 'supplier_in' AS rel, n_name AS dst
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT n_name AS src, 'nation_in' AS rel, r_name AS dst
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    gor_sql = affinity_oracle_sql(gor_triples).rstrip().rstrip(";")
+    gor_sql = f"SELECT rel_a, rel_b, round(affinity, 6) AS affinity FROM ({gor_sql})"
+
+    return {
+        "gor_affinity": gor_sql,
+        "dedup_exact": """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_filter(string_split_regex(lower(text), '[^\\p{L}0-9]+'), t -> t <> ''), ' ')) AS norm_hash,
+       length(text) AS n_chars
+FROM documents
+""",
+        "dedup_exact_groups": """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH d AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS grams
+  FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id,
+       round(CASE WHEN uni > 0 THEN inter * 1.0 / uni ELSE 0.0 END, 6) AS jaccard
+FROM pairs
+WHERE CASE WHEN uni > 0 THEN inter * 1.0 / uni ELSE 0.0 END >= 0.2
+""",
+        "knn_cosine": """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e0 WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(q.q_vec, e.embedding)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos_raw
+  FROM q CROSS JOIN e0 e
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_raw, 9) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dup": """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_dot_product(a.embedding, b.embedding)
+         / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings) a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings) b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+""",
+        "lang_id": f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({toks}) AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(toks, ['the','and','of','to','is','in','that','with','from','for'])) AS h_en,
+    len(list_intersect(toks, ['der','die','das','und','ist','von','mit','ein','nicht','auf'])) AS h_de,
+    len(list_intersect(toks, ['el','la','los','las','es','en','que','con','una','por'])) AS h_es,
+    len(list_intersect(toks, ['le','la','les','et','est','dans','que','avec','une','pour'])) AS h_fr
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS pred_lang,
+  greatest(h_en, h_de, h_es, h_fr) AS stopword_hits
+FROM hits
+""",
+        "quality_score": f"""
+WITH d AS (
+  SELECT doc_id, text, {toks} AS toks,
+         length(text) AS n_chars,
+         len({toks}) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         len(list_intersect(list_distinct({toks}),
+             ['the','and','of','to','is','in','that','with','from','for'])) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS upper_ratio,
+         CASE WHEN n_words > 0 THEN n_stop * 1.0 / least(n_words, 10) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_words > 0 THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_words ELSE 0.0 END AS mean_word_len
+  FROM d
+)
+SELECT doc_id, n_words,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(upper_ratio, 6) AS upper_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END
+            + CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END
+            + CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+            + stop_ratio) / 4.0, 6) AS quality
+FROM m
+""",
+        "token_count": f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9]+'), t -> t <> '')) AS n_words,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_ws_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "customer_order_rollup": """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price,
+       count(DISTINCT c_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+        "distinct_supplier_part_pairs": """
+WITH pairs AS (
+  SELECT DISTINCT least(l_suppkey, l_partkey) AS lo, greatest(l_suppkey, l_partkey) AS hi
+  FROM lineitem
+)
+SELECT lo, count(*) AS n_pairs, max(hi) AS max_hi
+FROM pairs GROUP BY lo ORDER BY lo
+""",
+        "top_parts_by_revenue": """
+WITH rev AS (
+  SELECT l_partkey,
+         round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, revenue
+FROM rev JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey
+LIMIT 10
+""",
+        "events_user_windows": """
+WITH w AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       max(seq) AS max_seq,
+       round(avg(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0, 4) AS avg_gap_s,
+       count(DISTINCT event_type) AS n_types
+FROM w GROUP BY user_id ORDER BY user_id
+""",
+        "events_ntile": """
+WITH w AS (
+  SELECT value, event_id, ntile(8) OVER (ORDER BY value ASC, event_id ASC) AS stripe
+  FROM events
+)
+SELECT stripe, count(*) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+FROM w GROUP BY stripe ORDER BY stripe
+""",
+    }

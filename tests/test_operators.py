@@ -1,0 +1,159 @@
+"""Operator-level tests: dedup, similarity, text quality, pagerank,
+multimodal plumbing, streaming."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators import dedup as D
+from textgraphs_spark.operators import similarity as SIM
+from textgraphs_spark.operators import textquality as TQ
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),   # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dogs", "en", "a"),  # near dup
+        (3, "der schnelle braune fuchs springt und ist nicht mit auf", "de", "b"),
+        (4, "el zorro es rapido y salta con la una por los campos", "es", "b"),
+        (5, "completely different content about spark query engines", "en", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1]
+    assert groups[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, block_col="source", threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.3
+
+
+def test_minhash_dedup_finds_near_dups(docs):
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 5) not in pairs
+
+
+def test_simhash_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    ham05 = bin(fps[0] ^ fps[5]).count("1")
+    assert ham02 < ham05
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_brute_force_topk_self_is_best(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = SIM.brute_force_topk(q, emb, k=3).collect()
+    best = {r["q_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    for qid, cid in best.items():
+        assert qid == cid  # self-similarity = 1.0 must rank first
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.ann_topk(q, emb, k=3, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_lang_id(docs):
+    langs = {r["doc_id"]: r["pred_lang"] for r in TQ.lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "es"
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in TQ.quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    t = {r["doc_id"]: r for r in TQ.token_count(docs).collect()}
+    assert t[0]["n_words"] == 9
+
+
+def test_corpus_pagerank_matches_doclevel(spark):
+    """Iterative-join PageRank agrees with the in-doc numpy implementation."""
+    from textgraphs_spark.doclevel.rank import pagerank as np_pr
+    from textgraphs_spark.operators.pagerank import pagerank as df_pr
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0), (0, 2, 1.0), (3, 0, 1.0)]
+    expected = np_pr(4, edges)
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r["node"]: r["rank"] for r in df_pr(df, max_iter=100).collect()}
+    for i in range(4):
+        assert abs(got[i] - expected[i]) < 1e-5, (i, got[i], expected[i])
+
+
+def test_multimodal_features(spark):
+    from textgraphs_spark.operators.multimodal import extract_features, frame_sample_plan, synth_media
+
+    media = synth_media(spark, 30).cache()
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3
+        assert r["n_bytes"] > 0
+    frames = frame_sample_plan(media).collect()
+    assert len(frames) > 0
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in frames)
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    from textgraphs_spark.streaming.events import (
+        read_events_stream, run_available_now, windowed_counts,
+    )
+
+    import shutil
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(src_dir))
+    agg = windowed_counts(stream, window="1 day", watermark="1 hour")
+    run_available_now(
+        agg, checkpoint=str(tmp_path / "ckpt"), table_name="win_counts",
+        output_mode="complete",
+    )
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").collect()[0]["n"]
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == expected

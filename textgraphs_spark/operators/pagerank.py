@@ -1,0 +1,97 @@
+"""Corpus-level PageRank via iterative joins.
+
+The reference ranks per-document graphs with networkx PageRank
+(reference: textgraphs/doc.py:927-933, alpha = 0.85, defaults.py:31). At
+corpus scale the aggregated lemma graph no longer fits one machine, so the
+north star mandates "GraphFrames/iterative-join PageRank". GraphFrames is
+not guaranteed present, so this is the self-contained iterative-join form
+with identical semantics (weighted edges, uniform teleport, dangling mass
+redistributed uniformly, L1 convergence):
+
+    contribs = ranks ⋈ edges on src  →  groupBy(dst).sum(rank * w / out_w)
+    rank'    = (1-α)/N + α * (contrib + dangling_mass / N)
+
+Scale discipline:
+* edges are pre-aggregated per (src, dst) and repartitioned by src ONCE —
+  every iteration's join reuses that partitioning (one shuffle per round
+  for the groupBy(dst), none for the join side);
+* ranks localCheckpoint every iteration to truncate lineage;
+* convergence check is a single scalar agg (L1 delta), not a collect of
+  the rank vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+    alpha: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1.0e-6,
+) -> DataFrame:
+    """edges(src, dst[, weight]) → (node, rank); ranks sum to 1."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # normalized transition edges, partitioned by src once and reused
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    has_out = out_w.select(F.col("src").alias("node")).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ranks.join(trans, ranks["node"] == trans["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < n * tol:
+            break
+    return ranks

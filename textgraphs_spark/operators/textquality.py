@@ -1,0 +1,114 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (no UDFs) so that:
+  * they run inside whole-stage codegen at scan speed, and
+  * the DuckDB oracle can verify every value.
+
+The language-ID heuristic is stopword-ratio based: for each candidate
+language a small distinctive stopword set; the language with the highest
+hit ratio wins (ties break lexicographically — deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKENS = "filter(split(lower({c}), '[^\\\\p{{L}}0-9]+'), t -> t <> '')"
+
+# tiny distinctive stopword sets (deterministic, versioned)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "from", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "con", "una", "por"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "avec", "une", "pour"],
+}
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.expr(_TOKENS.format(c=text_col))
+
+
+def token_count(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-word and BPE-ish subword counts per doc."""
+    # BPE-ish: alphanumeric runs plus each punctuation char counts as a token
+    bpe = F.size(
+        F.expr(
+            f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("n_words"),
+        bpe.alias("n_ws_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID by stopword hit counts."""
+    toks = tokens_col(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_toks"))
+    hit_cols = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), arr))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return d.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Web-corpus quality features + a composite score in [0, 1]:
+    length band, punctuation ratio, stopword ratio, mean word length,
+    uppercase ratio. Matches common C4/Gopher-style filters in spirit."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / F.least(n_words, F.lit(10))).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words,
+    ).otherwise(F.lit(0.0))
+
+    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+    score = F.round((length_ok + punct_ok + wlen_ok + stop_ratio) / 4.0, 6)
+
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprints:
+    * content_hash — md5 of raw text (exact identity)
+    * norm_hash    — md5 of the normalized token join (whitespace/case/
+                     punctuation-insensitive identity)
+    """
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(text_col).alias("n_chars"),
+    )
