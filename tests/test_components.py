@@ -35,7 +35,7 @@ def test_cc_random_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, small_graph_threshold=0).collect()
     }
     assert set(got) == touched
     for n in touched:
@@ -47,7 +47,7 @@ def test_cc_chain_and_star(spark):
     chain = [(i, i + 1) for i in range(100)]
     star = [(1000, 1000 + i) for i in range(1, 50)]
     df = spark.createDataFrame(chain + star, ["src", "dst"])
-    got = connected_components(df)
+    got = connected_components(df, small_graph_threshold=0)
     comps = (
         got.groupBy("component").agg(F.count("*").alias("n")).collect()
     )
@@ -63,3 +63,15 @@ def test_components_over_keys(spark):
     assert cl["a"] == cl["b"] == cl["c"]
     assert cl["x"] == cl["y"]
     assert cl["a"] != cl["x"]
+
+
+def test_cc_small_graph_fast_path_agrees(spark):
+    """The size-adaptive driver union-find must agree with the
+    distributed large-star/small-star path."""
+    rng = random.Random(11)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    dist = {(r["node"], r["component"]) for r in connected_components(df, small_graph_threshold=0).collect()}
+    assert fast == dist

@@ -51,40 +51,57 @@ def block_keys(entities: DataFrame) -> DataFrame:
     return e.withColumn("block_key", F.concat_ws("|", "last_tok", "first_init"))
 
 
-def minhash_signature(df: DataFrame, text_col: str, *, num_hashes: int = 16, shingle: int = 3) -> DataFrame:
-    """Add ``sig: array<bigint>`` — MinHash over character shingles.
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, text) → (id, band_id, band_key) LSH bucket keys.
 
-    All JVM expressions: sequence → transform(substring) → per-seed
-    xxhash64 min via array_min. One narrow pass, no shuffle, codegen'd.
+    Formulation chosen for codegen + scale: explode character shingles to
+    rows, hash each with plain ``xxhash64(shingle, seed_i)`` calls (simple
+    expressions — whole-stage-codegen'd, unlike higher-order-function
+    lambdas which Spark evaluates interpreted and re-evaluates per column
+    reference), then one hash aggregation of ``min`` per seed. The shuffle
+    is a partial-agg'd groupBy on the id — at 10^9 docs this is the same
+    shape as a word count.
     """
+    rows = num_hashes // bands
     shingles = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)),"
         f" i -> substring({text_col}, i, {shingle})))"
     )
-    df = df.withColumn("_shingles", shingles)
-    sig = F.array(*[
-        F.array_min(F.expr(f"transform(_shingles, s -> xxhash64(s, {seed}))"))
+    exploded = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.explode(shingles).alias("_sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
         for seed in range(num_hashes)
-    ])
-    return df.withColumn("sig", sig).drop("_shingles")
-
-
-def minhash_bands(df: DataFrame, *, num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Explode the signature into (band_id, band_key) LSH bucket keys."""
-    rows = num_hashes // bands
-    band_cols = F.array(*[
+    ]
+    carries = [F.first(c).alias(c) for c in carry_cols]
+    sig = exploded.groupBy(id_col).agg(*mins, *carries)
+    band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("band_key"),
+            F.concat_ws("_", *[F.col(f"_h{b * rows + r}") for r in range(rows)]).alias("band_key"),
         )
         for b in range(bands)
     ])
     return (
-        df.withColumn("_bands", band_cols)
-        .withColumn("_b", F.explode("_bands"))
-        .withColumn("band_id", F.col("_b.band_id"))
-        .withColumn("band_key", F.col("_b.band_key"))
-        .drop("_bands", "_b")
+        sig.select(
+            F.col(id_col), *[F.col(c) for c in carry_cols],
+            F.explode(band_structs).alias("_b"),
+        )
+        .select(
+            id_col, *carry_cols,
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_key").alias("band_key"),
+        )
     )
 
 
@@ -97,9 +114,15 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     preserved by the exact-key channel (identical forms already share a
     lemma key upstream).
     """
-    sizes = df.groupBy(key_col).agg(F.count("*").alias("_block_n"))
-    out = (
-        df.join(F.broadcast(sizes.filter(F.col("_block_n") > 1)), key_col)
+    from pyspark.sql.window import Window
+
+    # window count over the block key: ONE shuffle (which the pair
+    # self-join needs on this key anyway), no second aggregation plan and
+    # no broadcast round-trip
+    w = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_block_n", F.count("*").over(w))
+        .filter(F.col("_block_n") > 1)  # singletons can't form pairs
         .withColumn(
             "_n_shards",
             F.ceil(F.col("_block_n") / F.lit(max_block_size)).cast("int"),
@@ -114,7 +137,6 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
         )
         .drop("_block_n", "_n_shards")
     )
-    return out
 
 
 def candidate_pairs(
@@ -130,7 +152,10 @@ def candidate_pairs(
     Output: (block_key, left_id, right_id, left_<carry>, right_<carry>)
     with left_id < right_id.
     """
-    salted = _salt_oversized(blocked, key_col, id_col, max_block_size)
+    # localCheckpoint: the block table is self-joined below — materializing
+    # it once halves the upstream work, and lineage truncation guarantees
+    # neither join side re-derives the salting aggregation
+    salted = _salt_oversized(blocked, key_col, id_col, max_block_size).localCheckpoint()
     left_cols = [F.col(key_col), F.col("salted_key"), F.col(id_col).alias("left_id")] + [
         F.col(c).alias(f"left_{c}") for c in carry_cols
     ]

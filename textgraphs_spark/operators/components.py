@@ -61,22 +61,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Small-graph fast path: one collect + union-find on the driver.
+
+    Size-adaptive execution: below the threshold the edge set fits the
+    driver trivially and the O(log n) distributed rounds would cost more
+    in stage latency than the entire computation. Same contract as the
+    distributed path (component = min node id).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e.toPandas().itertuples(index=False):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"node": list(parent.keys()), "component": [find(n) for n in parent]},
+        dtype="int64",
+    )
+    # Arrow-backed createDataFrame — py4j row serialization is 100x slower
+    return spark.createDataFrame(pdf)
+
+
 def connected_components(
     edges: DataFrame,
     *,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(src, dst) [long ids] → (node, component) with component =
     min node id of the component. Driver loop with convergence check on
-    the edge-set hash (cheap: one agg per round)."""
+    the edge-set hash (cheap: one agg per round); edge sets below
+    ``small_graph_threshold`` short-circuit to a driver-side union-find."""
     e = (
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    if small_graph_threshold and e.count() <= small_graph_threshold:
+        return _driver_union_find(e.sparkSession, e)
     prev_sig = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()

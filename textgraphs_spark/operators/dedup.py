@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .blocking import minhash_bands, minhash_signature
+from .blocking import minhash_band_keys
 
 # one canonical tokenization shared by Spark and the DuckDB oracle:
 # lowercase, split on non-alphanumeric runs, drop empties
@@ -107,8 +107,7 @@ def minhash_dedup_pairs(
     only for candidates.
     """
     d = docs.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
-    sig = minhash_signature(d, "_t", num_hashes=num_hashes, shingle=shingle)
-    banded = minhash_bands(sig, num_hashes=num_hashes, bands=bands)
+    banded = minhash_band_keys(d, "_id", "_t", num_hashes=num_hashes, bands=bands, shingle=shingle)
     bucket_key = F.concat_ws("|", "band_id", "band_key")
     a = banded.select(bucket_key.alias("bk"), F.col("_id").alias("left_id"))
     b = banded.select(bucket_key.alias("bk"), F.col("_id").alias("right_id"))

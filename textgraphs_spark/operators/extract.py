@@ -175,6 +175,48 @@ def extract_graphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
+ENTITY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("node_key", T.StringType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("count", T.IntegerType()),
+])
+
+
+def extract_entities(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Entity-mentions-only extraction — the ER hot path.
+
+    Skips per-doc ranking and the nested node/edge/phrase arrays entirely:
+    the clustering job needs only (doc, lemma_key, surface, label, count).
+    Flat schema keeps the Arrow transfer to a handful of primitive columns,
+    ~5x cheaper per document than the full ``extract_graphs`` row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..doclevel.build import build_doc_graph
+
+        for pdf in batches:
+            ids, keys, surfaces, labels, counts = [], [], [], [], []
+            for r_id, r_text in zip(pdf[id_col], pdf[text_col]):
+                g = build_doc_graph(r_text if r_text is not None else "")
+                did = int(r_id)
+                for nd in g.nodes.values():
+                    if nd.kind == "ent":
+                        ids.append(did)
+                        keys.append(nd.key)
+                        surfaces.append(nd.text)
+                        labels.append(nd.label)
+                        counts.append(nd.count)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "node_key": keys, "surface": surfaces, "label": labels,
+                "count": pd.Series(counts, dtype="int32"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=ENTITY_SCHEMA)
+
+
 def mentions_table(extracted: DataFrame) -> DataFrame:
     m = extracted.select("doc_id", F.explode("mentions").alias("m"))
     return m.select("doc_id", "m.*")

@@ -131,15 +131,23 @@ def score_pairs(
     left_col: str = "left_surface",
     right_col: str = "right_surface",
     threshold: float = MIN_SIMILARITY,
+    lean: bool = False,
 ) -> DataFrame:
-    """Score candidate pairs; adds jw, lev_ratio, score, match columns."""
+    """Score candidate pairs; adds jw, lev_ratio, score, match columns.
+
+    ``lean=True`` computes only the decision score + match flag (one UDF
+    stage instead of two) — the clustering path needs nothing else.
+    """
+    scored = pairs.withColumn(
+        "score", name_match_udf(F.col(left_col), F.col(right_col))
+    ).withColumn("match", F.col("score") >= F.lit(threshold))
+    if lean:
+        return scored
     lev_ratio = 1.0 - F.levenshtein(F.lower(left_col), F.lower(right_col)) / F.greatest(
         F.length(left_col), F.length(right_col)
     )
     return (
-        pairs
+        scored
         .withColumn("jw", jaro_winkler_udf(F.lower(F.col(left_col)), F.lower(F.col(right_col))))
         .withColumn("lev_ratio", lev_ratio.cast("double"))
-        .withColumn("score", name_match_udf(F.col(left_col), F.col(right_col)))
-        .withColumn("match", F.col("score") >= F.lit(threshold))
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..operators import blocking as B
 from ..operators import components as C
 from ..operators import scoring as S
-from ..operators.extract import extract_graphs, mentions_table
+from ..operators.extract import extract_entities, extract_graphs, mentions_table
 
 
 class ERPipeline:
@@ -104,7 +104,7 @@ class ERPipeline:
                 keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
             ]
             if self.use_minhash:
-                mh = B.minhash_bands(B.minhash_signature(keyed, "norm"))
+                mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
                 chans.append(
                     mh.select(
                         "entity_key", "surface",
@@ -121,7 +121,10 @@ class ERPipeline:
 
         pairs = self._stage("pairs", build_pairs)
 
-        scores = self._stage("scores", lambda: S.score_pairs(pairs))
+        n_score_parts = self.spark.sparkContext.defaultParallelism * 2
+        scores = self._stage(
+            "scores", lambda: S.score_pairs(pairs.repartition(n_score_parts))
+        )
 
         match_edges = scores.filter(F.col("match")).select("left_id", "right_id")
 
@@ -145,6 +148,67 @@ class ERPipeline:
             "scores": scores,
             "clusters": assignments,
         }
+
+
+    def run_lean(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """Throughput-path variant: one lazy DAG, no per-stage counts.
+
+        Extraction feeds the vocabulary-sized ``entities`` aggregate, which
+        is the only thing persisted — it is reused by both blocking
+        channels and the final assignment join, so extraction runs exactly
+        once while everything downstream operates on a table ~4 orders of
+        magnitude smaller than the corpus. This is the shape that matters
+        at 10^12 docs: the corpus is touched once, in one pass.
+        """
+        ents = extract_entities(docs, id_col, text_col)
+        entities = (
+            ents.groupBy(F.col("node_key").alias("entity_key"))
+            .agg(
+                F.first("surface").alias("surface"),
+                F.first("label").alias("label"),
+                F.sum("count").alias("mention_count"),
+                F.count("*").alias("doc_freq"),
+            )
+            # localCheckpoint, not persist: it truncates lineage so every
+            # downstream plan reads the materialized partitions — plain
+            # .persist() can miss cache substitution across mapInPandas
+            # lineage and silently recompute the whole extraction
+            .localCheckpoint()
+        )
+        keyed = B.block_keys(entities)
+        chans = [keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))]
+        if self.use_minhash:
+            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
+            chans.append(
+                mh.select(
+                    "entity_key", "surface",
+                    F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+                )
+            )
+        blocked = chans[0]
+        for c in chans[1:]:
+            blocked = blocked.unionByName(c)
+        pairs = B.candidate_pairs(
+            blocked, key_col="bkey", id_col="entity_key",
+            max_block_size=self.max_block_size,
+        )
+        # respread before the scoring UDF: AQE coalesces shuffles by BYTE
+        # size, but a Python-UDF stage is compute-bound per ROW — a few MB
+        # of pairs is minutes of scoring, and a byte-coalesced single
+        # partition would run it serially on one core
+        n_score_parts = self.spark.sparkContext.defaultParallelism * 2
+        scores = S.score_pairs(pairs.repartition(n_score_parts), lean=True)
+        # checkpoint: match edges are read twice downstream (id mapping +
+        # the CC iterations) — never re-run the scoring UDF
+        match_edges = (
+            scores.filter(F.col("match")).select("left_id", "right_id").localCheckpoint()
+        )
+        clusters = C.components_over_keys(match_edges)
+        return (
+            entities.join(clusters, "entity_key", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.xxhash64("entity_key")))
+            .select("entity_key", "cluster_id", "surface", "label", "mention_count", "doc_freq")
+        )
 
 
 def cluster_summary(assignments: DataFrame) -> DataFrame:
