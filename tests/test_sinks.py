@@ -1,0 +1,141 @@
+"""Serialization sinks/sources: node-link JSON round-trip (the reference's
+tests/test_load.py pattern), RDF N3 export, KuzuDB CSV export, InGram."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.extract import (
+    corpus_edges, corpus_nodes, edges_table, extract_graphs, nodes_table,
+)
+from textgraphs_spark.sources.nodelink import (
+    dump_node_link_doc, load_node_link_doc,
+)
+from textgraphs_spark.sources.rdf import export_rdf_triples, normalize_prefix_col, write_n3
+from textgraphs_spark.sources.kuzu import export_kuzu
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    docs = spark.createDataFrame(
+        [(0, "See Spot run."), (1, "Werner Herzog lives in Germany. The filmmaker shot a documentary.")],
+        ["doc_id", "text"],
+    )
+    ex = extract_graphs(docs).cache()
+    return {
+        "extracted": ex,
+        "nodes": corpus_nodes(ex).withColumn("node_id", F.xxhash64("node_key"))
+                 .withColumn("neighbors", F.lit(0)).withColumn("weight", F.lit(0.0))
+                 .withColumn("annotated", F.lit(False)),
+        "edges": corpus_edges(ex),
+    }
+
+
+def test_node_link_doc_roundtrip_fixed_point(graph):
+    """dump → load → dump is a fixed point (reference tests/test_load.py:44-66)."""
+    nodes = [r.asDict() for r in nodes_table(graph["extracted"]).filter("doc_id = 0").collect()]
+    edges = [r.asDict() for r in edges_table(graph["extracted"]).filter("doc_id = 0").collect()]
+    s1 = dump_node_link_doc(nodes, edges)
+    n2, e2 = load_node_link_doc(s1)
+    s2 = dump_node_link_doc(n2, e2)
+    assert s1 == s2
+    dat = json.loads(s1)
+    assert dat["directed"] is True and dat["multigraph"] is True
+    assert set(dat) == {"directed", "multigraph", "nodes", "links", "graph"}
+
+
+def test_rdf_export(graph, spark, tmp_path):
+    triples = export_rdf_triples(graph["nodes"], graph["edges"])
+    rows = triples.collect()
+    assert len(rows) > 0
+    preds = {r["pred"] for r in rows}
+    assert "<http://www.w3.org/2004/02/skos/core#prefLabel>" in preds
+    assert "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>" in preds
+    # unlinked lemmas get owl:Thing (doc.py:558-560)
+    objs = {r["obj"] for r in rows}
+    assert "<http://www.w3.org/2002/07/owl#Thing>" in objs
+    out = str(tmp_path / "n3")
+    write_n3(triples, out)
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert files
+
+
+def test_prefix_normalization(spark):
+    df = spark.createDataFrame(
+        [("http://dbpedia.org/ontology/Person",), ("http://dbpedia.org/resource/Money",), ("http://example.com/x",)],
+        ["iri"],
+    )
+    got = [r["c"] for r in df.select(normalize_prefix_col(F.col("iri")).alias("c")).collect()]
+    assert got == ["dbo:Person", "dbr:Money", "http://example.com/x"]
+
+
+def test_kuzu_export(graph, tmp_path):
+    path = str(tmp_path / "kuzu")
+    export_kuzu(graph["nodes"], graph["edges"], path)
+    assert os.path.exists(os.path.join(path, "schema.ddl"))
+    assert any(f.startswith("part-") for f in os.listdir(os.path.join(path, "nodes")))
+    assert any(f.startswith("part-") for f in os.listdir(os.path.join(path, "edges")))
+
+
+def test_ingram_source(spark, tmp_path):
+    from textgraphs_spark.sources.ingram import load_ingram
+
+    fixture = {
+        "rels": ["A", "B"],
+        "ents": {"x": [["A", "y"], ["B", "z"]], "y": [["B", "z"]]},
+        "scores": [[0, 1, 0.5]],
+    }
+    p = tmp_path / "ingram.json"
+    p.write_text(json.dumps(fixture))
+    out = load_ingram(spark, str(p))
+    assert out["rels"] == ["A", "B"]
+    assert out["triples"].count() == 3
+    assert out["expected"].collect()[0]["expected"] == 0.5
+
+
+def test_er_pipeline_resume(spark, tmp_path):
+    """Stage-checkpoint resume: second run reuses parquet stage outputs
+    (the north rule's 'resumable from checkpoint')."""
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"Werner Herzog met Anna Klein in Germany on trip {i}.") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    wd = str(tmp_path / "er")
+    p1 = ERPipeline(spark, workdir=wd)
+    out1 = p1.run(docs)
+    n1 = out1["clusters"].count()
+    assert os.path.exists(os.path.join(wd, "extracted", "_SUCCESS"))
+    assert os.path.exists(os.path.join(wd, "lineage"))
+
+    # resume: stages are read back, not recomputed (pass empty docs to
+    # prove the parquet is the source of truth)
+    empty = docs.limit(0)
+    p2 = ERPipeline(spark, workdir=wd)
+    out2 = p2.run(empty)
+    assert out2["clusters"].count() == n1
+
+
+def test_run_lean_matches_run(spark):
+    """The lean throughput path and the checkpointed path produce the
+    same cluster assignment."""
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+    from textgraphs_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 80)
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    full = ERPipeline(spark).run(docs)["clusters"]
+    lean = ERPipeline(spark).run_lean(docs)
+
+    def canon(df):
+        return {
+            tuple(sorted(r["members"]))
+            for r in df.groupBy("cluster_id").agg(
+                F.collect_set("entity_key").alias("members")
+            ).collect()
+        }
+
+    assert canon(full) == canon(lean)

@@ -90,8 +90,9 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
         {"node": list(parent.keys()), "component": [find(n) for n in parent]},
         dtype="int64",
     )
-    # Arrow-backed createDataFrame — py4j row serialization is 100x slower
-    return spark.createDataFrame(pdf)
+    # Arrow-backed createDataFrame — py4j row serialization is 100x slower;
+    # explicit schema so an empty edge set doesn't break inference
+    return spark.createDataFrame(pdf, schema="node long, component long")
 
 
 def connected_components(
