@@ -36,7 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
 
     docs = _docs(spark, "/root/testdata/sf0.001")
-    out = ERPipeline(spark).run(docs)
+    # the synthetic documents corpus has no NER surface forms — resolve
+    # lemma mention forms as the entity universe
+    out = ERPipeline(spark, include_lemmas=True).run(docs)
     return cluster_summary(out["clusters"])
 
 
@@ -74,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def er_clusters(spark, sf_dir):
         from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
 
-        out = ERPipeline(spark).run(_docs(spark, sf_dir))
+        out = ERPipeline(spark, include_lemmas=True).run(_docs(spark, sf_dir))
         return cluster_summary(out["clusters"])
 
     def corpus_pagerank(spark, sf_dir):

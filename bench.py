@@ -29,7 +29,7 @@ from textgraphs_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000"))
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "600000"))
 # N vs 4N parallelism for the scaling criterion. Default 2 vs 8: on this
 # single box, both levels are below machine saturation, so the measurement
 # isolates the JOB's parallel scalability (no serial bottleneck) from the

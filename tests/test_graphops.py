@@ -1,0 +1,74 @@
+"""Graph operators: distance-gated entity pairs, label propagation,
+TTL bootstrap source."""
+
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.graphops import entity_pairs_within_distance, label_propagation
+from textgraphs_spark.sources.bootstrap import bootstrap_nodes_edges, merge_bootstrap, parse_ttl
+
+
+def test_entity_pairs_within_distance(spark):
+    docs = spark.createDataFrame(
+        [(0, "Werner Herzog met Anna Klein in Germany.")], ["doc_id", "text"]
+    )
+    pairs = entity_pairs_within_distance(docs).collect()
+    keys = {(r["src_key"], r["dst_key"]) for r in pairs}
+    # pairs are directed (itertools.product semantics, pipe.py:407-411)
+    assert ("werner.PROPN.herzog.PROPN", "anna.PROPN.klein.PROPN") in keys
+    assert ("anna.PROPN.klein.PROPN", "werner.PROPN.herzog.PROPN") in keys
+    assert all(r["distance"] + 1 <= 11 for r in pairs)
+
+
+def test_entity_pairs_distance_gate(spark):
+    # two entities in unconnected sentences: still connected through the
+    # doc graph? separate sentences share no edges -> unreachable
+    docs = spark.createDataFrame(
+        [(0, "Werner Herzog arrived. Anna Klein left.")], ["doc_id", "text"]
+    )
+    pairs = entity_pairs_within_distance(docs, max_skip=2).collect()
+    assert pairs == []
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(clique1 + clique2 + [(3, 10)], ["src", "dst"])
+    labels = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert len({labels[n] for n in range(4)}) == 1
+    assert len({labels[n] for n in range(10, 14)}) == 1
+
+
+TTL = """
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix dbo: <http://dbpedia.org/ontology/> .
+@prefix ex: <http://example.org/> .
+
+ex:herzog skos:prefLabel "Werner Herzog"@en .
+ex:herzog skos:definition "German filmmaker"@en .
+ex:herzog a dbo:Person .
+"""
+
+
+def test_parse_ttl():
+    triples = parse_ttl(TTL)
+    assert ("http://example.org/herzog",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://dbpedia.org/ontology/Person") in triples
+    assert ("http://example.org/herzog",
+            "http://www.w3.org/2004/02/skos/core#prefLabel",
+            "Werner Herzog") in triples
+
+
+def test_bootstrap_merge(spark):
+    from textgraphs_spark.operators.extract import corpus_nodes, extract_graphs
+
+    seed_nodes, seed_edges = bootstrap_nodes_edges(spark, TTL)
+    assert seed_nodes.count() >= 1
+    assert seed_edges.filter(F.col("rel").endswith("#type")).count() == 1
+
+    docs = spark.createDataFrame([(0, "Werner Herzog shot a documentary.")], ["doc_id", "text"])
+    corpus = corpus_nodes(extract_graphs(docs))
+    merged = merge_bootstrap(corpus, seed_nodes)
+    assert merged.filter(F.col("node_key") == "http://example.org/herzog").count() == 1
+    # corpus nodes survive the union + re-agg
+    assert merged.filter(F.col("node_key") == "werner.PROPN.herzog.PROPN").count() == 1

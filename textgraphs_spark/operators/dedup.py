@@ -99,18 +99,31 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle: int = 5,
     threshold: float = 0.6,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by true shingle Jaccard.
 
     Candidates come from band-bucket equality (narrow + one shuffle on the
     bucket key); verification re-computes exact character-shingle Jaccard
-    only for candidates.
+    only for candidates. Buckets larger than ``max_bucket`` are dropped —
+    a band shared by hundreds of documents carries no near-dup signal
+    (low-entropy shingles), and the pair blow-up inside such buckets is
+    exactly the skew that kills the job at corpus scale.
     """
+    from pyspark.sql.window import Window
+
     d = docs.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
     banded = minhash_band_keys(d, "_id", "_t", num_hashes=num_hashes, bands=bands, shingle=shingle)
     bucket_key = F.concat_ws("|", "band_id", "band_key")
-    a = banded.select(bucket_key.alias("bk"), F.col("_id").alias("left_id"))
-    b = banded.select(bucket_key.alias("bk"), F.col("_id").alias("right_id"))
+    keyed = banded.select(bucket_key.alias("bk"), F.col("_id"))
+    bounded = (
+        keyed.withColumn("_n", F.count("*").over(Window.partitionBy("bk")))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+        .localCheckpoint()
+    )
+    a = bounded.select("bk", F.col("_id").alias("left_id"))
+    b = bounded.select("bk", F.col("_id").alias("right_id"))
     cands = (
         a.join(b, "bk")
         .filter(F.col("left_id") < F.col("right_id"))

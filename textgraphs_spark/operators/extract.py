@@ -184,13 +184,19 @@ ENTITY_SCHEMA = T.StructType([
 ])
 
 
-def extract_entities(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def extract_entities(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, include_lemmas: bool = False,
+) -> DataFrame:
     """Entity-mentions-only extraction — the ER hot path.
 
     Skips per-doc ranking and the nested node/edge/phrase arrays entirely:
     the clustering job needs only (doc, lemma_key, surface, label, count).
     Flat schema keeps the Arrow transfer to a handful of primitive columns,
     ~5x cheaper per document than the full ``extract_graphs`` row.
+
+    ``include_lemmas=True`` also emits NOUN/PROPN lemma nodes as
+    resolvable mentions — for corpora without named-entity surface forms.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,7 +208,9 @@ def extract_entities(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                 g = build_doc_graph(r_text if r_text is not None else "")
                 did = int(r_id)
                 for nd in g.nodes.values():
-                    if nd.kind == "ent":
+                    if nd.kind == "ent" or (
+                        include_lemmas and nd.kind == "lem" and nd.pos in ("NOUN", "PROPN")
+                    ):
                         ids.append(did)
                         keys.append(nd.key)
                         surfaces.append(nd.text)

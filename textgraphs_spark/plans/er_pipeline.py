@@ -43,12 +43,16 @@ class ERPipeline:
     def __init__(self, spark: SparkSession, workdir: str | None = None, *,
                  min_similarity: float = S.MIN_SIMILARITY,
                  max_block_size: int = 200,
-                 use_minhash: bool = True):
+                 use_minhash: bool = True,
+                 include_lemmas: bool = False):
         self.spark = spark
         self.workdir = workdir
         self.min_similarity = min_similarity
         self.max_block_size = max_block_size
         self.use_minhash = use_minhash
+        # include NOUN/PROPN lemma mentions as resolvable entities —
+        # for corpora whose text has no NER surface forms
+        self.include_lemmas = include_lemmas
         self._lineage: list[dict] = []
 
     # -- checkpoint helpers ------------------------------------------------
@@ -87,8 +91,12 @@ class ERPipeline:
 
         # distinct person-entity surface forms; lemma key IS the seed
         # identity (same key => same node, graph.py:134-137)
+        kind_pred = (
+            (F.col("kind") == "ent")
+            | (F.lit(self.include_lemmas) & (F.col("kind") == "lem") & F.col("pos").isin("NOUN", "PROPN"))
+        )
         entities = self._stage("entities", lambda: (
-            mentions.filter(F.col("kind") == "ent")
+            mentions.filter(kind_pred)
             .groupBy(F.col("node_key").alias("entity_key"))
             .agg(
                 F.first("surface").alias("surface"),
@@ -160,7 +168,7 @@ class ERPipeline:
         magnitude smaller than the corpus. This is the shape that matters
         at 10^12 docs: the corpus is touched once, in one pass.
         """
-        ents = extract_entities(docs, id_col, text_col)
+        ents = extract_entities(docs, id_col, text_col, include_lemmas=self.include_lemmas)
         entities = (
             ents.groupBy(F.col("node_key").alias("entity_key"))
             .agg(
