@@ -306,6 +306,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("stripe")
         )
 
+    def wordcloud_weights(spark, sf_dir):
+        # reference vis.py:253-265: per-token frequency scaled by max -> 1000
+        toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+        from pyspark.sql.window import Window
+
+        freq = (
+            _docs(spark, sf_dir)
+            .select(F.explode(F.expr(toks)).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq"))
+        )
+        w = Window.orderBy(F.lit(1))
+        return (
+            freq.withColumn("max_freq", F.max("freq").over(w))
+            .select(
+                "token", "freq",
+                F.round(F.col("freq") / F.col("max_freq") * 1000).cast("long").alias("weight"),
+            )
+            .orderBy(F.desc("freq"), "token")
+        )
+
+    def entity_pairs(spark, sf_dir):
+        # the documents corpus is lowercase word-salad (no NER surface
+        # forms) — run the operator over the deterministic synthetic pages
+        # corpus, sized from the sf documents count so it scales with sf
+        from textgraphs_spark.operators.graphops import entity_pairs_within_distance
+        from textgraphs_spark.sources.pages import synth_pages
+
+        n = _docs(spark, sf_dir).count()
+        pages = synth_pages(spark, n).select(F.xxhash64("url").alias("doc_id"), "text")
+        return entity_pairs_within_distance(pages.limit(100))
+
+    def kg_linking(spark, sf_dir):
+        from textgraphs_spark.operators.extract import extract_entities
+        from textgraphs_spark.operators.linking import kg_catalog_from_gazetteer, link_entities
+        from textgraphs_spark.sources.pages import synth_pages
+
+        n = _docs(spark, sf_dir).count()
+        pages = synth_pages(spark, n).select(F.xxhash64("url").alias("doc_id"), "text")
+        ents = (
+            extract_entities(pages)
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(F.first("surface").alias("surface"))
+        )
+        catalog = kg_catalog_from_gazetteer(spark)
+        return link_entities(ents, catalog).orderBy("entity_key", "iri")
+
     def multimodal_features(spark, sf_dir):
         from textgraphs_spark.operators.multimodal import extract_features, synth_media
 
@@ -341,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_windows": events_user_windows,
         "events_ntile": events_ntile,
         "multimodal_features": multimodal_features,
+        "wordcloud_weights": wordcloud_weights,
+        "entity_pairs": entity_pairs,
+        "kg_linking": kg_linking,
     }
 
 
@@ -549,6 +598,17 @@ SELECT user_id,
        round(avg(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0, 4) AS avg_gap_s,
        count(DISTINCT event_type) AS n_types
 FROM w GROUP BY user_id ORDER BY user_id
+""",
+        "wordcloud_weights": """
+WITH freq AS (
+  SELECT t.token, count(*) AS freq
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(token)
+  GROUP BY 1
+)
+SELECT token, freq,
+       CAST(round(freq * 1000.0 / (SELECT max(freq) FROM freq)) AS BIGINT) AS weight
+FROM freq ORDER BY freq DESC, token
 """,
         "events_ntile": """
 WITH w AS (

@@ -1,0 +1,90 @@
+"""Entity linking against an offline KG catalog.
+
+The reference links mentions by calling DBPedia Spotlight / DBPedia Search /
+Wikidata APIs per mention with memoization caches (reference:
+textgraphs/kg.py:444-788, ent_cache/iri_cache kg.py:213-214). At 10^12
+documents the cache IS the table: a precomputed ``kg_catalog`` dimension
+(surface form → IRI, label, prob) that the mention table broadcast-joins
+against — no network, no per-row calls, deterministic.
+
+* ``link_entities``   — J7 (kg.py:986-1065): mention → IRI via normalized
+  surface equality, gated by the reference's probability thresholds
+  (min_alias 0.8, defaults.py:13).
+* ``sameas_edges``    — J8 (kg.py:1068-1142): two catalogs (e.g. dbpedia +
+  wikidata namespaces) linking the same mention yield owl:sameAs match
+  edges — the transitive-closure feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..nlp import lex
+
+MIN_ALIAS_PROB = 0.8  # reference defaults.py:13
+
+_DBPEDIA_NS = "http://dbpedia.org/resource/"
+_WIKIDATA_NS = "http://www.wikidata.org/entity/"
+
+
+def kg_catalog_from_gazetteer(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic catalog from the NER gazetteers: every known
+    surface gets a DBPedia-style and a Wikidata-style IRI (two namespaces →
+    exercises the sameAs path)."""
+    rows = []
+    entries = sorted(lex.GAZETTEER_GPE) + sorted(lex.GAZETTEER_ORG)
+    for i, surface in enumerate(entries):
+        slug = surface.title().replace(" ", "_")
+        rows.append((surface, f"{_DBPEDIA_NS}{slug}", "dbpedia", surface.title(), 1.0))
+        rows.append((surface, f"{_WIKIDATA_NS}Q{1000 + i}", "wikidata", surface.title(), 0.95))
+    return spark.createDataFrame(
+        rows, ["surface_norm", "iri", "namespace", "kg_label", "prob"]
+    )
+
+
+def link_entities(
+    entities: DataFrame,
+    catalog: DataFrame,
+    *,
+    surface_col: str = "surface",
+    min_prob: float = MIN_ALIAS_PROB,
+) -> DataFrame:
+    """entities ⟗ broadcast(catalog) on normalized surface → links table
+    (entity_key, iri, namespace, prob). Probability gate mirrors the
+    reference's alias threshold (kg.py:530-550, 903-912)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(surface_col), r"[^A-Za-z ]", "")))
+    return (
+        entities.withColumn("_norm", norm)
+        .join(F.broadcast(catalog), F.col("_norm") == F.col("surface_norm"))
+        .filter(F.col("prob") >= min_prob)
+        .select("entity_key", "iri", "namespace", "kg_label", "prob")
+    )
+
+
+def sameas_edges(links: DataFrame) -> DataFrame:
+    """owl:sameAs match edges between IRIs of different namespaces linked
+    to the same entity key (kg.py:1127-1134) — ready to union into the
+    match-edge set for connected components."""
+    a = links.select(F.col("entity_key"), F.col("iri").alias("left_id"), F.col("namespace").alias("ns_a"))
+    b = links.select(F.col("entity_key"), F.col("iri").alias("right_id"), F.col("namespace").alias("ns_b"))
+    return (
+        a.join(b, "entity_key")
+        .filter((F.col("ns_a") < F.col("ns_b")))
+        .select("left_id", "right_id", F.lit(lex.OWL_SAMEAS).alias("rel"))
+        .distinct()
+    )
+
+
+def iri_match_edges(links: DataFrame) -> DataFrame:
+    """Entities linked to the SAME IRI are the same entity — the match-edge
+    generator equivalent of the reference collapsing mentions into one IRI
+    node (kg.py:1021-1035)."""
+    a = links.select("iri", F.col("entity_key").alias("left_id"))
+    b = links.select("iri", F.col("entity_key").alias("right_id"))
+    return (
+        a.join(b, "iri")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )

@@ -29,11 +29,12 @@ MIN_SIMILARITY = 0.9  # reference defaults.py:14
 
 def jaro_winkler(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler similarity (DuckDB-compatible)."""
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
+        # DuckDB convention (the oracle): empty input scores 0, even vs empty
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     if match_dist < 0:
         match_dist = 0
