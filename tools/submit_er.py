@@ -34,6 +34,8 @@ def main() -> None:
                     help="generate N synthetic pages instead of reading --input")
     ap.add_argument("--include-lemmas", action="store_true")
     args = ap.parse_args()
+    if not args.input and not args.synthetic:
+        ap.error("either --input <pages path> or --synthetic N is required")
 
     spark = (
         SparkSession.builder.appName("textgraphs_spark_er")
