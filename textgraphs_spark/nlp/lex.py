@@ -54,6 +54,7 @@ VERB = {
     "remember", "love", "consider", "appear", "buy", "wait", "serve", "die",
     "send", "expect", "build", "stay", "fall", "cut", "reach", "kill",
     "remain", "direct", "act", "born", "film", "found", "star", "produce",
+    "praise", "honor", "travel", "visit", "shoot", "present", "arrive",
 }
 
 # common adjectives that suffix rules would miss or mis-tag
@@ -102,6 +103,7 @@ IRREGULAR_LEMMA = {
     "took": "take", "taken": "take", "knew": "know", "known": "know",
     "thought": "think", "told": "tell", "found": "find", "felt": "feel",
     "left": "leave", "kept": "keep", "met": "meet", "paid": "pay",
+    "shot": "shoot",
     "sat": "sit", "stood": "stand", "lost": "lose", "wrote": "write",
     "written": "write", "spoke": "speak", "spoken": "speak", "read": "read",
     "grew": "grow", "grown": "grow", "won": "win", "sent": "send",

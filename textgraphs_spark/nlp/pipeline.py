@@ -85,7 +85,7 @@ def _tag(word: str, sent_initial: bool) -> str:
         return "ADV"
     if word[0].isupper() and not (sent_initial and low in lex.COMMON_WORDS):
         return "PROPN"
-    if low in lex.VERB:
+    if low in lex.VERB or lex.IRREGULAR_LEMMA.get(low) in lex.VERB:
         return "VERB"
     if low in lex.ADJ:
         return "ADJ"
