@@ -29,17 +29,19 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Emit (v, m) for each neighbor v > u, where m = min(N(u) ∪ {u})."""
+    """Emit (v, m) for each neighbor v > u, where m = min(N(u) ∪ {u}).
+
+    Formulated as min-aggregation + join rather than collect_set: a hub
+    node with 10^8 neighbors must never materialize its neighborhood as
+    one array in one task — the scalar agg + re-join keeps every row
+    bounded and lets partial aggregation absorb the skew.
+    """
     nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    grouped = nbrs.groupBy("src").agg(
-        F.collect_set("dst").alias("nbr"),
-    )
+    mins = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
-        grouped
-        .withColumn("m", F.least(F.col("src"), F.array_min("nbr")))
-        .select(F.explode("nbr").alias("v"), "src", "m")
-        .filter(F.col("v") > F.col("src"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
 
@@ -49,13 +51,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    grouped = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbr"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))  # m < src always
+    hooked = oriented.join(mins, "src").select(
+        F.col("dst").alias("v"), F.col("m")
+    ).union(mins.select(F.col("src").alias("v"), F.col("m")))
     return (
-        grouped
-        .withColumn("m", F.least(F.col("src"), F.array_min("nbr")))
-        .withColumn("all_v", F.array_union("nbr", F.array("src")))
-        .select(F.explode("all_v").alias("v"), "m")
-        .filter(F.col("v") != F.col("m"))
+        hooked.filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
