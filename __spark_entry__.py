@@ -306,6 +306,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("stripe")
         )
 
+    def events_sessionize(spark, sf_dir):
+        from textgraphs_spark.operators.analytics import session_stats
+
+        return session_stats(_t(spark, sf_dir, "events"))
+
+    def events_asof_attribution(spark, sf_dir):
+        from textgraphs_spark.operators.analytics import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+        )
+        out = asof_join(clicks, views, "user_id", "ts", "vts")
+        click_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        return out.select(
+            "click_id", "user_id",
+            click_us.alias("click_us"),
+            F.col("asof_view_id").alias("view_id"),
+            F.col("asof_ts_us").alias("view_us"),
+            F.round((click_us - F.col("asof_ts_us")) / 1000000.0, 4).alias("latency_s"),
+        ).orderBy("click_id")
+
+    def events_value_buckets(spark, sf_dir):
+        from textgraphs_spark.operators.analytics import range_bucket_join
+
+        ev = _t(spark, sf_dir, "events")
+        buckets = spark.createDataFrame(
+            [("b0", 0.0, 50.0), ("b1", 50.0, 100.0),
+             ("b2", 100.0, 200.0), ("b3", 200.0, 500.0)],
+            "bucket string, lo double, hi double",
+        )
+        return (
+            range_bucket_join(ev, buckets)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+                ).alias("sum_value"),
+            )
+            .orderBy("bucket")
+        )
+
+    def region_nation_rollup(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        joined = (
+            c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        return (
+            joined.rollup("r_name", "n_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+                ).alias("total_acctbal"),
+            )
+            .select(
+                F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                "n_customers", "total_acctbal",
+            )
+            .orderBy("region", "nation")
+        )
+
     def wordcloud_weights(spark, sf_dir):
         # reference vis.py:253-265: per-token frequency scaled by max -> 1000
         toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -387,6 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_windows": events_user_windows,
         "events_ntile": events_ntile,
         "multimodal_features": multimodal_features,
+        "events_sessionize": events_sessionize,
+        "events_asof_attribution": events_asof_attribution,
+        "events_value_buckets": events_value_buckets,
+        "region_nation_rollup": region_nation_rollup,
         "wordcloud_weights": wordcloud_weights,
         "entity_pairs": entity_pairs,
         "kg_linking": kg_linking,
@@ -609,6 +683,64 @@ WITH freq AS (
 SELECT token, freq,
        CAST(round(freq * 1000.0 / (SELECT max(freq) FROM freq)) AS BIGINT) AS weight
 FROM freq ORDER BY freq DESC, token
+""",
+        "events_sessionize": """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM w
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) AS end_us,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 4) AS duration_s
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+        "events_asof_attribution": """
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_us,
+       round((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0, 4) AS latency_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY click_id
+""",
+        "events_value_buckets": """
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('b0', 0.0, 50.0), ('b1', 50.0, 100.0),
+         ('b2', 100.0, 200.0), ('b3', 200.0, 500.0)
+)
+SELECT bucket, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket ORDER BY bucket
+""",
+        "region_nation_rollup": """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
 """,
         "events_ntile": """
 WITH w AS (

@@ -1,0 +1,81 @@
+"""Unit tests for sessionization / as-of join / range-bucket join."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.analytics import (
+    asof_join, range_bucket_join, session_stats, sessionize,
+)
+
+
+def _ts(m, s=0):
+    return datetime(2024, 1, 1, 12, m, s)
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 1, _ts(0)), (1, 2, _ts(10)), (1, 3, _ts(50)),   # gap 40m -> new
+        (1, 4, _ts(55)),
+        (2, 5, _ts(0)),                                      # other user
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(ev).collect()
+    }
+    assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (2, 5): 1}
+
+    stats = session_stats(ev).collect()
+    by_key = {(r.user_id, r.session_seq): r for r in stats}
+    assert by_key[(1, 1)].n_events == 2
+    assert by_key[(1, 2)].n_events == 2
+    assert by_key[(1, 2)].duration_s == 300.0
+    assert by_key[(2, 1)].n_events == 1
+
+
+def test_sessionize_exact_gap_not_new(spark):
+    # gap exactly 30m does NOT start a new session (strict >)
+    rows = [(1, 1, _ts(0)), (1, 2, _ts(30))]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    seqs = {r.event_id: r.session_seq for r in sessionize(ev).collect()}
+    assert seqs == {1: 1, 2: 1}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(20)), (2, 102, _ts(5))],
+        "user_id long, click_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, _ts(9)), (1, 8, _ts(15)), (3, 9, _ts(0))],
+        "user_id long, view_id long, vts timestamp",
+    )
+    out = {
+        r.click_id: r.asof_view_id
+        for r in asof_join(left, right, "user_id", "ts", "vts").collect()
+    }
+    # click@10 -> view@9; click@20 -> view@15; user 2 has no views
+    assert out == {100: 7, 101: 8, 102: None}
+
+
+def test_asof_join_tie_is_match(spark):
+    # right row at exactly the left timestamp counts ("at or before")
+    left = spark.createDataFrame([(1, 100, _ts(10))],
+                                 "user_id long, click_id long, ts timestamp")
+    right = spark.createDataFrame([(1, 7, _ts(10))],
+                                  "user_id long, view_id long, vts timestamp")
+    [row] = asof_join(left, right, "user_id", "ts", "vts").collect()
+    assert row.asof_view_id == 7
+
+
+def test_range_bucket_join_broadcast(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 499.0)],
+                               "id long, value double")
+    buckets = spark.createDataFrame(
+        [("b0", 0.0, 50.0), ("b1", 50.0, 500.0)], "bucket string, lo double, hi double"
+    )
+    out = {r.id: r.bucket for r in range_bucket_join(df, buckets).collect()}
+    assert out == {1: "b0", 2: "b1", 3: "b1"}
+    plan = range_bucket_join(df, buckets)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
