@@ -110,6 +110,18 @@ def test_er_pipeline_resume(spark, tmp_path):
     n1 = out1["clusters"].count()
     assert os.path.exists(os.path.join(wd, "extracted", "_SUCCESS"))
     assert os.path.exists(os.path.join(wd, "lineage"))
+    assert os.path.exists(os.path.join(wd, "metrics"))
+
+    # per-partition metrics must reconcile with the per-stage lineage
+    lineage = {r["stage"]: r for r in spark.read.parquet(os.path.join(wd, "lineage")).collect()}
+    metrics = spark.read.parquet(os.path.join(wd, "metrics"))
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in metrics.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    for stage, row in lineage.items():
+        assert per_stage[stage] == row["rows"], stage
+        assert row["skew"] >= 0.999 or row["rows"] == 0
 
     # resume: stages are read back, not recomputed (pass empty docs to
     # prove the parquet is the source of truth)

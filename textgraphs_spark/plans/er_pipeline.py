@@ -14,9 +14,10 @@ as the north-star record-linkage job:
 
 Stage boundaries write parquet checkpoints (mirroring the reference's own
 dump/load round-trip as its resume mechanism, graph.py:236-392) and append
-a row to a ``lineage`` table (stage, rows, wall seconds, input fingerprint)
-— the north rule's "resumable from checkpoint with per-partition lineage +
-metrics".
+to two audit tables under the workdir — ``lineage`` (per stage: rows,
+partitions, max-partition rows, skew ratio, wall seconds) and ``metrics``
+(per stage x partition: row count) — the north rule's "resumable from
+checkpoint with per-partition lineage + metrics".
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ class ERPipeline:
         # for corpora whose text has no NER surface forms
         self.include_lemmas = include_lemmas
         self._lineage: list[dict] = []
+        self._metrics: list[dict] = []
 
     # -- checkpoint helpers ------------------------------------------------
     def _stage(self, name: str, build) -> DataFrame:
@@ -67,21 +69,53 @@ class ERPipeline:
             df = self.spark.read.parquet(path)
         else:
             df = build().localCheckpoint()
-        n = df.count()
+        # one job yields both the stage total and the per-partition row
+        # histogram: partition count is O(shuffle.partitions), so the
+        # collect is a few KB even when the stage holds 10^12 rows
+        part_rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        n = sum(r.rows for r in part_rows)
+        ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if part_rows:
+            self._metrics.extend(
+                {"stage": name, "partition_id": r.partition_id, "rows": r.rows, "ts": ts}
+                for r in part_rows
+            )
+        else:  # empty stage: keep it visible in the metrics table
+            self._metrics.append(
+                {"stage": name, "partition_id": -1, "rows": 0, "ts": ts}
+            )
+        n_parts = max(len(part_rows), 1)
+        max_rows = max((r.rows for r in part_rows), default=0)
         self._lineage.append({
             "stage": name, "rows": n,
+            "n_partitions": n_parts,
+            "max_partition_rows": max_rows,
+            # skew = max/mean partition size; ~1.0 is balanced, >>1 means a
+            # hot key survived salting and this stage gates the wall clock
+            "skew": round(max_rows * n_parts / n, 3) if n else 0.0,
             "seconds": round(time.time() - t0, 3),
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "ts": ts,
         })
         return df
 
     def lineage_df(self) -> DataFrame:
         return self.spark.createDataFrame(self._lineage)
 
+    def metrics_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._metrics)
+
     def write_lineage(self) -> None:
         if self.workdir and self._lineage:
             self.lineage_df().write.mode("append").parquet(
                 os.path.join(self.workdir, "lineage")
+            )
+        if self.workdir and self._metrics:
+            self.metrics_df().write.mode("append").parquet(
+                os.path.join(self.workdir, "metrics")
             )
 
     # -- stages ------------------------------------------------------------
