@@ -379,16 +379,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wordcloud_weights(spark, sf_dir):
         # reference vis.py:253-265: per-token frequency scaled by max -> 1000
         toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-        from pyspark.sql.window import Window
 
+        # materialize the vocabulary-sized aggregate once (corpus scanned a
+        # single time), then broadcast the 1-row global max — NOT a
+        # Window.orderBy(lit(1)), which funnels the table into one partition
         freq = (
             _docs(spark, sf_dir)
             .select(F.explode(F.expr(toks)).alias("token"))
             .groupBy("token").agg(F.count("*").alias("freq"))
+            .localCheckpoint()
         )
-        w = Window.orderBy(F.lit(1))
+        max_freq = freq.agg(F.max("freq").alias("max_freq"))
         return (
-            freq.withColumn("max_freq", F.max("freq").over(w))
+            freq.crossJoin(F.broadcast(max_freq))
             .select(
                 "token", "freq",
                 F.round(F.col("freq") / F.col("max_freq") * 1000).cast("long").alias("weight"),
