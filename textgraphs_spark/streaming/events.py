@@ -21,10 +21,18 @@ from pyspark.sql import functions as F
 from ..operators.extract import EXTRACT_SCHEMA, extract_graphs
 
 
-def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # one file per micro-batch => deterministic batch boundaries (and
+        # watermark advancement) in tests and backfills
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_counts(
