@@ -79,3 +79,27 @@ def test_range_bucket_join_broadcast(spark):
     assert out == {1: "b0", 2: "b1", 3: "b1"}
     plan = range_bucket_join(df, buckets)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def test_score_pairs_embedding_blend(spark):
+    from textgraphs_spark.operators.scoring import score_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            ("Werner Herzog", "Werner Herzog", [1.0, 0.0], [1.0, 0.0]),
+            ("Werner Herzog", "Werner Herzog", [1.0, 0.0], [0.0, 1.0]),
+            ("Werner Herzog", "Werner Herzog", None, [1.0, 0.0]),
+        ],
+        "left_surface string, right_surface string, "
+        "left_vec array<double>, right_vec array<double>",
+    )
+    out = score_pairs(
+        pairs, lean=True, left_vec="left_vec", right_vec="right_vec",
+        vec_weight=0.4,
+    ).collect()
+    aligned, orthogonal, missing = (r.score for r in out)
+    # identical names: name score 1.0; cosine 1.0 vs 0.0 vs fallback
+    assert abs(aligned - 1.0) < 1e-9
+    assert abs(orthogonal - 0.6) < 1e-9
+    assert abs(missing - 1.0) < 1e-9   # NULL vector -> pure name score
+    assert {r.match for r in out} == {True, False}

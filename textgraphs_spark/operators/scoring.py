@@ -133,14 +133,35 @@ def score_pairs(
     right_col: str = "right_surface",
     threshold: float = MIN_SIMILARITY,
     lean: bool = False,
+    left_vec: str | None = None,
+    right_vec: str | None = None,
+    vec_weight: float = 0.35,
 ) -> DataFrame:
     """Score candidate pairs; adds jw, lev_ratio, score, match columns.
 
     ``lean=True`` computes only the decision score + match flag (one UDF
     stage instead of two) — the clustering path needs nothing else.
+
+    When both sides carry an embedding column (``left_vec``/``right_vec``,
+    array<float/double>), the decision score blends in embedding cosine:
+    ``(1 - vec_weight) * name_score + vec_weight * cosine``. The cosine
+    runs entirely JVM-side (zip_with + aggregate), so the Python cost per
+    pair is unchanged; pairs where either vector is NULL fall back to the
+    pure name score.
     """
+    name_score = name_match_udf(F.col(left_col), F.col(right_col))
+    if left_vec and right_vec:
+        cos = cosine_expr(left_vec, right_vec)
+        blended = (
+            F.lit(1.0 - vec_weight) * name_score + F.lit(vec_weight) * cos
+        )
+        score = F.when(
+            F.col(left_vec).isNotNull() & F.col(right_vec).isNotNull(), blended
+        ).otherwise(name_score)
+    else:
+        score = name_score
     scored = pairs.withColumn(
-        "score", name_match_udf(F.col(left_col), F.col(right_col))
+        "score", score
     ).withColumn("match", F.col("score") >= F.lit(threshold))
     if lean:
         return scored
