@@ -56,6 +56,7 @@ def headline_queries(spark, sf_dir):
         "extract_mentions", "er_clusters", "gor_affinity", "dedup_minhash",
         "dedup_ngram_jaccard", "knn_cosine", "lang_id", "quality_score",
         "tpch_pricing_summary", "customer_order_rollup", "events_user_windows",
+        "events_sessionize", "events_asof_attribution",
     ]
     out = {}
     for name in names:

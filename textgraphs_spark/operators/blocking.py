@@ -51,6 +51,64 @@ def block_keys(entities: DataFrame) -> DataFrame:
     return e.withColumn("block_key", F.concat_ws("|", "last_tok", "first_init"))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, text) → (id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    Same codegen'd explode + xxhash64 + min-agg kernel as
+    ``minhash_band_keys`` (which consumes these very min-hashes); exposed
+    separately so callers can reuse one signature pass for both banding
+    and signature-agreement estimation.
+    """
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {shingle - 1}, 1)),"
+        f" i -> substring({text_col}, i, {shingle})))"
+    )
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("sig"),
+    )
+
+
+def band_keys_from_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, sig) → (id, band_id, band_key): LSH banding over a signature."""
+    rows = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_", *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(
+        id_col,
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_key").alias("band_key"),
+    )
+
+
 def minhash_band_keys(
     df: DataFrame,
     id_col: str,

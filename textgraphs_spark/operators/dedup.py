@@ -104,23 +104,46 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidate pairs verified by true shingle Jaccard.
 
     Candidates come from band-bucket equality (narrow + one shuffle on the
-    bucket key); verification re-computes exact character-shingle Jaccard
-    only for candidates. Buckets larger than ``max_bucket`` are dropped —
-    a band shared by hundreds of documents carries no near-dup signal
+    bucket key); buckets larger than ``max_bucket`` are dropped — a band
+    shared by hundreds of documents carries no near-dup signal
     (low-entropy shingles), and the pair blow-up inside such buckets is
     exactly the skew that kills the job at corpus scale.
-    """
-    from pyspark.sql.window import Window
 
+    Verification is two-stage, sized by what each stage must ship through
+    the join:
+
+    1. *signature agreement* — candidates join the (already computed)
+       num_hashes-long signatures (256 B/side) and keep pairs whose
+       estimated Jaccard (fraction of agreeing min-hashes) clears
+       ``threshold - sig_margin``. LSH candidates are overwhelmingly
+       false positives, so this drops most pairs for ~nothing.
+    2. *exact shingle Jaccard* — survivors only, over xxhash64-hashed
+       shingle sets (8 B/element instead of a shingle-length string).
+
+    The estimator is de-biased for candidacy: sharing a band guarantees
+    ``num_hashes/bands`` equal positions, so agreement is measured over
+    the remaining positions only. With 32 hashes / 8 bands that leaves 28
+    fair samples (σ ≤ 0.095), and the default margin (0.25) keeps a true
+    at-threshold pair with P(drop) < 1e-2. At web-dedup thresholds
+    (≥ 0.7) stage 1 removes the overwhelming majority of LSH noise; at
+    low thresholds it degrades gracefully toward a no-op.
+    """
+    from textgraphs_spark.operators.blocking import (
+        band_keys_from_signatures, minhash_signatures,
+    )
+
+    sig_margin = 0.25
     d = docs.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
-    banded = minhash_band_keys(d, "_id", "_t", num_hashes=num_hashes, bands=bands, shingle=shingle)
+    sigs = minhash_signatures(
+        d, "_id", "_t", num_hashes=num_hashes, shingle=shingle
+    ).localCheckpoint()
+    banded = band_keys_from_signatures(sigs, "_id", num_hashes=num_hashes, bands=bands)
     bucket_key = F.concat_ws("|", "band_id", "band_key")
     keyed = banded.select(bucket_key.alias("bk"), F.col("_id"))
+    counts = keyed.groupBy("bk").agg(F.count("*").alias("_n"))
     bounded = (
-        keyed.withColumn("_n", F.count("*").over(Window.partitionBy("bk")))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        keyed.join(counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)), "bk")
         .drop("_n")
-        .localCheckpoint()
     )
     a = bounded.select("bk", F.col("_id").alias("left_id"))
     b = bounded.select("bk", F.col("_id").alias("right_id"))
@@ -130,13 +153,25 @@ def minhash_dedup_pairs(
         .select("left_id", "right_id")
         .distinct()
     )
-    shingles = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(_t) - {shingle - 1}, 1)),"
-        f" i -> substring(_t, i, {shingle})))"
+    rows_per_band = num_hashes // bands
+    matches = F.expr(
+        "aggregate(zip_with(lsig, rsig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     )
-    sets = d.select("_id", shingles.alias("sh"))
-    verified = (
+    est = (matches - F.lit(rows_per_band)) / F.lit(num_hashes - rows_per_band)
+    prefiltered = (
         cands
+        .join(sigs.select(F.col("_id").alias("left_id"), F.col("sig").alias("lsig")), "left_id")
+        .join(sigs.select(F.col("_id").alias("right_id"), F.col("sig").alias("rsig")), "right_id")
+        .filter(est >= F.lit(max(threshold - sig_margin, 0.0)))
+        .select("left_id", "right_id")
+    )
+    hashed_shingles = F.expr(
+        f"transform(array_distinct(transform(sequence(1, greatest(length(_t) - {shingle - 1}, 1)),"
+        f" i -> substring(_t, i, {shingle}))), s -> xxhash64(s))"
+    )
+    sets = d.select("_id", hashed_shingles.alias("sh"))
+    verified = (
+        prefiltered
         .join(sets.select(F.col("_id").alias("left_id"), F.col("sh").alias("ls")), "left_id")
         .join(sets.select(F.col("_id").alias("right_id"), F.col("sh").alias("rs")), "right_id")
         .withColumn("inter", F.size(F.array_intersect("ls", "rs")))

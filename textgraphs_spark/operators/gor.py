@@ -32,32 +32,49 @@ from pyspark.sql import functions as F
 
 
 def seeds(triples: DataFrame, *, src: str = "src", rel: str = "rel", dst: str = "dst") -> DataFrame:
-    """triples → sheaf seeds (node_id, rel, dir, seed_idx).
-
-    seed_idx uniquely identifies the seed *instance* (edge x endpoint) so
-    the pair join can exclude self-pairs.
-    """
-    t = triples.withColumn("_edge_id", F.monotonically_increasing_id())
-    head = t.select(
+    """triples → sheaf seeds (node_id, rel, dir), one row per edge endpoint."""
+    head = triples.select(
         F.col(dst).alias("node_id"), F.col(rel).alias("rel"),
         F.lit("head").alias("dir"),
-        F.concat_ws("#", "_edge_id", F.lit("h")).alias("seed_idx"),
     )
-    tail = t.select(
+    tail = triples.select(
         F.col(src).alias("node_id"), F.col(rel).alias("rel"),
         F.lit("tail").alias("dir"),
-        F.concat_ws("#", "_edge_id", F.lit("t")).alias("seed_idx"),
     )
     return head.unionByName(tail)
 
 
 def pair_tallies(seed_df: DataFrame) -> DataFrame:
-    """tally(dir_a, rel_a, rel_b) = pair count + distinct shared nodes."""
-    a = seed_df.select("node_id", F.col("rel").alias("rel_a"), F.col("dir").alias("dir_a"), F.col("seed_idx").alias("ia"))
-    b = seed_df.select("node_id", F.col("rel").alias("rel_b"), F.col("seed_idx").alias("ib"))
-    pairs = a.join(b, "node_id").filter(F.col("ia") != F.col("ib"))
-    return pairs.groupBy("dir_a", "rel_a", "rel_b").agg(
-        (F.count("*") + F.countDistinct("node_id")).alias("tally")
+    """tally(dir_a, rel_a, rel_b) = pair count + distinct shared nodes.
+
+    The reference enumerates seed-instance pairs per node
+    (itertools.combinations, gor.py:289-308) — a self-join that
+    materializes degree² rows per node and melts on hub nodes (a nation
+    with 10k incident edges would emit 10^8 pairs). Equivalent closed
+    form on per-node counts instead: with c_a = |seeds(n, rel_a, dir_a)|
+    and c_b = |seeds(n, rel_b, *)|, the pair count at n is
+    ``c_a * (c_b - [rel_a = rel_b])`` (each a-instance excludes exactly
+    itself from b's pool when the relations coincide). The join is then
+    (#distinct (rel, dir) per node)² — relation-schema-sized, not
+    degree-sized.
+    """
+    c = seed_df.groupBy("node_id", "rel", "dir").agg(F.count("*").alias("c"))
+    a = c.select(
+        "node_id", F.col("rel").alias("rel_a"),
+        F.col("dir").alias("dir_a"), F.col("c").alias("c_a"),
+    )
+    b = c.groupBy("node_id", F.col("rel").alias("rel_b")).agg(
+        F.sum("c").alias("c_b")
+    )
+    pc = F.col("c_a") * (
+        F.col("c_b")
+        - F.when(F.col("rel_a") == F.col("rel_b"), F.lit(1)).otherwise(F.lit(0))
+    )
+    per_node = a.join(b, "node_id").withColumn("pc", pc).filter(F.col("pc") > 0)
+    # rows are unique per (node, rel_a, dir_a, rel_b) => count(*) is the
+    # distinct-shared-nodes term
+    return per_node.groupBy("dir_a", "rel_a", "rel_b").agg(
+        (F.sum("pc") + F.count("*")).alias("tally")
     )
 
 
