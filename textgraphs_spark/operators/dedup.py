@@ -60,9 +60,14 @@ def ngram_jaccard_pairs(
     the block column is a cheap sketch (length bucket, lang, host).
     """
     toks = F.expr(_TOKENS.format(c=text_col))
+    # distinct over gram STRINGS, then hash each gram to a long before the
+    # pair join: |grams| and |intersection| — all Jaccard needs — are
+    # preserved (64-bit collisions are ~1e-13 per pair), while the arrays
+    # shipped through the block join shrink from ~n-word strings to 8 B
+    # per element and array_intersect compares longs, not strings
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+        f"transform(array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))), g -> xxhash64(g))"
     )
     d = (
         docs.select(

@@ -160,6 +160,24 @@ def _process_doc(doc_id: int, text: str) -> dict:
     }
 
 
+def _respread(df: DataFrame) -> DataFrame:
+    """Row-wise respread before a compute-bound mapInPandas stage.
+
+    A small parquet input can arrive as a single split (one file under
+    maxPartitionBytes => one partition), which would run the extraction
+    UDF serially no matter how many executors exist — the same
+    bytes-vs-rows mismatch the scorer guards against. Only repartitions
+    when the scan's parallelism is below the cluster's; at real scale the
+    input has orders of magnitude more splits than cores and this is a
+    no-op (no shuffle).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def extract_graphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents(id, text, ...) → nested per-doc lemma-graph rows."""
     cols = [id_col, text_col]
@@ -172,7 +190,7 @@ def extract_graphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             ]
             yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
 
-    return df.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return _respread(df.select(*cols)).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
 ENTITY_SCHEMA = T.StructType([
@@ -222,7 +240,7 @@ def extract_entities(
                 "count": pd.Series(counts, dtype="int32"),
             })
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=ENTITY_SCHEMA)
+    return _respread(df.select(id_col, text_col)).mapInPandas(run, schema=ENTITY_SCHEMA)
 
 
 def mentions_table(extracted: DataFrame) -> DataFrame:
