@@ -74,10 +74,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrases_table(ex).filter(F.col("rank_pos") < 5)
 
     def er_clusters(spark, sf_dir):
+        # run_lean == run (asserted by tests/test_sinks.py::
+        # test_run_lean_matches_run); the lean path skips the per-stage
+        # checkpoint/metrics materialization the query doesn't need
         from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
 
-        out = ERPipeline(spark, include_lemmas=True).run(_docs(spark, sf_dir))
-        return cluster_summary(out["clusters"])
+        out = ERPipeline(spark, include_lemmas=True).run_lean(_docs(spark, sf_dir))
+        return cluster_summary(out)
 
     def corpus_pagerank(spark, sf_dir):
         from textgraphs_spark.operators.pagerank import pagerank
