@@ -33,17 +33,24 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of reading --input")
     ap.add_argument("--include-lemmas", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=0,
+                    help="spark.sql.shuffle.partitions (0 = cluster default; "
+                         "size to ~2-3x total executor cores at the target SF)")
     args = ap.parse_args()
     if not args.input and not args.synthetic:
         ap.error("either --input <pages path> or --synthetic N is required")
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("textgraphs_spark_er")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if args.shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
 
     from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
 
