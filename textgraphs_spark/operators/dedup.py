@@ -134,7 +134,7 @@ def minhash_dedup_pairs(
     low thresholds it degrades gracefully toward a no-op.
     """
     from textgraphs_spark.operators.blocking import (
-        band_keys_from_signatures, minhash_signatures,
+        _exploded_shingles, band_keys_from_signatures, minhash_signatures,
     )
 
     sig_margin = 0.25
@@ -170,11 +170,12 @@ def minhash_dedup_pairs(
         .filter(est >= F.lit(max(threshold - sig_margin, 0.0)))
         .select("left_id", "right_id")
     )
-    hashed_shingles = F.expr(
-        f"transform(array_distinct(transform(sequence(1, greatest(length(_t) - {shingle - 1}, 1)),"
-        f" i -> substring(_t, i, {shingle}))), s -> xxhash64(s))"
+    sets = (
+        _exploded_shingles(d, [F.col("_id")], "_t", shingle)
+        .select("_id", F.xxhash64("_sh").alias("_h"))
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("sh"))
     )
-    sets = d.select("_id", hashed_shingles.alias("sh"))
     verified = (
         prefiltered
         .join(sets.select(F.col("_id").alias("left_id"), F.col("sh").alias("ls")), "left_id")
