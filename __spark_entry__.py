@@ -381,6 +381,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("region", "nation")
         )
 
+    def events_value_percentiles(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        pct = lambda p: F.round(
+            F.expr(f"percentile(value, {p})"), 6
+        ).alias(f"p{int(p * 100)}")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n"), pct(0.25), pct(0.5), pct(0.75), pct(0.95)
+        ).orderBy("event_type")
+
+    def events_type_pivot(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .orderBy("user_id")
+        )
+
+    def users_click_no_purchase(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+        big_buyers = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200)
+        ).select("user_id")
+        viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+        return clicks.intersect(viewers).exceptAll(big_buyers.distinct()).orderBy("user_id")
+
     def wordcloud_weights(spark, sf_dir):
         # reference vis.py:253-265: per-token frequency scaled by max -> 1000
         toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -465,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_windows": events_user_windows,
         "events_ntile": events_ntile,
         "multimodal_features": multimodal_features,
+        "events_value_percentiles": events_value_percentiles,
+        "events_type_pivot": events_type_pivot,
+        "users_click_no_purchase": users_click_no_purchase,
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
         "events_value_buckets": events_value_buckets,
@@ -691,6 +723,31 @@ WITH freq AS (
 SELECT token, freq,
        CAST(round(freq * 1000.0 / (SELECT max(freq) FROM freq)) AS BIGINT) AS weight
 FROM freq ORDER BY freq DESC, token
+""",
+        "events_value_percentiles": """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "events_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "users_click_no_purchase": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+ORDER BY user_id
 """,
         "events_sessionize": """
 WITH w AS (
