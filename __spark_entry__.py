@@ -82,6 +82,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ERPipeline(spark, include_lemmas=True).run_lean(_docs(spark, sf_dir))
         return cluster_summary(out)
 
+    def er_ranked_clusters(spark, sf_dir):
+        # north star: "TextRank-style ranking of linked entities within
+        # each cluster ... as iterative-join PageRank over the aggregated
+        # lemma graph"
+        from textgraphs_spark.plans.er_pipeline import ERPipeline, ranked_cluster_members
+
+        docs = _docs(spark, sf_dir)
+        assignments = ERPipeline(spark, include_lemmas=True).run_lean(docs)
+        ex = extract_graphs(docs)
+        edges = corpus_edges(ex).select(
+            F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
+            F.col("count").alias("weight"),
+        )
+        return ranked_cluster_members(assignments, edges).orderBy(
+            "cluster_id", "rank_in_cluster"
+        )
+
     def corpus_pagerank(spark, sf_dir):
         from textgraphs_spark.operators.pagerank import pagerank
 
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lemma_edges": lemma_edges,
         "ranked_phrases": ranked_phrases,
         "er_clusters": er_clusters,
+        "er_ranked_clusters": er_ranked_clusters,
         "corpus_pagerank": corpus_pagerank,
         "gor_affinity": gor_affinity,
         "dedup_exact": dedup_exact,

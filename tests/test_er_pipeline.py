@@ -86,3 +86,29 @@ def test_cluster_summary_shape(er_result):
     top = summary.first()
     assert top["n_mentions"] >= top["max_mentions"]
     assert len(top["members"]) == top["n_forms"]
+
+
+def test_ranked_cluster_members(spark):
+    """Within each cluster, members are ranked by lemma-graph PageRank."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.plans.er_pipeline import ranked_cluster_members
+
+    assignments = spark.createDataFrame(
+        [("a", 1, "Anna", "PERSON", 5, 3), ("b", 1, "A. Klein", "PERSON", 2, 2),
+         ("c", 2, "Solo", "PERSON", 1, 1)],
+        "entity_key string, cluster_id long, surface string, label string, "
+        "mention_count long, doc_freq long",
+    )
+    # b receives from three nodes; a only donates — b is more central
+    edges = spark.createDataFrame(
+        [("x", "b", 1.0), ("y", "b", 1.0), ("z", "b", 1.0), ("a", "x", 1.0)],
+        "src string, dst string, weight double",
+    )
+    out = ranked_cluster_members(assignments, edges).collect()
+    by_key = {r.entity_key: r for r in out}
+    assert by_key["b"].rank_in_cluster == 1
+    assert by_key["a"].rank_in_cluster == 2
+    assert by_key["c"].rank_in_cluster == 1       # singleton cluster
+    assert by_key["c"].rank == 0.0                # absent from the graph
+    assert by_key["b"].rank > by_key["a"].rank

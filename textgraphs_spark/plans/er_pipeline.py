@@ -253,6 +253,38 @@ class ERPipeline:
         )
 
 
+def ranked_cluster_members(
+    assignments: DataFrame, lemma_edges: DataFrame, *, max_iter: int = 20
+) -> DataFrame:
+    """Rank the linked entities inside each cluster by PageRank over the
+    aggregated lemma graph — the reference's TextRank phrase ranking
+    (doc.py:927-933, α=0.85) re-expressed at corpus level: one iterative-
+    join PageRank over the whole graph, then a per-cluster window rank.
+
+    ``lemma_edges`` is the corpus edge table (src, dst, weight); nodes
+    absent from the graph rank after all ranked members (rank mass 0).
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.pagerank import pagerank
+
+    pr = pagerank(lemma_edges, max_iter=max_iter)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("rank"), "entity_key"
+    )
+    return (
+        assignments.join(
+            pr.withColumnRenamed("node", "entity_key"), "entity_key", "left"
+        )
+        .withColumn("rank_in_cluster", F.row_number().over(w))
+        .select(
+            "cluster_id", "rank_in_cluster", "entity_key", "surface",
+            F.round(F.coalesce("rank", F.lit(0.0)), 6).alias("rank"),
+            "mention_count",
+        )
+    )
+
+
 def cluster_summary(assignments: DataFrame) -> DataFrame:
     """Entity clusters with members and sizes — the flagship query answer."""
     return (
