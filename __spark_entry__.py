@@ -186,6 +186,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return SIM.ann_topk(q, emb, k=5)
 
+    def ann_ivf(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return SIM.ivf_topk(q, emb, k=5, n_cells=8, nprobe=4)
+
     def embedding_near_dup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -499,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
+        "ann_ivf": ann_ivf,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "lang_id": lang_id,

@@ -157,3 +157,28 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").collect()[0]["n"]
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got == expected
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in SIM.ivf_topk(q, emb, k=3, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # every query returns exactly k rows with ranks 1..k
+    out = SIM.ivf_topk(q, emb, k=3, n_cells=8, nprobe=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())

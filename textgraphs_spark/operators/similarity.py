@@ -166,3 +166,79 @@ def embedding_near_dup_pairs(
         .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 1,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
+    probe the ``nprobe`` nearest cells per query, exact-score only there.
+
+    The FAISS-IVF recipe as pure DataFrame ops:
+
+    * centroid init = the ``n_cells`` corpus vectors with the smallest
+      ``xxhash64(id)`` — a deterministic uniform sample, no RNG state;
+    * ``kmeans_iters`` Lloyd refinements: assign (broadcast centroids,
+      argmax cosine via one window) -> new centroid = element-wise mean
+      (``groupBy(cell)`` + ``posexplode`` average), all JVM-side;
+    * search cost per query is ``nprobe/n_cells`` of the corpus instead
+      of all of it; the cell join shuffles on the cell id, so cells are
+      the unit of parallelism at scale (size n_cells ~ sqrt(N)).
+    """
+    from pyspark.sql.window import Window
+
+    def assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str,
+               keep: int) -> DataFrame:
+        scored = vectors.join(F.broadcast(cents), how="cross").withColumn(
+            "_cs", cosine_expr(vec_col, "_cvec")
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc(F.round("_cs", 9)), F.asc("_cell")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .drop("_cvec", "_cs", "_r")
+        )
+
+    centroids = (
+        corpus.orderBy(F.xxhash64(F.col(c_id).cast("string")))
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(c_id)).alias("_cell"),
+            F.col(c_vec).alias("_cvec"),
+        )
+    ).localCheckpoint()
+
+    for _ in range(kmeans_iters):
+        assigned = assign(corpus, centroids, c_id, c_vec, 1)
+        centroids = (
+            assigned.select("_cell", F.posexplode(c_vec).alias("_pos", "_v"))
+            .groupBy("_cell", "_pos").agg(F.avg("_v").alias("_m"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
+            .select("_cell", F.expr("transform(_s, x -> x._m)").alias("_cvec"))
+        ).localCheckpoint()
+
+    corpus_cells = assign(corpus, centroids, c_id, c_vec, 1)
+    query_cells = assign(queries, centroids, q_id, q_vec, nprobe)
+
+    scored = query_cells.join(corpus_cells, "_cell").withColumn(
+        "cosine", cosine_expr(q_vec, c_vec)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc(F.round("cosine", 9)), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
