@@ -51,3 +51,18 @@ def test_stream_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     assert s2.n_events == 1
     # user 2's open session is still in state — not emitted
     assert (2, 1) not in rows
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from textgraphs_spark.streaming.events import stream_dedup
+
+    src = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "dck")
+    rows = [(1, T0), (1, T0), (2, T0 + timedelta(minutes=1)), (1, T0)]
+    spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(1) \
+        .write.parquet(src)
+    stream = read_events_stream(spark, src)
+    out = stream_dedup(stream, keys=["event_id"], watermark="10 minutes")
+    run_available_now(out, checkpoint=ckpt, table_name="dedup_out")
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in got) == [1, 2]

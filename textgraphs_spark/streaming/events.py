@@ -84,3 +84,26 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of exact dedup: drop duplicate events within the
+    watermark horizon.
+
+    State is bounded by the watermark — a key is remembered only until
+    event time passes ``watermark``, so state size tracks the duplicate
+    arrival window, not the stream length. (Batch exact dedup over full
+    history stays `operators/dedup.py::exact_duplicates`.)
+    """
+    keys = keys or ["event_id"]
+    return (
+        events.withColumn(ts_col, events[ts_col].cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
