@@ -166,3 +166,34 @@ def test_sessionize_matches_bruteforce_random(spark):
                 seq += 1
             last = ts
             assert got[(u, eid)] == seq, (u, eid)
+
+
+def test_score_pairs_zero_norm_vector_falls_back(spark):
+    from textgraphs_spark.operators.scoring import score_pairs
+
+    pairs = spark.createDataFrame(
+        [("Werner Herzog", "Werner Herzog", [0.0, 0.0], [1.0, 0.0])],
+        "left_surface string, right_surface string, "
+        "left_vec array<double>, right_vec array<double>",
+    )
+    [row] = score_pairs(
+        pairs, lean=True, left_vec="left_vec", right_vec="right_vec"
+    ).collect()
+    # zero-norm cosine is 0/0 -> NULL; must fall back to the name score
+    assert row.score is not None and abs(row.score - 1.0) < 1e-9
+    assert row.match is True
+
+
+def test_minhash_single_band_skips_prefilter(spark):
+    from textgraphs_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "the quick brown fox jumps over the lazy dog " * 4),
+         (3, "a completely different document about spark plans")],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup_pairs(
+        docs, num_hashes=16, bands=1, threshold=0.9
+    ).collect()
+    assert [(r.left_id, r.right_id) for r in out] == [(1, 2)]

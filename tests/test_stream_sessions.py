@@ -66,3 +66,69 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     run_available_now(out, checkpoint=ckpt, table_name="dedup_out")
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_stream_extract_builds_on_stream(spark, tmp_path):
+    """_respread must not force batch planning on a streaming source."""
+    from textgraphs_spark.streaming.events import run_available_now
+    from textgraphs_spark.streaming.sessions import stream_sessionize  # noqa: F401
+    from textgraphs_spark.operators.extract import extract_graphs
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "Werner Herzog met Anna Klein in Germany.")], "doc_id long, text string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = extract_graphs(stream)          # must not raise at plan time
+    run_available_now(
+        out.select("doc_id"), checkpoint=str(tmp_path / "eck"),
+        table_name="ext_out",
+    )
+    assert spark.sql("SELECT * FROM ext_out").count() == 1
+
+
+def test_stream_sessionize_seq_monotone_after_timeout(spark, tmp_path):
+    """session_seq keeps counting after a timeout-closed session."""
+    src = str(tmp_path / "seq")
+    ckpt = str(tmp_path / "sck")
+    _write(spark, src, [(1, T0)])
+    time.sleep(1.1)
+    _write(spark, src, [(9, T0 + timedelta(hours=12))])   # closes u1 s1
+    time.sleep(1.1)
+    _write(spark, src, [(1, T0 + timedelta(hours=13))])   # u1 session 2
+    time.sleep(1.1)
+    _write(spark, src, [(9, T0 + timedelta(hours=48))])   # closes u1 s2
+    stream = read_events_stream(spark, src, max_files_per_trigger=1) \
+        .select("user_id", "ts")
+    out = stream_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+    run_available_now(out, checkpoint=ckpt, table_name="seq_out")
+    got = {
+        (r.user_id, r.session_seq)
+        for r in spark.sql("SELECT * FROM seq_out").collect()
+    }
+    assert (1, 1) in got and (1, 2) in got
+
+
+def test_stream_sessionize_late_event_no_regression(spark, tmp_path):
+    """A late-but-within-watermark event never regresses boundaries."""
+    src = str(tmp_path / "late")
+    ckpt = str(tmp_path / "lck")
+    _write(spark, src, [(1, T0)])                              # 12:00
+    time.sleep(1.1)
+    # late 11:30 (within 2h watermark) + 12:40 (gap > 30m closes session)
+    _write(spark, src, [
+        (1, T0 - timedelta(minutes=30)), (1, T0 + timedelta(minutes=40)),
+    ])
+    time.sleep(1.1)
+    _write(spark, src, [(9, T0 + timedelta(hours=12))])        # flush
+    stream = read_events_stream(spark, src, max_files_per_trigger=1) \
+        .select("user_id", "ts")
+    out = stream_sessionize(stream, gap_minutes=30, watermark="2 hours")
+    run_available_now(out, checkpoint=ckpt, table_name="late_out")
+    rows = spark.sql("SELECT * FROM late_out WHERE user_id = 1").collect()
+    assert rows, "no session emitted"
+    for r in rows:
+        assert r.end_us >= r.start_us
+    first = next(r for r in rows if r.session_seq == 1)
+    assert first.n_events == 2     # 12:00 + the late 11:30 straggler

@@ -120,9 +120,13 @@ def asof_join(
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *left.columns,
     )
+    # __r as the final sort key: among right rows tied on (ts), the window
+    # picks the lexicographically-largest payload struct — deterministic
+    # across partitionings (left rows carry NULL __r; nulls sort first
+    # within their (ts, side) group, which never spans sides)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts_us", "__side")
+        .orderBy("__ts_us", "__side", F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = (

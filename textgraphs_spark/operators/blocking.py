@@ -58,22 +58,26 @@ def minhash_signatures(
     *,
     num_hashes: int = 16,
     shingle: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, text) → (id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    Same codegen'd explode + xxhash64 + min-agg kernel as
-    ``minhash_band_keys`` (which consumes these very min-hashes); exposed
-    separately so callers can reuse one signature pass for both banding
-    and signature-agreement estimation.
+    The one codegen'd explode + xxhash64 + min-agg signature kernel;
+    ``minhash_band_keys`` composes it with ``band_keys_from_signatures``,
+    and the dedup path reuses one signature pass for both banding and
+    signature-agreement estimation.
     """
-    exploded = _exploded_shingles(df, [id_col], text_col, shingle)
+    exploded = _exploded_shingles(
+        df, [F.col(id_col), *[F.col(c) for c in carry_cols]], text_col, shingle
+    )
     mins = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
         for seed in range(num_hashes)
     ]
-    sig = exploded.groupBy(id_col).agg(*mins)
+    carries = [F.first(c).alias(c) for c in carry_cols]
+    sig = exploded.groupBy(id_col).agg(*mins, *carries)
     return sig.select(
-        F.col(id_col),
+        F.col(id_col), *carry_cols,
         F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("sig"),
     )
 
@@ -105,8 +109,15 @@ def band_keys_from_signatures(
     *,
     num_hashes: int,
     bands: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sig) → (id, band_id, band_key): LSH banding over a signature."""
+    """(id, sig) → (id, band_id, band_key): LSH banding over a signature.
+
+    This is the ONLY band-key constructor — ``minhash_band_keys`` composes
+    it with ``minhash_signatures`` — so the band layout (slice order,
+    separator) that the dedup prefilter's rows-per-band assumption relies
+    on lives in exactly one place.
+    """
     rows = num_hashes // bands
     band_structs = F.array(*[
         F.struct(
@@ -118,9 +129,10 @@ def band_keys_from_signatures(
         for b in range(bands)
     ])
     return sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("_b")
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.explode(band_structs).alias("_b"),
     ).select(
-        id_col,
+        id_col, *carry_cols,
         F.col("_b.band_id").alias("band_id"),
         F.col("_b.band_key").alias("band_key"),
     )
@@ -146,33 +158,12 @@ def minhash_band_keys(
     is a partial-agg'd groupBy on the id — at 10^9 docs this is the same
     shape as a word count.
     """
-    rows = num_hashes // bands
-    exploded = _exploded_shingles(
-        df, [F.col(id_col), *[F.col(c) for c in carry_cols]], text_col, shingle
+    sigs = minhash_signatures(
+        df, id_col, text_col,
+        num_hashes=num_hashes, shingle=shingle, carry_cols=carry_cols,
     )
-    mins = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
-        for seed in range(num_hashes)
-    ]
-    carries = [F.first(c).alias(c) for c in carry_cols]
-    sig = exploded.groupBy(id_col).agg(*mins, *carries)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("_", *[F.col(f"_h{b * rows + r}") for r in range(rows)]).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    return (
-        sig.select(
-            F.col(id_col), *[F.col(c) for c in carry_cols],
-            F.explode(band_structs).alias("_b"),
-        )
-        .select(
-            id_col, *carry_cols,
-            F.col("_b.band_id").alias("band_id"),
-            F.col("_b.band_key").alias("band_key"),
-        )
+    return band_keys_from_signatures(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, carry_cols=carry_cols
     )
 
 

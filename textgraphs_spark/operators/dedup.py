@@ -159,17 +159,22 @@ def minhash_dedup_pairs(
         .distinct()
     )
     rows_per_band = num_hashes // bands
-    matches = F.expr(
-        "aggregate(zip_with(lsig, rsig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-    )
-    est = (matches - F.lit(rows_per_band)) / F.lit(num_hashes - rows_per_band)
-    prefiltered = (
-        cands
-        .join(sigs.select(F.col("_id").alias("left_id"), F.col("sig").alias("lsig")), "left_id")
-        .join(sigs.select(F.col("_id").alias("right_id"), F.col("sig").alias("rsig")), "right_id")
-        .filter(est >= F.lit(max(threshold - sig_margin, 0.0)))
-        .select("left_id", "right_id")
-    )
+    if num_hashes - rows_per_band > 0:
+        matches = F.expr(
+            "aggregate(zip_with(lsig, rsig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        )
+        est = (matches - F.lit(rows_per_band)) / F.lit(num_hashes - rows_per_band)
+        prefiltered = (
+            cands
+            .join(sigs.select(F.col("_id").alias("left_id"), F.col("sig").alias("lsig")), "left_id")
+            .join(sigs.select(F.col("_id").alias("right_id"), F.col("sig").alias("rsig")), "right_id")
+            .filter(est >= F.lit(max(threshold - sig_margin, 0.0)))
+            .select("left_id", "right_id")
+        )
+    else:
+        # bands == 1: every signature position is band-guaranteed, the
+        # estimator has no fair sample — skip straight to exact verify
+        prefiltered = cands
     sets = (
         _exploded_shingles(d, [F.col("_id")], "_t", shingle)
         .select("_id", F.xxhash64("_sh").alias("_h"))

@@ -171,6 +171,10 @@ def _respread(df: DataFrame) -> DataFrame:
     input has orders of magnitude more splits than cores and this is a
     no-op (no shuffle).
     """
+    if df.isStreaming:
+        # .rdd forces batch planning (throws on streams); micro-batch
+        # sizing is the trigger's job there, not a static repartition
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
     if df.rdd.getNumPartitions() < target:

@@ -119,11 +119,16 @@ def name_match_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    """JVM-side cosine similarity between two array<float/double> columns."""
+    """JVM-side cosine similarity between two array<float/double> columns.
+
+    ``try_divide`` so a zero-norm vector yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO error; callers (``score_pairs``) treat NULL cosine as
+    "no embedding signal" and fall back to the name score.
+    """
     dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
     na = F.sqrt(F.expr(f"aggregate({a}, 0.0D, (acc, v) -> acc + v * v)"))
     nb = F.sqrt(F.expr(f"aggregate({b}, 0.0D, (acc, v) -> acc + v * v)"))
-    return (dot / (na * nb)).alias("cosine")
+    return F.try_divide(dot, na * nb).alias("cosine")
 
 
 def score_pairs(
@@ -155,8 +160,15 @@ def score_pairs(
         blended = (
             F.lit(1.0 - vec_weight) * name_score + F.lit(vec_weight) * cos
         )
+        # fall back to the name score not only for NULL vectors but for any
+        # degenerate cosine (zero-norm vector -> 0/0 -> NULL/NaN, length-
+        # mismatched arrays) — otherwise a NULL score silently drops the pair
         score = F.when(
-            F.col(left_vec).isNotNull() & F.col(right_vec).isNotNull(), blended
+            F.col(left_vec).isNotNull()
+            & F.col(right_vec).isNotNull()
+            & cos.isNotNull()
+            & ~F.isnan(cos),
+            blended,
         ).otherwise(name_score)
     else:
         score = name_score

@@ -11,6 +11,13 @@ Scale notes: state is keyed by user and O(1) per user (four longs), so
 the state store grows with |active users|, not |events|. Each micro-batch
 shuffles once on the grouping key — the same single-shuffle shape as the
 batch operator.
+
+Semantics under late data: ``session_seq`` is monotone per user while the
+user's state lives (closed-session counters are retained dormant for 10
+gap windows before GC). Events arriving late-but-within-watermark that
+precede the open session's frontier are counted into it without moving
+its boundaries; exact parity with the batch operator therefore holds
+when the watermark delay is <= the session gap.
 """
 
 from __future__ import annotations
@@ -43,6 +50,12 @@ _STATE = StructType([
 
 
 def _make_update_fn(gap_us: int):
+    # dormant state (counter only, no open session) is kept for GC_FACTOR
+    # more gaps so session_seq stays monotone per user across a closed
+    # session; beyond that horizon state is removed and numbering restarts
+    # (bounded state requires forgetting eventually)
+    GC_FACTOR = 10
+
     def update(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -51,8 +64,17 @@ def _make_update_fn(gap_us: int):
 
         if state.hasTimedOut:
             seq, n, start, last = state.get
-            closed.append((user_id, seq, n, start, last))
-            state.remove()
+            if n > 0:
+                closed.append((user_id, seq, n, start, last))
+                # keep the counter dormant so the next session is seq+1;
+                # clamp past the current watermark (the timeout may fire
+                # long after last + gap if the stream idled)
+                state.update((seq, 0, None, last))
+                horizon_ms = (last + GC_FACTOR * gap_us) // 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1000))
+            else:
+                state.remove()
         else:
             seq, n, start, last = (
                 state.get if state.exists else (0, 0, None, None)
@@ -61,14 +83,20 @@ def _make_update_fn(gap_us: int):
                 pd.concat([p["ts"] for p in pdfs])
                 .astype("datetime64[us]").astype("int64").sort_values()
             )
-            for t in ts_us:
-                if start is None:          # very first session for this user
-                    seq, n, start, last = seq + 1, 1, int(t), int(t)
+            for t_ in ts_us:
+                t = int(t_)
+                if start is None:          # no open session: start seq+1
+                    seq, n, start, last = seq + 1, 1, t, t
+                elif t <= last:
+                    # late straggler (allowed when watermark > gap): count
+                    # it into the open session but never regress the
+                    # boundaries — keeps last monotone and end >= start
+                    n += 1
                 elif t - last > gap_us:    # gap observed in-stream: close
                     closed.append((user_id, seq, n, start, last))
-                    seq, n, start, last = seq + 1, 1, int(t), int(t)
+                    seq, n, start, last = seq + 1, 1, t, t
                 else:
-                    n, last = n + 1, int(t)
+                    n, last = n + 1, t
             state.update((seq, n, start, last))
             # close via timeout when the watermark passes last_seen + gap
             state.setTimeoutTimestamp((last + gap_us) // 1000)
