@@ -112,3 +112,29 @@ def test_ranked_cluster_members(spark):
     assert by_key["c"].rank_in_cluster == 1       # singleton cluster
     assert by_key["c"].rank == 0.0                # absent from the graph
     assert by_key["b"].rank > by_key["a"].rank
+
+
+def test_salting_bounds_hot_block_pairs(spark):
+    """A Zipfian hot blocking key is salted into shards: the pair count
+    stays O(n * max_block_size) instead of O(n^2), and no shard exceeds
+    the cap."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.blocking import candidate_pairs
+
+    n_hot = 1000
+    rows = [(f"e{i}", "hot", f"surface {i}") for i in range(n_hot)]
+    rows += [(f"c{i}", "cold", f"surface {i}") for i in range(5)]
+    blocked = spark.createDataFrame(
+        rows, "entity_key string, block_key string, surface string"
+    )
+    pairs = candidate_pairs(
+        blocked, key_col="block_key", id_col="entity_key", max_block_size=100
+    )
+    n_pairs = pairs.count()
+    # unsalted would be C(1000, 2) = 499500; salted: 10 shards of ~100
+    assert n_pairs < 3 * n_hot * 100 / 2 + 100, n_pairs
+    assert n_pairs > 0
+    # every cold-block pair survives (small blocks are untouched)
+    cold = pairs.filter(F.col("block_key") == "cold").count()
+    assert cold == 5 * 4 / 2

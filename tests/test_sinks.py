@@ -151,3 +151,32 @@ def test_run_lean_matches_run(spark):
         }
 
     assert canon(full) == canon(lean)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables co-bucketed on the join key join without any shuffle."""
+    import shutil
+
+    from textgraphs_spark.sources.tables import write_bucketed
+
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t),
+            ignore_errors=True,
+        )
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bk_a", "k", 8, sort_col="k")
+    write_bucketed(b, "bk_b", "k", 8, sort_col="k")
+    # force sort-merge (a broadcast join would trivially avoid the shuffle
+    # without exercising bucketing) and read the AQE-final plan post-run
+    joined = spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "k")
+    assert joined.count() == 1000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -31,3 +31,28 @@ def write_table(df: DataFrame, path_or_name: str, *, mode: str = "overwrite",
         writer.format("iceberg").save(path_or_name)
     else:
         writer.parquet(path_or_name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    *,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed on its join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO Exchange on either side — the scan itself satisfies the hash
+    distribution requirement. This is the pre-shuffle pattern for fact
+    tables that are joined repeatedly on one key at 100 TB: pay the
+    shuffle once at write time, never again at read time.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format(
+        "parquet" if TABLE_FORMAT != "iceberg" else "iceberg"
+    ).saveAsTable(table_name)
