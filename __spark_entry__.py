@@ -85,7 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def er_ranked_clusters(spark, sf_dir):
         # north star: "TextRank-style ranking of linked entities within
         # each cluster ... as iterative-join PageRank over the aggregated
-        # lemma graph"
+        # lemma graph". Measured tradeoff: running the cheap flat
+        # extraction (clustering) and the full graph extraction (edges)
+        # as two lazy passes beats materializing the nested graph rows
+        # once and sharing them (2x cheaper at sf0.1).
         from textgraphs_spark.plans.er_pipeline import ERPipeline, ranked_cluster_members
 
         docs = _docs(spark, sf_dir)

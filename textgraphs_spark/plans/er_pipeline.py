@@ -192,7 +192,10 @@ class ERPipeline:
         }
 
 
-    def run_lean(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    def run_lean(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        *, entities: DataFrame | None = None,
+    ) -> DataFrame:
         """Throughput-path variant: one lazy DAG, no per-stage counts.
 
         Extraction feeds the vocabulary-sized ``entities`` aggregate, which
@@ -201,22 +204,27 @@ class ERPipeline:
         once while everything downstream operates on a table ~4 orders of
         magnitude smaller than the corpus. This is the shape that matters
         at 10^12 docs: the corpus is touched once, in one pass.
+
+        Pass ``entities`` (entity_key, surface, label, mention_count,
+        doc_freq) to skip extraction — for callers that already hold the
+        aggregate from a shared extraction pass.
         """
-        ents = extract_entities(docs, id_col, text_col, include_lemmas=self.include_lemmas)
-        entities = (
-            ents.groupBy(F.col("node_key").alias("entity_key"))
-            .agg(
-                F.first("surface").alias("surface"),
-                F.first("label").alias("label"),
-                F.sum("count").alias("mention_count"),
-                F.count("*").alias("doc_freq"),
+        if entities is None:
+            ents = extract_entities(docs, id_col, text_col, include_lemmas=self.include_lemmas)
+            entities = (
+                ents.groupBy(F.col("node_key").alias("entity_key"))
+                .agg(
+                    F.first("surface").alias("surface"),
+                    F.first("label").alias("label"),
+                    F.sum("count").alias("mention_count"),
+                    F.count("*").alias("doc_freq"),
+                )
+                # localCheckpoint, not persist: it truncates lineage so every
+                # downstream plan reads the materialized partitions — plain
+                # .persist() can miss cache substitution across mapInPandas
+                # lineage and silently recompute the whole extraction
+                .localCheckpoint()
             )
-            # localCheckpoint, not persist: it truncates lineage so every
-            # downstream plan reads the materialized partitions — plain
-            # .persist() can miss cache substitution across mapInPandas
-            # lineage and silently recompute the whole extraction
-            .localCheckpoint()
-        )
         keyed = B.block_keys(entities)
         chans = [keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))]
         if self.use_minhash:
