@@ -19,6 +19,7 @@ the underlying (lemma, pos) pairs needed for invariant lemma keys
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from dataclasses import dataclass, field
 
 from . import lex
@@ -63,6 +64,7 @@ class Doc:
     sents: list[Sentence]
 
 
+@lru_cache(maxsize=65536)
 def _tag(word: str, sent_initial: bool) -> str:
     low = word.lower()
     if not word[0].isalnum():
@@ -101,9 +103,16 @@ def _tag(word: str, sent_initial: bool) -> str:
     return "NOUN"
 
 
+@lru_cache(maxsize=65536)
 def lemmatize(word: str, pos: str) -> str:
     """Rule-based lemma; always lowercase (keys lowercase anyway,
-    mirroring ``span.lemma_.strip().lower()`` in pipe.py:294)."""
+    mirroring ``span.lemma_.strip().lower()`` in pipe.py:294).
+
+    lru_cache: both functions are pure (word, arg) -> str and word
+    frequency is Zipfian in any real corpus, so the cache converts the
+    per-token rule cascade into a dict hit for the head of the
+    distribution. 64k entries x ~40 B is worker-negligible.
+    """
     low = word.lower()
     if low in lex.IRREGULAR_LEMMA:
         return lex.IRREGULAR_LEMMA[low]
