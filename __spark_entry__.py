@@ -102,6 +102,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_id", "rank_in_cluster"
         )
 
+    def er_incremental(spark, sf_dir):
+        # continuously-crawled-corpus path: cluster the first slice, fold
+        # the second slice in incrementally (only new-form pairs scored),
+        # return the merged clustering
+        import tempfile
+
+        from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        a = docs.limit(int(n * 2 / 3)).cache()
+        b = docs.subtract(a)
+        wd = tempfile.mkdtemp(prefix="er_incr_")
+        pipe = ERPipeline(spark, workdir=wd, include_lemmas=True)
+        pipe.run(a)
+        return cluster_summary(pipe.update(b))
+
     def corpus_pagerank(spark, sf_dir):
         from textgraphs_spark.operators.pagerank import pagerank
 
@@ -501,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_phrases": ranked_phrases,
         "er_clusters": er_clusters,
         "er_ranked_clusters": er_ranked_clusters,
+        "er_incremental": er_incremental,
         "corpus_pagerank": corpus_pagerank,
         "gor_affinity": gor_affinity,
         "dedup_exact": dedup_exact,

@@ -138,3 +138,36 @@ def test_salting_bounds_hot_block_pairs(spark):
     # every cold-block pair survives (small blocks are untouched)
     cold = pairs.filter(F.col("block_key") == "cold").count()
     assert cold == 5 * 4 / 2
+
+
+def test_incremental_update_matches_batch(spark, tmp_path):
+    """ERPipeline.update(new batch) == full batch run on A ∪ B.
+
+    (Exact equivalence holds while blocks stay under the salting caps —
+    resharding a block mid-stream changes which old-old pairs exist,
+    which is a different-but-valid clustering.)"""
+    pages = synth_pages(spark, 240)
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    a = docs.limit(160).cache()
+    b = docs.subtract(a).cache()
+    assert a.count() + b.count() == 240
+
+    wd = str(tmp_path / "incr")
+    pipe = ERPipeline(spark, workdir=wd)
+    pipe.run(a)
+    incr = pipe.update(b)
+
+    full = ERPipeline(spark).run_lean(docs)
+
+    def canon(df):
+        return {
+            tuple(sorted(r["members"]))
+            for r in df.groupBy("cluster_id").agg(
+                F.collect_set("entity_key").alias("members")
+            ).collect()
+        }
+
+    assert canon(incr) == canon(full)
+    # the refreshed workdir state is what a subsequent resume reads
+    stored = spark.read.parquet(f"{wd}/assignments")
+    assert canon(stored) == canon(full)

@@ -261,6 +261,117 @@ class ERPipeline:
         )
 
 
+    def update(self, new_docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+        """Incrementally fold a NEW batch of documents into an existing
+        clustering (the continuously-crawled-corpus path).
+
+        Only pairs touching a previously-unseen surface form are scored:
+        old-old pair decisions are fully encoded by the prior clustering
+        (match scores depend on surfaces alone, and the old assignment
+        rows double as edges — ``cluster_id`` is the min member hash, so
+        (xxhash64(key), cluster_id) lives in the same id space as new
+        match edges). Connected components over old-assignment edges +
+        new match edges then merges clusters transitively, so a new
+        bridging form can correctly fuse two old clusters.
+
+        Work scales with |new batch| + |vocabulary|, never |old corpus|.
+        Writes refreshed ``entities``/``assignments`` stages back to the
+        workdir and returns the new assignments.
+        """
+        import shutil
+
+        from ..operators.components import connected_components
+
+        assert self.workdir, "update() needs the workdir of a prior run()"
+        spark = self.spark
+        old_entities = spark.read.parquet(os.path.join(self.workdir, "entities"))
+        old_assign = spark.read.parquet(os.path.join(self.workdir, "assignments"))
+
+        new_ents = (
+            extract_entities(new_docs, id_col, text_col,
+                             include_lemmas=self.include_lemmas)
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(
+                F.first("surface").alias("surface"),
+                F.first("label").alias("label"),
+                F.sum("count").alias("mention_count"),
+                F.count("*").alias("doc_freq"),
+            )
+        )
+        merged = (
+            old_entities.unionByName(new_ents)
+            .groupBy("entity_key")
+            .agg(
+                F.first("surface").alias("surface"),
+                F.first("label").alias("label"),
+                F.sum("mention_count").alias("mention_count"),
+                F.sum("doc_freq").alias("doc_freq"),
+            )
+            .localCheckpoint()
+        )
+        fresh_keys = new_ents.join(old_entities, "entity_key", "left_anti") \
+            .select("entity_key").localCheckpoint()
+
+        keyed = B.block_keys(merged)
+        chans = [keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))]
+        if self.use_minhash:
+            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
+            chans.append(mh.select(
+                "entity_key", "surface",
+                F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+            ))
+        blocked = chans[0]
+        for c in chans[1:]:
+            blocked = blocked.unionByName(c)
+        pairs = B.candidate_pairs(
+            blocked, key_col="bkey", id_col="entity_key",
+            max_block_size=self.max_block_size,
+        )
+        # only pairs with at least one fresh key need scoring
+        fl = fresh_keys.select(F.col("entity_key").alias("left_id")) \
+            .withColumn("_fl", F.lit(True))
+        fr = fresh_keys.select(F.col("entity_key").alias("right_id")) \
+            .withColumn("_fr", F.lit(True))
+        touched = (
+            pairs.join(fl, "left_id", "left").join(fr, "right_id", "left")
+            .filter(F.col("_fl").isNotNull() | F.col("_fr").isNotNull())
+            .drop("_fl", "_fr")
+        )
+        n_score_parts = spark.sparkContext.defaultParallelism * 2
+        scores = S.score_pairs(touched.repartition(n_score_parts), lean=True)
+        new_edges = scores.filter(F.col("match")).select(
+            F.xxhash64("left_id").alias("src"), F.xxhash64("right_id").alias("dst")
+        )
+        old_edges = old_assign.select(
+            F.xxhash64("entity_key").alias("src"), F.col("cluster_id").alias("dst")
+        )
+        cc = connected_components(old_edges.unionByName(new_edges).localCheckpoint())
+        assignments = (
+            merged.withColumn("_id", F.xxhash64("entity_key"))
+            .join(cc, F.col("_id") == F.col("node"), "left")
+            .withColumn("cluster_id", F.coalesce("component", F.col("_id")))
+            .select("entity_key", "cluster_id", "surface", "label",
+                    "mention_count", "doc_freq")
+            .localCheckpoint()
+        )
+        # refresh the resumable state (overwrite, not append)
+        for stage, df in (("entities", merged), ("assignments", assignments)):
+            path = os.path.join(self.workdir, stage)
+            tmp = path + "._updating"
+            df.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(tmp, path)
+        self._lineage.append({
+            "stage": "update", "rows": assignments.count(),
+            "n_partitions": 0, "max_partition_rows": 0, "skew": 0.0,
+            "seconds": 0.0,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        self.write_lineage()
+        return assignments
+
+
 def ranked_cluster_members(
     assignments: DataFrame, lemma_edges: DataFrame, *, max_iter: int = 20
 ) -> DataFrame:
