@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of reading --input")
     ap.add_argument("--include-lemmas", action="store_true")
+    ap.add_argument("--update", action="store_true",
+                    help="treat the input as a NEW batch and fold it into "
+                         "the existing clustering in --workdir")
     ap.add_argument("--shuffle-partitions", type=int, default=0,
                     help="spark.sql.shuffle.partitions (0 = cluster default; "
                          "size to ~2-3x total executor cores at the target SF)")
@@ -65,10 +68,15 @@ def main() -> None:
         F.xxhash64(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
     pipe = ERPipeline(spark, workdir=args.workdir, include_lemmas=args.include_lemmas)
-    out = pipe.run(docs)
-    summary = cluster_summary(out["clusters"])
+    if args.update:
+        # incremental: fold this batch into the clustering already in the
+        # workdir (only pairs touching new surface forms are scored)
+        assignments = pipe.update(docs)
+    else:
+        assignments = pipe.run(docs)["clusters"]
+    summary = cluster_summary(assignments)
     summary.write.mode("overwrite").parquet(f"{args.workdir}/cluster_summary")
-    print(f"clusters: {out['clusters'].count()} entities; "
+    print(f"clusters: {assignments.count()} entities; "
           f"summary at {args.workdir}/cluster_summary")
 
 
