@@ -103,18 +103,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def er_incremental(spark, sf_dir):
-        # continuously-crawled-corpus path: cluster the first slice, fold
-        # the second slice in incrementally (only new-form pairs scored),
-        # return the merged clustering
+        # continuously-crawled-corpus path: cluster two thirds of the
+        # corpus, fold the rest in incrementally (only new-form pairs
+        # scored), return the merged clustering. Split by doc_id hash —
+        # deterministic and cache-independent, unlike an unordered limit()
+        import shutil
         import tempfile
 
         from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
 
         docs = _docs(spark, sf_dir)
-        n = docs.count()
-        a = docs.limit(int(n * 2 / 3)).cache()
-        b = docs.subtract(a)
-        wd = tempfile.mkdtemp(prefix="er_incr_")
+        part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        a = docs.filter(part < 2)
+        b = docs.filter(part == 2)
+        wd = os.path.join(tempfile.gettempdir(), "tgs_er_incremental")
+        shutil.rmtree(wd, ignore_errors=True)   # never resume a stale run
         pipe = ERPipeline(spark, workdir=wd, include_lemmas=True)
         pipe.run(a)
         return cluster_summary(pipe.update(b))

@@ -159,8 +159,8 @@ def main():
         # efficiency ratio in either direction (observed 0.80-1.12 from
         # single samples vs 0.90-0.94 from minima). Both levels execute
         # the IDENTICAL physical job (fixed partitioning).
-        reps_lo = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_LOW", "2"))
-        reps_hi = int(os.environ.get("SPARK_GRAFT_SCALE_REPS_HIGH", "3"))
+        reps_lo = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS_LOW", "2")))
+        reps_hi = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS_HIGH", "3")))
         # both levels measured at the SAME total core occupancy (see
         # er_scaling_run): occupancy-equalized + min-of-N is the estimator
         # that transfers to a real cluster, where nodes always run in the

@@ -174,9 +174,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     write_bucketed(a, "bk_a", "k", 8, sort_col="k")
     write_bucketed(b, "bk_b", "k", 8, sort_col="k")
     # force sort-merge (a broadcast join would trivially avoid the shuffle
-    # without exercising bucketing) and read the AQE-final plan post-run
+    # without exercising bucketing); collect() executes THIS Dataset's own
+    # QueryExecution, so executedPlan afterwards is the AQE-final plan —
+    # count() would build and run a different (aggregated) plan
     joined = spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "k")
-    assert joined.count() == 1000
+    assert len(joined.collect()) == 1000
     plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan

@@ -109,16 +109,48 @@ class ERPipeline:
         return self.spark.createDataFrame(self._metrics)
 
     def write_lineage(self) -> None:
+        """Append accumulated lineage/metrics rows to the workdir tables,
+        then DRAIN the in-memory lists — a later phase on the same
+        instance (e.g. update() after run()) must not re-append them."""
         if self.workdir and self._lineage:
             self.lineage_df().write.mode("append").parquet(
                 os.path.join(self.workdir, "lineage")
             )
+            self._lineage = []
         if self.workdir and self._metrics:
             self.metrics_df().write.mode("append").parquet(
                 os.path.join(self.workdir, "metrics")
             )
+            self._metrics = []
 
     # -- stages ------------------------------------------------------------
+    def _blocking_pairs(self, entities: DataFrame) -> DataFrame:
+        """entities → candidate pairs via every blocking channel.
+
+        The ONE definition of the blocking strategy — run(), run_lean(),
+        and update() all call this, so the incremental path can never
+        silently diverge from the batch path.
+        """
+        keyed = B.block_keys(entities)
+        chans = [
+            keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
+        ]
+        if self.use_minhash:
+            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
+            chans.append(
+                mh.select(
+                    "entity_key", "surface",
+                    F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+                )
+            )
+        blocked = chans[0]
+        for c in chans[1:]:
+            blocked = blocked.unionByName(c)
+        return B.candidate_pairs(
+            blocked, key_col="bkey", id_col="entity_key",
+            max_block_size=self.max_block_size,
+        )
+
     def run(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> dict[str, DataFrame]:
         extracted = self._stage("extracted", lambda: extract_graphs(docs, id_col, text_col))
         mentions = mentions_table(extracted)
@@ -140,28 +172,7 @@ class ERPipeline:
             )
         ))
 
-        def build_pairs() -> DataFrame:
-            keyed = B.block_keys(entities)
-            chans = [
-                keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
-            ]
-            if self.use_minhash:
-                mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
-                chans.append(
-                    mh.select(
-                        "entity_key", "surface",
-                        F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
-                    )
-                )
-            blocked = chans[0]
-            for c in chans[1:]:
-                blocked = blocked.unionByName(c)
-            return B.candidate_pairs(
-                blocked, key_col="bkey", id_col="entity_key",
-                max_block_size=self.max_block_size,
-            )
-
-        pairs = self._stage("pairs", build_pairs)
+        pairs = self._stage("pairs", lambda: self._blocking_pairs(entities))
 
         n_score_parts = self.spark.sparkContext.defaultParallelism * 2
         scores = self._stage(
@@ -225,23 +236,7 @@ class ERPipeline:
                 # lineage and silently recompute the whole extraction
                 .localCheckpoint()
             )
-        keyed = B.block_keys(entities)
-        chans = [keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))]
-        if self.use_minhash:
-            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
-            chans.append(
-                mh.select(
-                    "entity_key", "surface",
-                    F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
-                )
-            )
-        blocked = chans[0]
-        for c in chans[1:]:
-            blocked = blocked.unionByName(c)
-        pairs = B.candidate_pairs(
-            blocked, key_col="bkey", id_col="entity_key",
-            max_block_size=self.max_block_size,
-        )
+        pairs = self._blocking_pairs(entities)
         # respread before the scoring UDF: AQE coalesces shuffles by BYTE
         # size, but a Python-UDF stage is compute-bound per ROW — a few MB
         # of pairs is minutes of scoring, and a byte-coalesced single
@@ -279,11 +274,10 @@ class ERPipeline:
         Writes refreshed ``entities``/``assignments`` stages back to the
         workdir and returns the new assignments.
         """
-        import shutil
-
         from ..operators.components import connected_components
 
         assert self.workdir, "update() needs the workdir of a prior run()"
+        t0 = time.time()
         spark = self.spark
         old_entities = spark.read.parquet(os.path.join(self.workdir, "entities"))
         old_assign = spark.read.parquet(os.path.join(self.workdir, "assignments"))
@@ -313,21 +307,7 @@ class ERPipeline:
         fresh_keys = new_ents.join(old_entities, "entity_key", "left_anti") \
             .select("entity_key").localCheckpoint()
 
-        keyed = B.block_keys(merged)
-        chans = [keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))]
-        if self.use_minhash:
-            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
-            chans.append(mh.select(
-                "entity_key", "surface",
-                F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
-            ))
-        blocked = chans[0]
-        for c in chans[1:]:
-            blocked = blocked.unionByName(c)
-        pairs = B.candidate_pairs(
-            blocked, key_col="bkey", id_col="entity_key",
-            max_block_size=self.max_block_size,
-        )
+        pairs = self._blocking_pairs(merged)
         # only pairs with at least one fresh key need scoring
         fl = fresh_keys.select(F.col("entity_key").alias("left_id")) \
             .withColumn("_fl", F.lit(True))
@@ -355,18 +335,33 @@ class ERPipeline:
                     "mention_count", "doc_freq")
             .localCheckpoint()
         )
-        # refresh the resumable state (overwrite, not append)
+        # refresh the resumable state. Direct overwrite is safe — both
+        # DataFrames are localCheckpoint'ed above, so their lineage no
+        # longer reads the paths being replaced — and it works on any
+        # Hadoop filesystem (hdfs://, s3a://), unlike driver-local
+        # rmtree/rename.
         for stage, df in (("entities", merged), ("assignments", assignments)):
-            path = os.path.join(self.workdir, stage)
-            tmp = path + "._updating"
-            df.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path, ignore_errors=True)
-            os.rename(tmp, path)
+            df.write.mode("overwrite").parquet(os.path.join(self.workdir, stage))
+        part_rows = (
+            assignments.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        n = sum(r.rows for r in part_rows)
+        n_parts = max(len(part_rows), 1)
+        max_rows = max((r.rows for r in part_rows), default=0)
+        ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        self._metrics.extend(
+            {"stage": "update", "partition_id": r.partition_id, "rows": r.rows, "ts": ts}
+            for r in part_rows
+        )
         self._lineage.append({
-            "stage": "update", "rows": assignments.count(),
-            "n_partitions": 0, "max_partition_rows": 0, "skew": 0.0,
-            "seconds": 0.0,
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "stage": "update", "rows": n,
+            "n_partitions": n_parts,
+            "max_partition_rows": max_rows,
+            "skew": round(max_rows * n_parts / n, 3) if n else 0.0,
+            "seconds": round(time.time() - t0, 3),
+            "ts": ts,
         })
         self.write_lineage()
         return assignments

@@ -49,10 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        # keep catalog artifacts (bucketed saveAsTable) out of the repo cwd
+        # keep catalog artifacts (bucketed saveAsTable) out of the repo cwd;
+        # per-uid path so concurrent users/checkouts don't race on tables
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/tgs_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/tgs_warehouse_{os.getuid()}"
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -50,9 +50,19 @@ def write_bucketed(
     tables that are joined repeatedly on one key at 100 TB: pay the
     shuffle once at write time, never again at read time.
     """
+    if TABLE_FORMAT == "iceberg":
+        # v1 bucketBy would map to an Iceberg bucket TRANSFORM (different
+        # hash function, no reported hash distribution), so the join
+        # would still shuffle; Iceberg's shuffle-free path is a
+        # storage-partitioned join, which needs catalog + SPJ session
+        # configs this seam does not manage. Refuse loudly rather than
+        # silently losing the property this function promises.
+        raise NotImplementedError(
+            "write_bucketed guarantees a shuffle-free co-located join only "
+            "for the parquet/Hive bucketing format; for Iceberg use a "
+            "bucket partition transform + storage-partitioned-join configs"
+        )
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
-    writer.format(
-        "parquet" if TABLE_FORMAT != "iceberg" else "iceberg"
-    ).saveAsTable(table_name)
+    writer.format("parquet").saveAsTable(table_name)

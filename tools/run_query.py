@@ -37,7 +37,9 @@ def main() -> None:
     from textgraphs_spark.session import get_spark
 
     spark = get_spark(app_name=f"query_{args.query}")
-    df = qs[args.query](spark, args.sf_dir)
+    # materialize once: show() + count() would otherwise each re-run the
+    # whole plan (minutes of extraction for the heavy queries)
+    df = qs[args.query](spark, args.sf_dir).localCheckpoint()
     df.show(args.limit, truncate=False)
     print(f"({df.count()} rows total)")
 
