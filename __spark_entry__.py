@@ -583,7 +583,52 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     gor_sql = affinity_oracle_sql(gor_triples).rstrip().rstrip(";")
     gor_sql = f"SELECT rel_a, rel_b, round(affinity, 6) AS affinity FROM ({gor_sql})"
 
+    # simhash is md5-based, so DuckDB can reproduce the fingerprints
+    # bit-for-bit: same top-60-bits-of-md5 token hash, same signed sums
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN w ELSE -w END) AS b{b}"
+        for b in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    simhash_sql = f"""
+WITH tok AS (
+  SELECT doc_id, t.tok, count(*) AS w
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h, w FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {fp_terms} AS simhash
+FROM bits
+"""
+
+    simhash_pairs_sql = f"""
+WITH bits_src AS ({simhash_sql}),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bits_src a JOIN bits_src b ON a.doc_id < b.doc_id
+  WHERE ((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
+     OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+     OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+)
+SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
+"""
+
     return {
+        "simhash_fingerprints": simhash_sql,
+        "dedup_simhash": simhash_pairs_sql,
         "gor_affinity": gor_sql,
         "dedup_exact": """
 SELECT doc_id,
