@@ -132,3 +132,43 @@ def test_stream_sessionize_late_event_no_regression(spark, tmp_path):
         assert r.end_us >= r.start_us
     first = next(r for r in rows if r.session_seq == 1)
     assert first.n_events == 2     # 12:00 + the late 11:30 straggler
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions from the stream == batch sessionize on the same
+    events (for every session the watermark has passed)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.analytics import session_stats
+
+    rng = random.Random(23)
+    rows = [
+        (u, T0 + timedelta(minutes=rng.randint(0, 300)))
+        for u in range(1, 5) for _ in range(12)
+    ]
+    src = str(tmp_path / "eq")
+    _write(spark, src, rows)
+    time.sleep(1.1)
+    flush = [(99, T0 + timedelta(days=2))]   # advances the watermark
+    _write(spark, src, flush)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1) \
+        .select("user_id", "ts")
+    out = stream_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+    run_available_now(out, checkpoint=str(tmp_path / "eqck"), table_name="eq_out")
+    streamed = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM eq_out").collect()
+    }
+
+    ev = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    batch = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert streamed == batch
