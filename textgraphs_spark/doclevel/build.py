@@ -52,13 +52,12 @@ class DocEdge:
 class DocGraph:
     nodes: dict[str, DocNode]    # insertion-ordered, keyed by lemma key
     edges: dict[str, DocEdge]
-    tokens: list[DocNode]        # per-token node refs in sequence
 
 
 def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_classes: bool = True) -> DocGraph:
     """Parse ``text`` and collect its lemma-graph elements."""
     doc: Doc = parse_doc(text)
-    g = DocGraph(nodes={}, edges={}, tokens=[])
+    g = DocGraph(nodes={}, edges={})
 
     def make_node(key: str, surface: str, pos: str, kind: str, sent_id: int,
                   token_id: int, *, label: str | None = None, length: int = 1,
@@ -79,8 +78,6 @@ def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_class
                 label=label, length=length, count=1, loc=[location],
             )
             g.nodes[key] = node
-        if kind not in ("chu", "iri"):
-            g.tokens.append(node)
         return node
 
     def make_edge(src: DocNode, dst: DocNode, kind: str, rel: str, prob: float) -> None:
@@ -119,7 +116,13 @@ def build_doc_graph(text: str, *, text_id: int = 0, para_id: int = 0, link_class
             sent_nodes.append(node)
 
         for tok, node in zip(sent.tokens, sent_nodes):
-            # remap NER label to a class IRI and link it (doc.py:427-438)
+            # remap NER label to a class IRI and link it (doc.py:427-438).
+            # Deliberately fires only on the FIRST mention: the reference's
+            # remap_ner(<already-an-IRI>) returns None on re-mention
+            # (kg.py remap_ner + doc.py:431-438), so its class-node count
+            # stays 1 per entity — parity over per-mention counting. (We
+            # additionally keep the IRI label instead of the reference's
+            # label=None side effect on re-mention.)
             if node.kind == "ent" and link_classes:
                 iri = lex.NER_MAP.get(node.label or "", (None,))[0] if node.label else None
                 if iri is not None:
@@ -178,4 +181,7 @@ def _make_class_link(g: DocGraph, node: DocNode, make_edge) -> None:
         )
         g.nodes[iri] = dst
     node.annotated = True
+    # prob = node.weight is 0.0 here because ranking runs after the build —
+    # the reference does exactly the same (doc.py:295 passes node.weight
+    # before calc_phrase_ranks has run); kept for parity
     make_edge(node, dst, "iri", lex.RDF_TYPE, node.weight)

@@ -34,7 +34,6 @@ def pagerank(
     """Weighted directed PageRank over ``n`` nodes; parallel edges sum."""
     if n == 0:
         return np.zeros(0)
-    w = np.zeros((0,))
     src = np.array([e[0] for e in edges], dtype=np.int64)
     dst = np.array([e[1] for e in edges], dtype=np.int64)
     w = np.array([e[2] for e in edges], dtype=np.float64)

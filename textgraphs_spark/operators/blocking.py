@@ -118,6 +118,13 @@ def band_keys_from_signatures(
     separator) that the dedup prefilter's rows-per-band assumption relies
     on lives in exactly one place.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        # bands > num_hashes would give rows=0 (every row collapses into
+        # one universal '' bucket); a non-divisor silently drops trailing
+        # signature positions — both are config errors, not degradations
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     band_structs = F.array(*[
         F.struct(
@@ -176,28 +183,32 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     preserved by the exact-key channel (identical forms already share a
     lemma key upstream).
     """
-    from pyspark.sql.window import Window
-
-    # window count over the block key: ONE shuffle (which the pair
-    # self-join needs on this key anyway), no second aggregation plan and
-    # no broadcast round-trip
-    w = Window.partitionBy(key_col)
-    return (
-        df.withColumn("_block_n", F.count("*").over(w))
-        .filter(F.col("_block_n") > 1)  # singletons can't form pairs
+    # sizes via groupBy (partial aggregation absorbs the hot key — a
+    # Window.partitionBy(key) would funnel the entire hot block through
+    # ONE window task, the exact straggler salting exists to remove),
+    # then broadcast only the tiny oversized-key set back. Rows of
+    # ordinary blocks never shuffle here at all; singletons pass through
+    # and simply produce no pairs in the self-join.
+    oversized = (
+        df.groupBy(key_col).agg(F.count("*").alias("_block_n"))
+        .filter(F.col("_block_n") > max_block_size)
         .withColumn(
             "_n_shards",
             F.ceil(F.col("_block_n") / F.lit(max_block_size)).cast("int"),
         )
+        .select(key_col, "_n_shards")
+    )
+    return (
+        df.join(F.broadcast(oversized), key_col, "left")
         .withColumn(
             "salted_key",
             F.when(
-                F.col("_n_shards") <= 1, F.col(key_col)
+                F.col("_n_shards").isNull(), F.col(key_col)
             ).otherwise(
                 F.concat_ws("#", key_col, F.pmod(F.xxhash64(id_col), F.col("_n_shards")).cast("string"))
             ),
         )
-        .drop("_block_n", "_n_shards")
+        .drop("_n_shards")
     )
 
 

@@ -117,6 +117,7 @@ def connected_components(
     if small_graph_threshold and e.count() <= small_graph_threshold:
         return _driver_union_find(e.sparkSession, e)
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig_row = e.agg(
@@ -125,8 +126,17 @@ def connected_components(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the star-forest extraction below is only valid at the fixpoint;
+        # returning anyway could silently assign one node to two components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (rounds needed is "
+            "O(log n) in the largest component)"
+        )
     # star forest: every remaining edge is (member, root)
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

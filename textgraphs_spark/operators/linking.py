@@ -53,7 +53,13 @@ def link_entities(
     """entities ⟗ broadcast(catalog) on normalized surface → links table
     (entity_key, iri, namespace, prob). Probability gate mirrors the
     reference's alias threshold (kg.py:530-550, 903-912)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(surface_col), r"[^A-Za-z ]", "")))
+    # collapse whitespace runs so 'New   York' matches the single-spaced
+    # catalog surface_norm (blocking's normalize_names is immune because
+    # it splits on ' +'; without this the two channels disagree on
+    # surface equality)
+    norm = F.lower(F.trim(F.regexp_replace(
+        F.regexp_replace(F.col(surface_col), r"[^A-Za-z ]", ""), r" +", " "
+    )))
     return (
         entities.withColumn("_norm", norm)
         .join(F.broadcast(catalog), F.col("_norm") == F.col("surface_norm"))
@@ -79,12 +85,17 @@ def sameas_edges(links: DataFrame) -> DataFrame:
 def iri_match_edges(links: DataFrame) -> DataFrame:
     """Entities linked to the SAME IRI are the same entity — the match-edge
     generator equivalent of the reference collapsing mentions into one IRI
-    node (kg.py:1021-1035)."""
-    a = links.select("iri", F.col("entity_key").alias("left_id"))
-    b = links.select("iri", F.col("entity_key").alias("right_id"))
+    node (kg.py:1021-1035).
+
+    Emits a spanning STAR per IRI (hub = min entity_key), not the O(k²)
+    clique: connected components produces identical clusters from either,
+    and a popular IRI with 10⁴ linked keys would otherwise blow up to
+    ~5·10⁷ pair rows of pure wasted shuffle.
+    """
+    hubs = links.groupBy("iri").agg(F.min("entity_key").alias("left_id"))
     return (
-        a.join(b, "iri")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
+        links.join(hubs, "iri")
+        .filter(F.col("entity_key") != F.col("left_id"))
+        .select("left_id", F.col("entity_key").alias("right_id"))
         .distinct()
     )
