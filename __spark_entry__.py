@@ -360,6 +360,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("stripe")
         )
 
+    def events_distinct_sketch(spark, sf_dir):
+        # mergeable-HLL daily sketches; estimate vs exact per day. At the
+        # testdata cardinality the estimate is exact, so this is
+        # value-checked against DuckDB's plain count(DISTINCT)
+        from textgraphs_spark.operators.sketches import daily_distinct_sketches
+
+        return (
+            daily_distinct_sketches(_t(spark, sf_dir, "events"))
+            .select("day", "n_events", F.col("distinct_est").cast("long").alias("distinct_users"))
+            .orderBy("day")
+        )
+
     def events_sessionize(spark, sf_dir):
         from textgraphs_spark.operators.analytics import session_stats
 
@@ -549,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": events_value_percentiles,
         "events_type_pivot": events_type_pivot,
         "users_click_no_purchase": users_click_no_purchase,
+        "events_distinct_sketch": events_distinct_sketch,
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
         "events_value_buckets": events_value_buckets,
@@ -845,6 +858,12 @@ SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
 ORDER BY user_id
+""",
+        "events_distinct_sketch": """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY 1 ORDER BY 1
 """,
         "events_sessionize": """
 WITH w AS (

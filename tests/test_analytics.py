@@ -197,3 +197,24 @@ def test_minhash_single_band_skips_prefilter(spark):
         docs, num_hashes=16, bands=1, threshold=0.9
     ).collect()
     assert [(r.left_id, r.right_id) for r in out] == [(1, 2)]
+
+
+def test_hll_sketch_rollup(spark):
+    from textgraphs_spark.operators.sketches import (
+        daily_distinct_sketches, rollup_distinct,
+    )
+
+    rows = [
+        (u, datetime(2024, 1, 1 + d, 12, 0))
+        for d in range(5) for u in range(1, 40 + d)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    daily = daily_distinct_sketches(ev)
+    by_day = {str(r.day): r.distinct_est for r in daily.collect()}
+    assert by_day["2024-01-01"] == 39          # exact at this cardinality
+    assert by_day["2024-01-05"] == 43
+    [total] = rollup_distinct(daily).collect()
+    # union of sketches counts each user once across days
+    assert total.distinct_est == 43
+    assert total.n_days == 5
+    assert total.n_events == len(rows)
