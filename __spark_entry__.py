@@ -360,6 +360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("stripe")
         )
 
+    def documents_quality_gate(spark, sf_dir):
+        from textgraphs_spark.operators.quality_gate import document_rules, violation_counts
+
+        return violation_counts(_docs(spark, sf_dir), document_rules())
+
     def events_distinct_sketch(spark, sf_dir):
         # mergeable-HLL daily sketches; estimate vs exact per day. At the
         # testdata cardinality the estimate is exact, so this is
@@ -561,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": events_value_percentiles,
         "events_type_pivot": events_type_pivot,
         "users_click_no_purchase": users_click_no_purchase,
+        "documents_quality_gate": documents_quality_gate,
         "events_distinct_sketch": events_distinct_sketch,
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
@@ -858,6 +864,14 @@ SELECT user_id FROM events WHERE event_type = 'view'
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
 ORDER BY user_id
+""",
+        "documents_quality_gate": """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN coalesce(text IS NULL, TRUE) THEN 1 ELSE 0 END) AS null_text,
+       sum(CASE WHEN coalesce(length(coalesce(text, '')) = 0, TRUE) THEN 1 ELSE 0 END) AS empty_text,
+       sum(CASE WHEN coalesce(NOT regexp_matches(coalesce(lang, ''), '^[a-z]{2,3}$'), TRUE) THEN 1 ELSE 0 END) AS bad_lang,
+       sum(CASE WHEN coalesce(length(text) > 1000000, TRUE) THEN 1 ELSE 0 END) AS text_too_long
+FROM documents
 """,
         "events_distinct_sketch": """
 SELECT CAST(ts AS DATE) AS day,

@@ -218,3 +218,28 @@ def test_hll_sketch_rollup(spark):
     assert total.distinct_est == 43
     assert total.n_days == 5
     assert total.n_events == len(rows)
+
+
+def test_quality_gate(spark):
+    import pytest
+
+    from textgraphs_spark.operators.quality_gate import (
+        document_rules, gate, violation_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fine text", "en"), (2, None, "en"), (3, "", "XX"), (4, "ok", None)],
+        "doc_id long, text string, lang string",
+    )
+    [row] = violation_counts(docs, document_rules()).collect()
+    assert row.n_rows == 4
+    assert row.null_text == 1
+    assert row.empty_text == 2      # NULL text counts as empty too (coalesce)
+    assert row.bad_lang == 2        # 'XX' fails the pattern; NULL lang fails
+    assert row.text_too_long == 1   # NULL length -> unknown -> violation
+
+    with pytest.raises(ValueError, match="quality gate failed"):
+        gate(docs, document_rules())
+    clean = docs.filter("doc_id = 1")
+    ok = gate(clean, document_rules())
+    assert ok["n_rows"] == 1
