@@ -382,6 +382,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return session_stats(_t(spark, sf_dir, "events"))
 
+    def events_session_window(spark, sf_dir):
+        # Spark's BUILT-IN gap-based session window (same sessions as the
+        # lag+cumsum sessionize operator; window end = last event + gap)
+        ev = _t(spark, sf_dir, "events")
+        w = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+        return (
+            ev.groupBy("user_id", w.alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+                F.unix_micros(F.col("w.end").cast("timestamp")).alias("end_us"),
+                "n_events",
+            )
+            .orderBy("user_id", "start_us")
+        )
+
     def events_asof_attribution(spark, sf_dir):
         from textgraphs_spark.operators.analytics import asof_join
 
@@ -569,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_quality_gate": documents_quality_gate,
         "events_distinct_sketch": events_distinct_sketch,
         "events_sessionize": events_sessionize,
+        "events_session_window": events_session_window,
         "events_asof_attribution": events_asof_attribution,
         "events_value_buckets": events_value_buckets,
         "region_nation_rollup": region_nation_rollup,
@@ -904,6 +922,31 @@ SELECT user_id, session_seq,
        max(epoch_us(ts)) AS end_us,
        round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 4) AS duration_s
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+        "events_session_window": """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM w
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) + 30 * 60 * 1000000 AS end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_us
 """,
         "events_asof_attribution": """
 SELECT c.event_id AS click_id, c.user_id,
