@@ -171,3 +171,12 @@ def test_incremental_update_matches_batch(spark, tmp_path):
     # the refreshed workdir state is what a subsequent resume reads
     stored = spark.read.parquet(f"{wd}/assignments")
     assert canon(stored) == canon(full)
+
+
+def test_update_without_prior_run_fails_cleanly(spark, tmp_path):
+    import pytest
+
+    pipe = ERPipeline(spark, workdir=str(tmp_path / "never_ran"))
+    docs = spark.createDataFrame([(1, "Werner Herzog.")], ["doc_id", "text"])
+    with pytest.raises(FileNotFoundError, match="run\\(\\) must finish once"):
+        pipe.update(docs)

@@ -279,6 +279,14 @@ class ERPipeline:
         assert self.workdir, "update() needs the workdir of a prior run()"
         t0 = time.time()
         spark = self.spark
+        if "://" not in self.workdir:  # driver-local check; DFS paths get
+            for stage in ("entities", "assignments"):  # Spark's own error
+                if not os.path.exists(os.path.join(self.workdir, stage, "_SUCCESS")):
+                    raise FileNotFoundError(
+                        f"update() found no completed '{stage}' stage under "
+                        f"{self.workdir} — run() must finish once before "
+                        "incremental updates"
+                    )
         old_entities = spark.read.parquet(os.path.join(self.workdir, "entities"))
         old_assign = spark.read.parquet(os.path.join(self.workdir, "assignments"))
 
