@@ -106,7 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # continuously-crawled-corpus path: cluster two thirds of the
         # corpus, fold the rest in incrementally (only new-form pairs
         # scored), return the merged clustering. Split by doc_id hash —
-        # deterministic and cache-independent, unlike an unordered limit()
+        # deterministic and cache-independent, unlike an unordered limit().
+        # mkdtemp: a unique workdir per invocation so concurrent harness/
+        # bench runs can never race on each other's checkpoints
         import shutil
         import tempfile
 
@@ -116,11 +118,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
         a = docs.filter(part < 2)
         b = docs.filter(part == 2)
-        wd = os.path.join(tempfile.gettempdir(), "tgs_er_incremental")
-        shutil.rmtree(wd, ignore_errors=True)   # never resume a stale run
-        pipe = ERPipeline(spark, workdir=wd, include_lemmas=True)
-        pipe.run(a)
-        return cluster_summary(pipe.update(b))
+        wd = tempfile.mkdtemp(prefix="tgs_er_incremental_")
+        try:
+            pipe = ERPipeline(spark, workdir=wd, include_lemmas=True)
+            pipe.run(a)
+            # materialize before the workdir disappears
+            out = cluster_summary(pipe.update(b)).localCheckpoint()
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+        return out
 
     def corpus_pagerank(spark, sf_dir):
         from textgraphs_spark.operators.pagerank import pagerank
@@ -171,8 +177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_exact_groups(spark, sf_dir):
+        # doc_ids flattened to a pipe-joined string: the driver's
+        # canonicalizer cannot hash array cells (library API keeps the array)
         return D.exact_duplicates(_docs(spark, sf_dir)).select(
-            "text_hash", "n_docs", "keep_id", "doc_ids"
+            "text_hash", "n_docs", "keep_id",
+            F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), "|").alias("doc_ids"),
         )
 
     def dedup_ngram_jaccard(spark, sf_dir):
@@ -543,10 +552,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_entities(ents, catalog).orderBy("entity_key", "iri")
 
     def multimodal_features(spark, sf_dir):
+        # feature vector flattened to comma-joined micro-units (x*1e6 as
+        # long): exact integers on both engines, scalar for the driver's
+        # canonicalizer (library API keeps array<float>)
         from textgraphs_spark.operators.multimodal import extract_features, synth_media
 
         media = synth_media(spark, 200)
-        return extract_features(media).orderBy("media_id")
+        return extract_features(media).select(
+            "media_id", "n_bytes", "byte_hash",
+            F.array_join(
+                F.transform(
+                    F.col("feature").cast("array<double>"),
+                    lambda x: F.round(x * 1000000).cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("feature"),
+        ).orderBy("media_id")
 
     return {
         "extract_mentions": extract_mentions,
@@ -678,7 +699,7 @@ FROM documents
 SELECT md5(text) AS text_hash,
        count(*) AS n_docs,
        min(doc_id) AS keep_id,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), '|') AS doc_ids
 FROM documents
 GROUP BY 1 HAVING count(*) > 1
 """,
@@ -885,10 +906,10 @@ ORDER BY user_id
 """,
         "documents_quality_gate": """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN coalesce(text IS NULL, TRUE) THEN 1 ELSE 0 END) AS null_text,
-       sum(CASE WHEN coalesce(length(coalesce(text, '')) = 0, TRUE) THEN 1 ELSE 0 END) AS empty_text,
-       sum(CASE WHEN coalesce(NOT regexp_matches(coalesce(lang, ''), '^[a-z]{2,3}$'), TRUE) THEN 1 ELSE 0 END) AS bad_lang,
-       sum(CASE WHEN coalesce(length(text) > 1000000, TRUE) THEN 1 ELSE 0 END) AS text_too_long
+       CAST(coalesce(sum(CASE WHEN coalesce(text IS NULL, TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_text,
+       CAST(coalesce(sum(CASE WHEN coalesce(length(coalesce(text, '')) = 0, TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS empty_text,
+       CAST(coalesce(sum(CASE WHEN coalesce(NOT regexp_matches(coalesce(lang, ''), '^[a-z]{2,3}$'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_lang,
+       CAST(coalesce(sum(CASE WHEN coalesce(length(text) > 1000000, TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS text_too_long
 FROM documents
 """,
         "events_distinct_sketch": """
@@ -916,11 +937,11 @@ s AS (
                            ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM f
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events,
        min(epoch_us(ts)) AS start_us,
        max(epoch_us(ts)) AS end_us,
-       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 4) AS duration_s
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """,
         "events_session_window": """

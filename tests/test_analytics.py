@@ -30,7 +30,7 @@ def test_sessionize_gap_splits(spark):
     by_key = {(r.user_id, r.session_seq): r for r in stats}
     assert by_key[(1, 1)].n_events == 2
     assert by_key[(1, 2)].n_events == 2
-    assert by_key[(1, 2)].duration_s == 300.0
+    assert by_key[(1, 2)].duration_us == 300_000_000
     assert by_key[(2, 1)].n_events == 1
 
 

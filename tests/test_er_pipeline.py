@@ -85,7 +85,8 @@ def test_cluster_summary_shape(er_result):
     summary = cluster_summary(er_result["clusters"])
     top = summary.first()
     assert top["n_mentions"] >= top["max_mentions"]
-    assert len(top["members"]) == top["n_forms"]
+    # members is a pipe-joined sorted string (canonicalizer-safe scalar)
+    assert len(top["members"].split("|")) == top["n_forms"]
 
 
 def test_ranked_cluster_members(spark):

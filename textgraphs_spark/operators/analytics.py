@@ -73,10 +73,10 @@ def session_stats(
             F.min(ts_us).alias("start_us"),
             F.max(ts_us).alias("end_us"),
         )
-        .withColumn(
-            "duration_s",
-            F.round((F.col("end_us") - F.col("start_us")) / 1_000_000.0, 4),
-        )
+        # exact integer micros, not round(double, 4): a duration landing on
+        # a .xxxx5 double boundary rounds differently across engines, and
+        # the exact value is strictly more information anyway
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
         .orderBy(user_col, "session_seq")
     )
 
@@ -103,6 +103,10 @@ def asof_join(
     r_ts_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     l_ts_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
 
+    # right rows whose timestamp casts to NULL would sort nulls-first and
+    # become a bogus "match" for left rows that should be unmatched —
+    # as-of semantics only defines matches for timestamped right rows
+    right = right.filter(F.col(right_ts).cast("timestamp").isNotNull())
     r = right.select(
         F.col(key).alias("__k"),
         r_ts_us.alias("__ts_us"),

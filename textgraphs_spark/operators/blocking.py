@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 # normalized name parts: strip punctuation, lowercase
 _NORM = "lower(regexp_replace(surface, '[^A-Za-z ]', ''))"
 
+# above this many oversized keys, salting joins by shuffle instead of
+# broadcast (~1M keys x ~40 B ≈ 40 MB — comfortably under driver/executor
+# memory; beyond it the broadcast itself becomes the skew risk)
+_MAX_BROADCAST_KEYS = 1_000_000
+
 
 def normalize_names(entities: DataFrame) -> DataFrame:
     """Add norm / first_tok / last_tok / first_init columns."""
@@ -186,9 +191,9 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     # sizes via groupBy (partial aggregation absorbs the hot key — a
     # Window.partitionBy(key) would funnel the entire hot block through
     # ONE window task, the exact straggler salting exists to remove),
-    # then broadcast only the tiny oversized-key set back. Rows of
-    # ordinary blocks never shuffle here at all; singletons pass through
-    # and simply produce no pairs in the self-join.
+    # then broadcast only the oversized-key set back. Rows of ordinary
+    # blocks never shuffle here at all; singletons pass through and
+    # simply produce no pairs in the self-join.
     oversized = (
         df.groupBy(key_col).agg(F.count("*").alias("_block_n"))
         .filter(F.col("_block_n") > max_block_size)
@@ -197,9 +202,17 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
             F.ceil(F.col("_block_n") / F.lit(max_block_size)).cast("int"),
         )
         .select(key_col, "_n_shards")
+        .localCheckpoint()  # counted below, then joined — compute once
     )
+    # the oversized-key set is usually tiny (Zipf head), but on a
+    # low-entropy corpus it is bounded only by |rows|/max_block_size —
+    # force-broadcasting millions of keys would OOM the driver. Guard:
+    # broadcast only below a row threshold; above it, fall back to a
+    # shuffle join (AQE's skew-join splitting is the backstop there).
+    if oversized.count() <= _MAX_BROADCAST_KEYS:
+        oversized = F.broadcast(oversized)
     return (
-        df.join(F.broadcast(oversized), key_col, "left")
+        df.join(oversized, key_col, "left")
         .withColumn(
             "salted_key",
             F.when(

@@ -20,8 +20,11 @@ def violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     count as violations (unknown is not acceptable at an ingest gate).
     """
     aggs = [
-        F.sum(
-            F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+        # coalesce(sum, 0): F.sum over zero rows is NULL — an empty batch
+        # must gate cleanly (0 violations), not crash the ratio check
+        F.coalesce(
+            F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)),
+            F.lit(0),
         ).alias(name)
         for name, cond in rules.items()
     ]

@@ -350,6 +350,17 @@ class ERPipeline:
         # rmtree/rename.
         for stage, df in (("entities", merged), ("assignments", assignments)):
             df.write.mode("overwrite").parquet(os.path.join(self.workdir, stage))
+        # drop the now-stale sibling stage checkpoints: a later run() on
+        # this workdir must never resume pre-update extracted/pairs/scores/
+        # clusters outputs against post-update entities. Hadoop FS API so
+        # DFS workdirs (hdfs://, s3a://) are handled, not just local paths.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for stage in ("extracted", "pairs", "scores", "clusters"):
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.workdir, stage))
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                fs.delete(p, True)
         part_rows = (
             assignments.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
@@ -408,13 +419,19 @@ def ranked_cluster_members(
 
 
 def cluster_summary(assignments: DataFrame) -> DataFrame:
-    """Entity clusters with members and sizes — the flagship query answer."""
+    """Entity clusters with members and sizes — the flagship query answer.
+
+    ``members`` is a pipe-joined sorted string (not array<string>): scalar
+    columns survive any downstream canonicalizer/hasher, and the value is
+    byte-identical to what an ANSI-SQL oracle can produce. Callers that
+    want the array split on '|'.
+    """
     return (
         assignments.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_forms"),
             F.sum("mention_count").alias("n_mentions"),
-            F.sort_array(F.collect_set("surface")).alias("members"),
+            F.array_join(F.sort_array(F.collect_set("surface")), "|").alias("members"),
             F.max("mention_count").alias("max_mentions"),
         )
         .orderBy(F.desc("n_mentions"), "cluster_id")
