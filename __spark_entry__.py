@@ -684,7 +684,10 @@ p AS (
 SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
 """
 
+    from textgraphs_spark.operators.dedup import minhash_oracle_sql
+
     return {
+        "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "simhash_fingerprints": simhash_sql,
         "dedup_simhash": simhash_pairs_sql,
         "gor_affinity": gor_sql,

@@ -56,6 +56,19 @@ def block_keys(entities: DataFrame) -> DataFrame:
     return e.withColumn("block_key", F.concat_ws("|", "last_tok", "first_init"))
 
 
+def minhash_xor_constants(num_hashes: int) -> list[int]:
+    """Per-seed 59-bit XOR mixers for the md5 hash family, derived from
+    md5 of a fixed tag — deterministic, no RNG state, identical constants
+    regenerable by the DuckDB oracle builder."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(f"tgs-minhash-{s}".encode()).digest()[:8], "big")
+        & ((1 << 59) - 1)
+        for s in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -64,21 +77,43 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle: int = 3,
     carry_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) → (id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    The one codegen'd explode + xxhash64 + min-agg signature kernel;
+    The one codegen'd explode + hash + min-agg signature kernel;
     ``minhash_band_keys`` composes it with ``band_keys_from_signatures``,
     and the dedup path reuses one signature pass for both banding and
     signature-agreement estimation.
+
+    ``hash_family``:
+    * ``"xxhash64"`` — one seeded xxhash64 per (shingle, seed): the
+      strongest independence across signature positions.
+    * ``"md5"``      — ONE md5 per shingle (top 60 bits) XOR a per-seed
+      constant: bit-for-bit reproducible in DuckDB (which has no seeded
+      xxhash64), and cheaper per shingle than num_hashes seeded hashes.
+      XOR mixing is weaker cross-seed independence than seeded hashing,
+      which only loosens the LSH *candidate* stage — both dedup verify
+      stages compute true Jaccard, so precision is unaffected (recall is
+      pinned by tests/test_operators.py minhash recall assertions).
     """
     exploded = _exploded_shingles(
         df, [F.col(id_col), *[F.col(c) for c in carry_cols]], text_col, shingle
     )
-    mins = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
-        for seed in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        base = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+        exploded = exploded.withColumn("_hb", base)
+        mins = [
+            F.min(F.col("_hb").bitwiseXOR(F.lit(c))).alias(f"_h{s}")
+            for s, c in enumerate(minhash_xor_constants(num_hashes))
+        ]
+    elif hash_family == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     carries = [F.first(c).alias(c) for c in carry_cols]
     sig = exploded.groupBy(id_col).agg(*mins, *carries)
     return sig.select(
@@ -159,6 +194,7 @@ def minhash_band_keys(
     bands: int = 4,
     shingle: int = 3,
     carry_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) → (id, band_id, band_key) LSH bucket keys.
 
@@ -173,6 +209,7 @@ def minhash_band_keys(
     sigs = minhash_signatures(
         df, id_col, text_col,
         num_hashes=num_hashes, shingle=shingle, carry_cols=carry_cols,
+        hash_family=hash_family,
     )
     return band_keys_from_signatures(
         sigs, id_col, num_hashes=num_hashes, bands=bands, carry_cols=carry_cols

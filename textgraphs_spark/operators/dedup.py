@@ -105,6 +105,7 @@ def minhash_dedup_pairs(
     shingle: int = 5,
     threshold: float = 0.6,
     max_bucket: int = 200,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by true shingle Jaccard.
 
@@ -139,8 +140,12 @@ def minhash_dedup_pairs(
 
     sig_margin = 0.25
     d = docs.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
+    # md5 family by default: ONE md5 per shingle + per-seed XOR (cheaper
+    # than num_hashes seeded xxhash64 calls) AND bit-reproducible by the
+    # DuckDB oracle — see minhash_signatures
     sigs = minhash_signatures(
-        d, "_id", "_t", num_hashes=num_hashes, shingle=shingle
+        d, "_id", "_t", num_hashes=num_hashes, shingle=shingle,
+        hash_family=hash_family,
     ).localCheckpoint()
     banded = band_keys_from_signatures(sigs, "_id", num_hashes=num_hashes, bands=bands)
     bucket_key = F.concat_ws("|", "band_id", "band_key")
@@ -191,6 +196,94 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    threshold: float = 0.6,
+    max_bucket: int = 200,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_dedup_pairs`` (md5 hash family)
+    value-for-value: same md5-top-60-bit shingle hashes, same XOR-mixed
+    signature mins, same band keys / bucket cap / signature prefilter /
+    exact-Jaccard verify. The only representational difference is the
+    verify stage's shingle sets (raw strings here, xxhash64-hashed longs
+    in Spark) — Jaccard is identical modulo 64-bit collisions (~1e-13).
+    """
+    from .blocking import minhash_xor_constants
+
+    consts = minhash_xor_constants(num_hashes)
+    rows_per_band = num_hashes // bands
+    sig_margin = 0.25
+    mins = ",\n    ".join(
+        f"min(xor(_hb, {c})) AS h{s}" for s, c in enumerate(consts)
+    )
+    band_cases = "\n      ".join(
+        "WHEN {b} THEN concat_ws('_', {cols})".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    band_ids = ", ".join(f"({b})" for b in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN l.h{s} = r.h{s} THEN 1 ELSE 0 END)" for s in range(num_hashes)
+    )
+    est_floor = max(threshold - sig_margin, 0.0)
+    return f"""
+WITH d AS (SELECT {id_col} AS _id, lower({text_col}) AS _t FROM {table}),
+sh AS (
+  SELECT _id, substr(_t, CAST(i.i AS INT), {shingle}) AS _sh
+  FROM d, unnest(range(1, greatest(length(_t) - {shingle - 1}, 1) + 1)) AS i(i)
+),
+hb AS (SELECT _id, CAST('0x' || substr(md5(_sh), 1, 15) AS BIGINT) AS _hb FROM sh),
+sig AS (
+  SELECT _id,
+    {mins}
+  FROM hb GROUP BY _id
+),
+banded AS (
+  SELECT _id, b.band_id,
+    CASE b.band_id
+      {band_cases}
+    END AS band_key
+  FROM sig, (VALUES {band_ids}) AS b(band_id)
+),
+keyed AS (SELECT concat_ws('|', band_id, band_key) AS bk, _id FROM banded),
+cnt AS (SELECT bk, count(*) AS _n FROM keyed GROUP BY bk),
+bounded AS (
+  SELECT k.bk, k._id FROM keyed k JOIN cnt c ON k.bk = c.bk
+  WHERE c._n > 1 AND c._n <= {max_bucket}
+),
+cands AS (
+  SELECT DISTINCT a._id AS left_id, b._id AS right_id
+  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a._id < b._id
+),
+pref AS (
+  SELECT c.left_id, c.right_id
+  FROM cands c
+  JOIN sig l ON l._id = c.left_id
+  JOIN sig r ON r._id = c.right_id
+  WHERE ({matches} - {rows_per_band}) * 1.0 / {num_hashes - rows_per_band} >= {est_floor}
+),
+sets AS (SELECT _id, list(DISTINCT _sh) AS s FROM sh GROUP BY _id),
+verified AS (
+  SELECT p.left_id, p.right_id,
+         len(list_intersect(ls.s, rs.s)) AS inter,
+         len(ls.s) + len(rs.s) - len(list_intersect(ls.s, rs.s)) AS uni
+  FROM pref p
+  JOIN sets ls ON ls._id = p.left_id
+  JOIN sets rs ON rs._id = p.right_id
+)
+SELECT left_id, right_id, round(inter * 1.0 / uni, 6) AS jaccard
+FROM verified WHERE inter * 1.0 / uni >= {threshold}
+"""
 
 
 def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
