@@ -685,8 +685,16 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
 """
 
     from textgraphs_spark.operators.dedup import minhash_oracle_sql
+    from textgraphs_spark.plans.er_oracle import er_clusters_sql
 
     return {
+        # the flagship, value-verified end to end: tokenize → tag →
+        # lemmatize → block (exact + minhash bands) → JW score → CC →
+        # summary, all reproduced from the same lex tables in DuckDB.
+        # er_incremental must converge to the identical clustering (the
+        # incremental path's contract), so it shares the oracle.
+        "er_clusters": er_clusters_sql(),
+        "er_incremental": er_clusters_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "simhash_fingerprints": simhash_sql,
         "dedup_simhash": simhash_pairs_sql,

@@ -151,8 +151,12 @@ def components_over_keys(
 ) -> DataFrame:
     """String-keyed convenience wrapper: hash keys → run CC → join back.
 
-    Returns (entity_key, cluster_id) where cluster_id is the min xxhash64
-    in the component — stable across runs and cluster sizes.
+    Returns (entity_key, cluster_id) where cluster_id is the MIN MEMBER
+    KEY (string) of the component — stable across runs, engine-agnostic
+    (an ANSI-SQL oracle reproduces it; an xxhash64-based id could not be),
+    and self-describing in exports. The CC iterations themselves still run
+    on hashed longs; only the final label is the min key, via one extra
+    vocabulary-sized aggregation.
     """
     ids = (
         match_edges.select(F.col(left).alias("k"))
@@ -164,10 +168,11 @@ def components_over_keys(
         F.xxhash64(left).alias("src"), F.xxhash64(right).alias("dst")
     )
     cc = connected_components(e)
-    return (
+    assigned = (
         ids.join(cc, ids["id"] == cc["node"], "left")
-        .select(
-            F.col("k").alias("entity_key"),
-            F.coalesce("component", "id").alias("cluster_id"),
-        )
+        .select("k", F.coalesce("component", "id").alias("comp"))
+    )
+    canon = assigned.groupBy("comp").agg(F.min("k").alias("cluster_id"))
+    return assigned.join(canon, "comp").select(
+        F.col("k").alias("entity_key"), "cluster_id"
     )

@@ -45,12 +45,16 @@ class ERPipeline:
                  min_similarity: float = S.MIN_SIMILARITY,
                  max_block_size: int = 200,
                  use_minhash: bool = True,
+                 hash_family: str = "md5",
                  include_lemmas: bool = False):
         self.spark = spark
         self.workdir = workdir
         self.min_similarity = min_similarity
         self.max_block_size = max_block_size
         self.use_minhash = use_minhash
+        # md5 family: one md5 per shingle instead of 16 seeded xxhash64
+        # calls, and the band keys are bit-reproducible by the SQL oracle
+        self.hash_family = hash_family
         # include NOUN/PROPN lemma mentions as resolvable entities —
         # for corpora whose text has no NER surface forms
         self.include_lemmas = include_lemmas
@@ -136,7 +140,10 @@ class ERPipeline:
             keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
         ]
         if self.use_minhash:
-            mh = B.minhash_band_keys(keyed, "entity_key", "norm", carry_cols=("surface",))
+            mh = B.minhash_band_keys(
+                keyed, "entity_key", "norm", carry_cols=("surface",),
+                hash_family=self.hash_family,
+            )
             chans.append(
                 mh.select(
                     "entity_key", "surface",
@@ -165,8 +172,11 @@ class ERPipeline:
             mentions.filter(kind_pred)
             .groupBy(F.col("node_key").alias("entity_key"))
             .agg(
-                F.first("surface").alias("surface"),
-                F.first("label").alias("label"),
+                # min, not first: the canonical surface of a key must be
+                # deterministic across partitionings (and reproducible by
+                # the SQL oracle) — first() depends on shuffle order
+                F.min("surface").alias("surface"),
+                F.min("label").alias("label"),
                 F.count("*").alias("mention_count"),
                 F.countDistinct(id_col).alias("doc_freq"),
             )
@@ -187,7 +197,7 @@ class ERPipeline:
         assignments = self._stage("assignments", lambda: (
             entities.join(clusters, "entity_key", "left")
             .withColumn(
-                "cluster_id", F.coalesce("cluster_id", F.xxhash64("entity_key"))
+                "cluster_id", F.coalesce("cluster_id", F.col("entity_key"))
             )
             .select("entity_key", "cluster_id", "surface", "label",
                     "mention_count", "doc_freq")
@@ -225,8 +235,9 @@ class ERPipeline:
             entities = (
                 ents.groupBy(F.col("node_key").alias("entity_key"))
                 .agg(
-                    F.first("surface").alias("surface"),
-                    F.first("label").alias("label"),
+                    # min: deterministic canonical surface (see run())
+                    F.min("surface").alias("surface"),
+                    F.min("label").alias("label"),
                     F.sum("count").alias("mention_count"),
                     F.count("*").alias("doc_freq"),
                 )
@@ -251,7 +262,7 @@ class ERPipeline:
         clusters = C.components_over_keys(match_edges)
         return (
             entities.join(clusters, "entity_key", "left")
-            .withColumn("cluster_id", F.coalesce("cluster_id", F.xxhash64("entity_key")))
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
             .select("entity_key", "cluster_id", "surface", "label", "mention_count", "doc_freq")
         )
 
@@ -264,9 +275,9 @@ class ERPipeline:
         Only pairs touching a previously-unseen surface form are scored:
         old-old pair decisions are fully encoded by the prior clustering
         (match scores depend on surfaces alone, and the old assignment
-        rows double as edges — ``cluster_id`` is the min member hash, so
-        (xxhash64(key), cluster_id) lives in the same id space as new
-        match edges). Connected components over old-assignment edges +
+        rows double as edges — ``cluster_id`` is the min member key, so
+        (xxhash64(key), xxhash64(cluster_id)) lives in the same id space
+        as new match edges). Connected components over old-assignment edges +
         new match edges then merges clusters transitively, so a new
         bridging form can correctly fuse two old clusters.
 
@@ -295,8 +306,8 @@ class ERPipeline:
                              include_lemmas=self.include_lemmas)
             .groupBy(F.col("node_key").alias("entity_key"))
             .agg(
-                F.first("surface").alias("surface"),
-                F.first("label").alias("label"),
+                F.min("surface").alias("surface"),
+                F.min("label").alias("label"),
                 F.sum("count").alias("mention_count"),
                 F.count("*").alias("doc_freq"),
             )
@@ -305,8 +316,8 @@ class ERPipeline:
             old_entities.unionByName(new_ents)
             .groupBy("entity_key")
             .agg(
-                F.first("surface").alias("surface"),
-                F.first("label").alias("label"),
+                F.min("surface").alias("surface"),
+                F.min("label").alias("label"),
                 F.sum("mention_count").alias("mention_count"),
                 F.sum("doc_freq").alias("doc_freq"),
             )
@@ -331,14 +342,23 @@ class ERPipeline:
         new_edges = scores.filter(F.col("match")).select(
             F.xxhash64("left_id").alias("src"), F.xxhash64("right_id").alias("dst")
         )
+        # cluster_id is the min member KEY; hashing it lands in the same
+        # id space as the entity-key hashes, so an old assignment row
+        # (key -> cluster_id) doubles as a CC edge
         old_edges = old_assign.select(
-            F.xxhash64("entity_key").alias("src"), F.col("cluster_id").alias("dst")
+            F.xxhash64("entity_key").alias("src"), F.xxhash64("cluster_id").alias("dst")
         )
         cc = connected_components(old_edges.unionByName(new_edges).localCheckpoint())
-        assignments = (
+        with_comp = (
             merged.withColumn("_id", F.xxhash64("entity_key"))
             .join(cc, F.col("_id") == F.col("node"), "left")
-            .withColumn("cluster_id", F.coalesce("component", F.col("_id")))
+            .withColumn("_comp", F.coalesce("component", F.col("_id")))
+        )
+        # relabel components with the min member key — identical contract
+        # to components_over_keys, so update() output == a full-batch run
+        canon = with_comp.groupBy("_comp").agg(F.min("entity_key").alias("cluster_id"))
+        assignments = (
+            with_comp.join(canon, "_comp")
             .select("entity_key", "cluster_id", "surface", "label",
                     "mention_count", "doc_freq")
             .localCheckpoint()
