@@ -212,7 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.brute_force_topk(q, emb, k=5)
 
     def ann_cosine(spark, sf_dir):
-        emb = _t(spark, sf_dir, "embeddings")
+        # cast to double on BOTH engines (see knn_cosine) or 6th-decimal
+        # cosine mismatches appear
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
         q = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
@@ -244,7 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def embedding_near_dup_lsh(spark, sf_dir):
-        return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return SIM.embedding_near_dup_pairs(emb, threshold=0.4)
 
     # ---- text analysis ---------------------------------------------------
 
@@ -382,7 +389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return (
             daily_distinct_sketches(_t(spark, sf_dir, "events"))
-            .select("day", "n_events", F.col("distinct_est").cast("long").alias("distinct_users"))
+            .select(
+                # ISO string, not DATE: date columns round-trip through
+                # pandas as object-vs-datetime64 depending on the engine
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_events",
+                F.col("distinct_est").cast("long").alias("distinct_users"),
+            )
             .orderBy("day")
         )
 
@@ -685,6 +698,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
 """
 
     from textgraphs_spark.operators.dedup import minhash_oracle_sql
+    from textgraphs_spark.operators.multimodal import multimodal_oracle_sql
+    from textgraphs_spark.operators.similarity import (
+        ann_oracle_sql, ivf_oracle_sql, near_dup_lsh_oracle_sql,
+    )
     from textgraphs_spark.plans.er_oracle import er_clusters_sql
 
     return {
@@ -696,6 +713,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_clusters": er_clusters_sql(),
         "er_incremental": er_clusters_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
+        "ann_cosine": ann_oracle_sql(),
+        "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
+        "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
+        "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,
         "dedup_simhash": simhash_pairs_sql,
         "gor_affinity": gor_sql,
@@ -924,7 +945,7 @@ SELECT count(*) AS n_rows,
 FROM documents
 """,
         "events_distinct_sketch": """
-SELECT CAST(ts AS DATE) AS day,
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        count(*) AS n_events,
        count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY 1 ORDER BY 1

@@ -80,12 +80,63 @@ def extract_features(
                 rows.append({
                     "media_id": int(mid),
                     "n_bytes": len(payload),
-                    "byte_hash": hashlib.md5(payload).hexdigest(),
+                    # fingerprint of the lowercase-hex encoding, not the
+                    # raw bytes: identical discriminative power, and SQL
+                    # engines without blob hashing (DuckDB 1.0) can
+                    # reproduce it for value verification
+                    "byte_hash": hashlib.md5(payload.hex().encode()).hexdigest(),
                     "feature": _fake_feature(bytes(payload), dim),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_oracle_sql(n: int = 200, *, seed: int = 42, dim: int = 16) -> str:
+    """DuckDB SQL reproducing ``extract_features(synth_media(n))`` with
+    the flattened feature projection the driver query emits: same md5
+    payload construction (as lowercase hex), same byte-bucket histogram,
+    same micro-unit integers. Payload bytes are addressed as hex pairs so
+    no blob byte-indexing is needed."""
+    return f"""
+WITH m AS (SELECT CAST(r.i AS BIGINT) AS media_id FROM range(0, {n}) r(i)),
+h AS (SELECT media_id, md5('media:{seed}:' || media_id) AS hx FROM m),
+p AS (
+  SELECT media_id,
+         substr(repeat(hx, CAST(1 + media_id % 7 AS INT)),
+                1,
+                2 * least(16 + CAST(media_id % 64 AS INT),
+                          16 * CAST(1 + media_id % 7 AS INT))) AS phex
+  FROM h
+),
+b AS (
+  SELECT media_id,
+         CAST(('0x' || substr(phex, CAST(2 * j.j + 1 AS INT), 2)) AS INT) % {dim} AS bucket
+  FROM p, unnest(range(0, length(phex) // 2)) AS j(j)
+),
+hist AS (SELECT media_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+grid AS (SELECT media_id, CAST(g.g AS INT) AS bucket FROM m, unnest(range(0, {dim})) AS g(g)),
+filled AS (
+  SELECT grid.media_id, grid.bucket, coalesce(hist.c, 0) AS c
+  FROM grid LEFT JOIN hist ON grid.media_id = hist.media_id AND grid.bucket = hist.bucket
+),
+tot AS (SELECT media_id, greatest(sum(c), 1) AS t FROM filled GROUP BY 1),
+feat AS (
+  SELECT f.media_id,
+         array_to_string(
+           list(CAST(CAST(round(round(f.c * 1.0 / tot.t, 6) * 1000000) AS BIGINT) AS VARCHAR)
+                ORDER BY f.bucket),
+           ',') AS feature
+  FROM filled f JOIN tot ON f.media_id = tot.media_id
+  GROUP BY f.media_id
+)
+SELECT p.media_id,
+       length(p.phex) // 2 AS n_bytes,
+       md5(p.phex) AS byte_hash,
+       feat.feature
+FROM p JOIN feat ON p.media_id = feat.media_id
+ORDER BY p.media_id
+"""
 
 
 def frame_sample_plan(

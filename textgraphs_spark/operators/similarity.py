@@ -168,6 +168,186 @@ def embedding_near_dup_pairs(
     )
 
 
+def _planes_values_sql(*, dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """Inline the deterministic hyperplanes as a SQL VALUES table
+    (table_id, plane_id, v DOUBLE[]). repr() round-trips doubles exactly,
+    so both engines dot against bit-identical plane vectors."""
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        for i, p in enumerate(planes):
+            vec = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            rows.append(f"({t}, {i}, {vec})")
+    return ",\n   ".join(rows)
+
+
+def _bucket_cte(src: str, id_col: str, vec_col: str, *, n_tables: int) -> str:
+    """(id, vec) per table → LSH bucket = sum of sign bits, as in
+    ``lsh_bucket``/``_multi_table_buckets``."""
+    return f"""(
+  SELECT s.{id_col}, p.table_id,
+         CAST(sum(CASE WHEN list_dot_product(s.{vec_col}, p.v) >= 0
+                       THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+  FROM {src} s, planes p
+  GROUP BY s.{id_col}, p.table_id
+)"""
+
+
+def ann_oracle_sql(
+    *,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_q: int = 20,
+) -> str:
+    """DuckDB SQL reproducing ``ann_topk`` on the embeddings table with
+    query vectors ``vec_id < max_q`` — same inlined hyperplanes, same
+    multi-table bucket join, same (round(cos,9) DESC, id ASC) ranking."""
+    planes = _planes_values_sql(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, emb AS qv FROM e0 WHERE vec_id < {max_q}),
+planes(table_id, plane_id, v) AS (VALUES
+   {planes}
+),
+cb AS {_bucket_cte('e0', 'vec_id', 'emb', n_tables=n_tables)},
+qb AS {_bucket_cte('q0', 'q_id', 'qv', n_tables=n_tables)},
+cand AS (
+  SELECT DISTINCT qb.q_id, cb.vec_id
+  FROM qb JOIN cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(q0.qv, e0.emb)
+           / (sqrt(list_dot_product(q0.qv, q0.qv)) * sqrt(list_dot_product(e0.emb, e0.emb))) AS cos_raw
+  FROM cand c
+  JOIN q0 ON q0.q_id = c.q_id
+  JOIN e0 ON e0.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos_raw, 9) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def near_dup_lsh_oracle_sql(
+    *,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing ``embedding_near_dup_pairs`` (single-table
+    LSH bucketing + cosine threshold)."""
+    planes = _planes_values_sql(dim=dim, n_planes=n_planes, n_tables=1, seed=seed)
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+planes(table_id, plane_id, v) AS (VALUES
+   {planes}
+),
+b AS {_bucket_cte('e0', 'vec_id', 'emb', n_tables=1)},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS left_id, c.vec_id AS right_id
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT p.left_id, p.right_id,
+         list_dot_product(l.emb, r.emb)
+           / (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) AS cos_raw
+  FROM pairs p
+  JOIN e0 l ON l.vec_id = p.left_id
+  JOIN e0 r ON r.vec_id = p.right_id
+)
+SELECT left_id, right_id, round(cos_raw, 6) AS cosine
+FROM scored WHERE cos_raw >= {threshold}
+"""
+
+
+def ivf_oracle_sql(
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    max_q: int = 20,
+) -> str:
+    """DuckDB SQL reproducing ``ivf_topk`` (kmeans_iters=1) on the
+    embeddings table: md5-ordered centroid seed, one unrolled Lloyd
+    refinement, nprobe cell probing, exact scoring inside probed cells."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, emb AS qv FROM e0 WHERE vec_id < {max_q}),
+seed AS (
+  SELECT vec_id, emb FROM e0 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, emb AS cvec FROM seed
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e0.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e0.vec_id
+                              ORDER BY round({cos.format(a='e0.emb', b='c.cvec')}, 9) DESC,
+                                       c.cell ASC) AS rn
+    FROM e0, cent0 c
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cell, CAST(j.j AS INT) AS pos, avg(e0.emb[CAST(j.j AS INT)]) AS m
+    FROM assign0 a JOIN e0 ON e0.vec_id = a.vec_id,
+         unnest(range(1, {dim} + 1)) AS j(j)
+    GROUP BY a.cell, j.j
+  ) GROUP BY cell
+),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e0.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e0.vec_id
+                              ORDER BY round({cos.format(a='e0.emb', b='c.cvec')}, 9) DESC,
+                                       c.cell ASC) AS rn
+    FROM e0, cent1 c
+  ) WHERE rn = 1
+),
+query_cells AS (
+  SELECT q_id, cell FROM (
+    SELECT q0.q_id, c.cell,
+           row_number() OVER (PARTITION BY q0.q_id
+                              ORDER BY round({cos.format(a='q0.qv', b='c.cvec')}, 9) DESC,
+                                       c.cell ASC) AS rn
+    FROM q0, cent1 c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qc.q_id, cc.vec_id,
+         {cos.format(a='q0.qv', b='e0.emb')} AS cos_raw
+  FROM query_cells qc
+  JOIN corpus_cells cc ON cc.cell = qc.cell
+  JOIN q0 ON q0.q_id = qc.q_id
+  JOIN e0 ON e0.vec_id = cc.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos_raw, 9) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -187,7 +367,8 @@ def ivf_topk(
     The FAISS-IVF recipe as pure DataFrame ops:
 
     * centroid init = the ``n_cells`` corpus vectors with the smallest
-      ``xxhash64(id)`` — a deterministic uniform sample, no RNG state;
+      ``md5(id)`` — a deterministic uniform sample, no RNG state, and
+      reproducible by SQL engines (unlike seeded xxhash64);
     * ``kmeans_iters`` Lloyd refinements: assign (broadcast centroids,
       argmax cosine via one window) -> new centroid = element-wise mean
       (``groupBy(cell)`` + ``posexplode`` average), all JVM-side;
@@ -212,7 +393,7 @@ def ivf_topk(
         )
 
     centroids = (
-        corpus.orderBy(F.xxhash64(F.col(c_id).cast("string")))
+        corpus.orderBy(F.md5(F.col(c_id).cast("string").cast("binary")))
         .limit(n_cells)
         .select(
             F.row_number().over(Window.orderBy(c_id)).alias("_cell"),
