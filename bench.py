@@ -105,6 +105,10 @@ def er_scaling_run(cpus: int, n_pages: int, *, equalize_to: int = 0) -> dict:
     # partitioning is held CONSTANT across parallelism levels so the two
     # runs execute the identical physical job — only executor threads vary
     spark = get_spark(f"er_scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64)
+    # ERROR, not WARN: a stopping context's accumulator-update threads log
+    # benign WARN stack traces (PythonAccumulatorV2.merge) that would
+    # pollute the bench artifact's tail
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         # warm THIS session (each run is a fresh JVM): JIT, codegen cache,
         # and Python worker spawn otherwise land inside the measured wall,
@@ -139,6 +143,7 @@ def main():
     sf = _sf_from_dir(SF_DIR)
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
     t_all = time.time()
     results["queries"] = headline_queries(spark, SF_DIR)
     spark.stop()
@@ -185,7 +190,12 @@ def main():
             "efficiency": round(speedup / (SCALE_HIGH / SCALE_LOW), 3),
         }
 
+    # the JSON line must be the LAST thing emitted: flush stderr and give
+    # any straggler JVM shutdown threads a moment to finish logging first
+    sys.stderr.flush()
+    time.sleep(1.0)
     print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

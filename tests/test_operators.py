@@ -39,6 +39,22 @@ def test_ngram_jaccard(docs):
     assert (0, 2) in pairs and pairs[(0, 2)] > 0.3
 
 
+def test_ngram_jaccard_hot_block_bounded(spark):
+    """A hot block (every doc same source) is salted: pairs stay
+    O(n * max_block_size), not O(n^2), and cross-shard pairs are the
+    explicit pair budget — mirrors the candidate_pairs salting bound."""
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "hot", f"alpha beta gamma delta {i % 7}") for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(
+        docs, block_col="source", threshold=0.0, max_block_size=50
+    )
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 3 * n * 50 / 2, n_pairs  # uncapped would be C(400,2)=79800
+
+
 def test_minhash_dedup_finds_near_dups(docs):
     pairs = {
         (r["left_id"], r["right_id"])

@@ -52,12 +52,19 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     n: int = 2,
     threshold: float = 0.5,
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Word n-gram Jaccard between doc pairs sharing a block.
 
     Fully builtin (split/transform/array_intersect) — zero Python, and
     SQL-oracle-checkable. Blocks bound the pair explosion; at web scale
     the block column is a cheap sketch (length bucket, lang, host).
+
+    ``max_block_size`` caps the per-block self-join the same way
+    ``blocking.candidate_pairs`` does — blocks above the cap are salted
+    into shards and only intra-shard pairs survive (an explicit pair
+    budget). Without it a hot block (one dominant source/host) degrades
+    to O(n²) pairs as the corpus grows. ``None`` disables the cap.
     """
     toks = F.expr(_TOKENS.format(c=text_col))
     # distinct over gram STRINGS, then hash each gram to a long before the
@@ -77,7 +84,13 @@ def ngram_jaccard_pairs(
         .withColumn("grams", grams)
         .drop("_toks")
     )
-    join_key = [block_col] if block_col else []
+    if block_col and max_block_size:
+        from .blocking import _salt_oversized
+
+        d = _salt_oversized(d, block_col, id_col, max_block_size)
+        join_key = ["salted_key"]
+    else:
+        join_key = [block_col] if block_col else []
     a = d.select(*join_key, F.col(id_col).alias("left_id"), F.col("grams").alias("lg"))
     b = d.select(*join_key, F.col(id_col).alias("right_id"), F.col("grams").alias("rg"))
     pairs = (

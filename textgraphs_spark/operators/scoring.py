@@ -19,6 +19,8 @@ against KG aliases with min_similarity 0.9 (reference: textgraphs/kg.py:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -76,13 +78,25 @@ def jaro_winkler(s1: str, s2: str) -> float:
     return jaro
 
 
+# Memoized kernels for the batch hot loop. Candidate pairs are distinct,
+# but their PARTS repeat massively: blocking groups entities by (last
+# token, initial), so within a block every pair shares near-identical
+# last tokens, and first names are Zipfian. The caches turn the O(len a *
+# len b) JW inner loop into a dict hit for the head of the distribution.
+# Python workers are reused (spark.python.worker.reuse), so the caches
+# amortize across batches too. ~1M entries of short-string keys is tens
+# of MB per worker — bounded.
+_jw_cached = lru_cache(maxsize=1 << 20)(jaro_winkler)
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
-        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        [_jw_cached(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )
 
 
+@lru_cache(maxsize=1 << 20)
 def _name_parts(s: str) -> tuple[str, str]:
     toks = [t for t in "".join(c if (c.isalpha() or c == " ") else " " for c in s.lower()).split() if t]
     if not toks:
@@ -101,13 +115,13 @@ def name_match_score(a: str, b: str) -> float:
     fb, lb = _name_parts(b)
     if not la or not lb:
         return 0.0
-    last_sim = jaro_winkler(la, lb)
+    last_sim = _jw_cached(la, lb)
     if fa == fb and fa:
         first_compat = 1.0
     elif fa and fb and (len(fa) == 1 or len(fb) == 1) and fa[0] == fb[0]:
         first_compat = 0.95
     else:
-        first_compat = jaro_winkler(fa, fb)
+        first_compat = _jw_cached(fa, fb)
     return 0.35 * first_compat + 0.65 * last_sim
 
 
