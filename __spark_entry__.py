@@ -131,13 +131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def corpus_pagerank(spark, sf_dir):
         from textgraphs_spark.operators.pagerank import pagerank
 
-        ex = extract_graphs(_docs(spark, sf_dir).limit(50))
+        # doc_id < 50, not limit(50): a deterministic, partition-prunable
+        # subset (limit without order depends on scan partitioning)
+        ex = extract_graphs(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
         edges = corpus_edges(ex).select(
             F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
             F.col("count").alias("weight"),
         )
         pr = pagerank(edges, max_iter=15)
-        return pr.orderBy(F.desc("rank")).limit(50).select(
+        return pr.orderBy(F.desc("rank"), "node").limit(50).select(
             "node", F.round("rank", 6).alias("rank")
         )
 
@@ -702,7 +704,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.operators.similarity import (
         ann_oracle_sql, ivf_oracle_sql, near_dup_lsh_oracle_sql,
     )
-    from textgraphs_spark.plans.er_oracle import er_clusters_sql
+    from textgraphs_spark.plans.er_oracle import (
+        corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
+        extract_mentions_sql, lemma_edges_sql, lemma_nodes_sql,
+    )
 
     return {
         # the flagship, value-verified end to end: tokenize → tag →
@@ -712,6 +717,11 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         # incremental path's contract), so it shares the oracle.
         "er_clusters": er_clusters_sql(),
         "er_incremental": er_clusters_sql(),
+        "extract_mentions": extract_mentions_sql(),
+        "lemma_nodes": lemma_nodes_sql(),
+        "lemma_edges": lemma_edges_sql(),
+        "er_ranked_clusters": er_ranked_clusters_sql(),
+        "corpus_pagerank": corpus_pagerank_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),

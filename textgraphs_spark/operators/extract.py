@@ -279,11 +279,14 @@ def corpus_nodes(extracted: DataFrame) -> DataFrame:
     return (
         n.groupBy("node_key")
         .agg(
-            F.first("kind", ignorenulls=True).alias("kind"),
-            F.first("surface", ignorenulls=True).alias("surface"),
-            F.first("pos", ignorenulls=True).alias("pos"),
-            F.first("label", ignorenulls=True).alias("label"),
-            F.first("length", ignorenulls=True).alias("length"),
+            # min, not first: deterministic across partitionings and
+            # reproducible by the SQL oracle (kind/pos/length are
+            # functionally dependent on the key; surface/label are not)
+            F.min("kind").alias("kind"),
+            F.min("surface").alias("surface"),
+            F.min("pos").alias("pos"),
+            F.min("label").alias("label"),
+            F.min("length").alias("length"),
             F.sum("count").alias("count"),
             F.max(F.col("sub_obj").cast("int")).cast("boolean").alias("sub_obj"),
             F.countDistinct("doc_id").alias("doc_freq"),

@@ -87,6 +87,10 @@ def jaro_winkler(s1: str, s2: str) -> float:
 # amortize across batches too. ~1M entries of short-string keys is tens
 # of MB per worker — bounded.
 _jw_cached = lru_cache(maxsize=1 << 20)(jaro_winkler)
+# functools.wraps copies jaro_winkler's __qualname__ onto the wrapper;
+# cloudpickle pickles module-level functions by reference and refuses
+# when the name it resolves isn't the same object — point it at the alias
+_jw_cached.__qualname__ = _jw_cached.__name__ = "_jw_cached"
 
 
 @F.pandas_udf(T.DoubleType())

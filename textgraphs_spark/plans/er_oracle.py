@@ -108,6 +108,284 @@ def noun_lemma_case(col: str) -> str:
       END)"""
 
 
+def _verb_lemma_cols(col: str) -> str:
+    """Column expressions for lemmatize(tok, VERB/AUX): the -ing/-ed stem
+    plus _fix_stem (nlp/pipeline.py:122-158). Emitted as intermediate
+    columns (_vstem, _verb_lemma) to keep expressions readable."""
+    verbs = _inlist(lex.VERB)
+    ing_ed = _inlist(lex.ING_ED_NOUNS)
+    stem = f"""CASE
+      WHEN {col} LIKE '%ing' AND length({col}) > 5 AND {col} NOT IN ({ing_ed})
+        THEN substr({col}, 1, length({col}) - 3)
+      WHEN {col} LIKE '%ed' AND length({col}) > 4 AND {col} NOT IN ({ing_ed})
+        THEN substr({col}, 1, length({col}) - 2)
+      END"""
+    fix = f"""CASE
+      WHEN length(_vstem) > 2
+           AND substr(_vstem, length(_vstem), 1) = substr(_vstem, length(_vstem) - 1, 1)
+           AND substr(_vstem, length(_vstem), 1) NOT IN ('a','e','i','o','u','l','s','z')
+        THEN substr(_vstem, 1, length(_vstem) - 1)
+      WHEN _vstem IN ({verbs}) THEN _vstem
+      WHEN _vstem || 'e' IN ({verbs}) THEN _vstem || 'e'
+      ELSE _vstem END"""
+    rest = f"""CASE
+      WHEN {col} LIKE '%ies' AND length({col}) > 4
+        THEN substr({col}, 1, length({col}) - 3) || 'y'
+      WHEN {col} LIKE '%es' AND length({col}) > 3
+           AND substr({col}, length({col}) - 2, 1) IN ('s','x','z','o')
+        THEN substr({col}, 1, length({col}) - 2)
+      WHEN {col} LIKE '%s' AND {col} NOT LIKE '%ss' AND {col} NOT LIKE '%us'
+           AND {col} NOT LIKE '%is' AND length({col}) > 3
+        THEN substr({col}, 1, length({col}) - 1)
+      ELSE {col} END"""
+    return stem, fix, rest
+
+
+def graph_ctes(table: str = "documents") -> str:
+    """CTE chain documents → per-doc lemma-graph rows, the SQL twin of
+    build_doc_graph (doclevel/build.py) over lowercase single-sentence
+    text: token nodes (lem/dep), dependency arcs, noun-chunk overlay.
+
+    Emits three terminal CTEs:
+    * node_rows(doc_id, node_key, kind, surface, pos, label, length,
+                count, sub_obj, first_tpos)
+    * mention_rows(doc_id, token_id, node_key, surface, pos, kind, label,
+                   length, sub_obj)
+    * edge_rows(doc_id, src_key, dst_key, kind, rel, prob, count)
+    """
+    stem, fix, rest = _verb_lemma_cols("tok")
+    chainable = "('DET', 'ADJ', 'NOUN', 'PROPN', 'CCONJ')"
+    nominal = "('NOUN', 'PROPN', 'PRON', 'NUM')"
+    return f"""tokr AS (
+  SELECT doc_id, CAST(r.i AS INT) AS tpos, toks[CAST(r.i AS INT)] AS tok
+  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM {table}) d,
+       unnest(range(1, len(toks) + 1)) AS r(i)
+),
+tagr AS (
+  SELECT doc_id, tpos, tok,
+    {tag_case('tok')} AS tag
+  FROM tokr
+),
+lemr0 AS (
+  SELECT doc_id, tpos, tok, tag,
+    {_irregular_case('tok')} AS _irr,
+    {stem} AS _vstem
+  FROM tagr
+),
+lemr AS (
+  SELECT doc_id, tpos, tok, tag,
+    coalesce(_irr,
+      CASE
+        WHEN tag IN ('PROPN','PUNCT','NUM','DET','ADP','PRON','CCONJ','SCONJ') THEN tok
+        WHEN tag IN ('VERB','AUX') THEN
+          coalesce({fix}, {rest})
+        ELSE {noun_lemma_case('tok')}
+      END) AS lemma
+  FROM lemr0
+),
+toknode AS (
+  -- node identity per token: linked lemma key for NOUN/PROPN/VERB,
+  -- doc-unique placeholder key otherwise (0-based doc-global index)
+  SELECT doc_id, tpos, tok, tag, lemma,
+         tag IN ('NOUN', 'PROPN', 'VERB') AS linked,
+         CASE WHEN tag IN ('NOUN', 'PROPN', 'VERB')
+              THEN lemma || '.' || tag
+              ELSE CAST(tpos - 1 AS VARCHAR) || '.' || lemma || '.' || tag
+         END AS node_key
+  FROM lemr
+),
+rootp AS (
+  SELECT doc_id,
+         coalesce(
+           min(CASE WHEN tag = 'VERB' THEN tpos END),
+           min(CASE WHEN tag = 'AUX' THEN tpos END),
+           min(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END),
+           1) AS root_pos
+  FROM toknode GROUP BY doc_id
+),
+depw AS (
+  SELECT t.*, r.root_pos,
+         max(CASE WHEN tag = 'ADP' THEN tpos END)
+           OVER (PARTITION BY t.doc_id ORDER BY tpos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_adp,
+         max(CASE WHEN tag IN ('NOUN','PROPN','VERB','AUX') THEN tpos END)
+           OVER (PARTITION BY t.doc_id ORDER BY tpos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_stop,
+         min(CASE WHEN tag IN ('NOUN','PROPN') THEN tpos END)
+           OVER (PARTITION BY t.doc_id ORDER BY tpos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nom
+  FROM toknode t JOIN rootp r ON t.doc_id = r.doc_id
+),
+depg AS (
+  SELECT *,
+         CASE WHEN tag IN {nominal} AND tpos <> root_pos
+                   AND prev_adp IS NOT NULL
+                   AND prev_adp > coalesce(prev_stop, 0)
+              THEN prev_adp END AS gov
+  FROM depw
+),
+attrp AS (
+  -- the FIRST nominal after the root with no ADP governor gets 'attr'
+  SELECT doc_id, min(tpos) AS attr_pos
+  FROM depg
+  WHERE tag IN {nominal} AND tpos <> root_pos AND gov IS NULL AND tpos > root_pos
+  GROUP BY doc_id
+),
+deps AS (
+  SELECT g.doc_id, g.tpos, g.tok, g.tag, g.lemma, g.linked, g.node_key,
+         CASE
+           WHEN g.tpos = g.root_pos THEN 'ROOT'
+           WHEN g.tag = 'PUNCT' THEN 'punct'
+           WHEN g.tag = 'DET' THEN 'det'
+           WHEN g.tag = 'ADJ' THEN 'amod'
+           WHEN g.tag = 'ADP' THEN 'prep'
+           WHEN g.tag = 'ADV' THEN 'advmod'
+           WHEN g.tag IN ('CCONJ', 'SCONJ') THEN 'cc'
+           WHEN g.tag = 'AUX' THEN 'aux'
+           WHEN g.tag IN {nominal} THEN
+             CASE WHEN g.gov IS NOT NULL THEN 'pobj'
+                  WHEN g.tpos < g.root_pos THEN 'nsubj'
+                  WHEN g.tpos = a.attr_pos THEN 'attr'
+                  ELSE 'conj' END
+           ELSE 'dep'
+         END AS dep,
+         CASE
+           WHEN g.tpos = g.root_pos THEN g.root_pos
+           WHEN g.tag IN ('DET', 'ADJ') THEN coalesce(g.next_nom, g.root_pos)
+           WHEN g.tag = 'ADP' THEN coalesce(g.prev_stop, g.root_pos)
+           WHEN g.tag IN {nominal} AND g.gov IS NOT NULL THEN g.gov
+           ELSE g.root_pos
+         END AS head_pos
+  FROM depg g LEFT JOIN attrp a ON g.doc_id = a.doc_id
+),
+-- noun-chunk overlay: islands of chainable tags; chunk spans the first
+-- startable (non-CCONJ) token through the last nominal of the island
+isl AS (
+  SELECT doc_id, tpos, tok, tag, lemma,
+         tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+  FROM deps WHERE tag IN {chainable}
+),
+spans AS (
+  SELECT doc_id, grp,
+         min(CASE WHEN tag <> 'CCONJ' THEN tpos END) AS s,
+         max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END) AS ln
+  FROM isl GROUP BY doc_id, grp
+  HAVING min(CASE WHEN tag <> 'CCONJ' THEN tpos END) IS NOT NULL
+     AND max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END) IS NOT NULL
+     AND max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END)
+         >= min(CASE WHEN tag <> 'CCONJ' THEN tpos END)
+),
+chunk_occ AS (
+  SELECT sp.doc_id, sp.s, sp.ln,
+         string_agg(t.lemma || '.' || t.tag, '.' ORDER BY t.tpos) AS chunk_key,
+         string_agg(t.tok, ' ' ORDER BY t.tpos) AS surface,
+         sp.ln - sp.s + 1 AS length
+  FROM spans sp JOIN toknode t
+    ON t.doc_id = sp.doc_id AND t.tpos BETWEEN sp.s AND sp.ln
+  GROUP BY sp.doc_id, sp.s, sp.ln
+),
+chunk_new AS (
+  -- novelty: keys already present as token nodes (pre-overlay) are skipped
+  SELECT c.* FROM chunk_occ c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM toknode t
+    WHERE t.doc_id = c.doc_id AND t.node_key = c.chunk_key
+  )
+),
+chunk_nodes AS (
+  SELECT doc_id, chunk_key AS node_key, 'chu' AS kind,
+         min_by(surface, s) AS surface, 'noun_chunk' AS pos,
+         CAST(NULL AS VARCHAR) AS label,
+         CAST(min(length) AS INT) AS length,
+         count(*) AS count, FALSE AS sub_obj, min(s) AS first_tpos
+  FROM chunk_new GROUP BY doc_id, chunk_key
+),
+tok_nodes AS (
+  SELECT doc_id, node_key,
+         CASE WHEN linked THEN 'lem' ELSE 'dep' END AS kind,
+         min_by(tok, tpos) AS surface, min(tag) AS pos,
+         CAST(NULL AS VARCHAR) AS label, 1 AS length,
+         CASE WHEN bool_or(linked) THEN count(*) ELSE 0 END AS count,
+         bool_or(dep IN ('nsubj', 'pobj')) AS sub_obj,
+         min(tpos) AS first_tpos
+  FROM deps GROUP BY doc_id, node_key, linked
+),
+node_rows AS (
+  SELECT * FROM tok_nodes UNION ALL SELECT * FROM chunk_nodes
+),
+mention_rows AS (
+  -- one row per node occurrence (placeholders have no mentions);
+  -- surface/sub_obj are NODE-level within the doc
+  SELECT d.doc_id, d.tpos - 1 AS token_id, d.node_key,
+         n.surface, n.pos, n.kind, n.label, n.length, n.sub_obj
+  FROM deps d JOIN tok_nodes n ON n.doc_id = d.doc_id AND n.node_key = d.node_key
+  WHERE d.linked
+  UNION ALL
+  SELECT c.doc_id, c.s - 1 AS token_id, c.chunk_key AS node_key,
+         n.surface, n.pos, n.kind, n.label, n.length, n.sub_obj
+  FROM chunk_new c JOIN chunk_nodes n
+    ON n.doc_id = c.doc_id AND n.node_key = c.chunk_key
+),
+dep_edges AS (
+  SELECT s.doc_id, s.node_key AS src_key, h.node_key AS dst_key,
+         'dep' AS kind, s.dep AS rel, 1.0 AS prob, count(*) AS count
+  FROM deps s JOIN deps h ON h.doc_id = s.doc_id AND h.tpos = s.head_pos
+  WHERE s.node_key <> h.node_key
+  GROUP BY s.doc_id, s.node_key, h.node_key, s.dep
+),
+chu_edges AS (
+  SELECT c.doc_id, c.chunk_key AS src_key, t.node_key AS dst_key,
+         'chu' AS kind, 'noun_chunk' AS rel, 1.0 AS prob, count(*) AS count
+  FROM chunk_new c JOIN deps t
+    ON t.doc_id = c.doc_id AND t.tpos BETWEEN c.s AND c.ln
+  WHERE c.chunk_key <> t.node_key
+  GROUP BY c.doc_id, c.chunk_key, t.node_key
+),
+edge_rows AS (
+  SELECT * FROM dep_edges UNION ALL SELECT * FROM chu_edges
+)"""
+
+
+def lemma_nodes_sql(table: str = "documents") -> str:
+    """Oracle for corpus_nodes(extract_graphs(documents))."""
+    return f"""WITH
+{graph_ctes(table)}
+SELECT node_key, min(kind) AS kind, min(surface) AS surface,
+       min(pos) AS pos, min(label) AS label, min(length) AS length,
+       CAST(sum(count) AS BIGINT) AS count,
+       bool_or(sub_obj) AS sub_obj,
+       count(DISTINCT doc_id) AS doc_freq
+FROM node_rows
+GROUP BY node_key
+"""
+
+
+def lemma_edges_sql(table: str = "documents") -> str:
+    """Oracle for corpus_edges(extract_graphs(documents))."""
+    return f"""WITH
+{graph_ctes(table)}
+SELECT src_key, dst_key, kind, rel,
+       CAST(sum(count) AS BIGINT) AS count,
+       max(prob) AS prob
+FROM edge_rows
+GROUP BY src_key, dst_key, kind, rel
+"""
+
+
+def extract_mentions_sql(table: str = "documents") -> str:
+    """Oracle for mentions_table(extract_graphs(documents)) — single
+    sentence per doc (para_id = sent_id = 0), dep/head_key not emitted by
+    the extractor (NULL)."""
+    return f"""WITH
+{graph_ctes(table)}
+SELECT doc_id, 0 AS para_id, 0 AS sent_id, token_id, node_key, surface,
+       pos, kind, label, length, sub_obj,
+       CAST(NULL AS VARCHAR) AS dep, CAST(NULL AS VARCHAR) AS head_key
+FROM mention_rows
+ORDER BY doc_id, sent_id, token_id
+"""
+
+
 def entities_ctes(table: str = "documents") -> str:
     """CTE chain documents → entities(entity_key, surface, mention_count,
     doc_freq) — the SQL twin of extract_entities(include_lemmas=True) +
@@ -182,10 +460,89 @@ def _name_parts_expr(col: str) -> str:
     )
 
 
-def er_clusters_sql(table: str = "documents", *, min_similarity: float = 0.9) -> str:
-    """The complete flagship oracle: documents → cluster summary."""
-    return f"""WITH RECURSIVE
-{entities_ctes(table)},
+def pagerank_ctes(
+    *,
+    edges: str,
+    max_iter: int,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    prefix: str = "pr",
+) -> tuple[str, str]:
+    """Unrolled weighted-PageRank CTE chain over ``edges(src, dst, w)``,
+    mirroring operators/pagerank.py including its ADAPTIVE early stop:
+    every iteration's L1 delta is computed, and the final rank table is
+    the first iteration whose delta clears n*tol (else the last). Returns
+    (ctes_sql, final_cte_name) where the final CTE is (node, rank)."""
+    p = prefix
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs per reference,
+    # which makes an unrolled iteration chain EXPONENTIAL in max_iter
+    parts = [f"""{p}_e AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM {edges} GROUP BY src, dst
+),
+{p}_nodes AS MATERIALIZED (
+  -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+  -- clause DuckDB gives UNION recursive-iteration semantics and skips
+  -- the dedup for non-self-referencing CTEs
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {p}_e UNION ALL SELECT dst FROM {p}_e
+  )
+),
+{p}_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM {p}_nodes),
+{p}_outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM {p}_e GROUP BY src),
+{p}_trans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.out_w AS prob
+  FROM {p}_e e JOIN {p}_outw o ON e.src = o.src
+),
+{p}_r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM {p}_n) AS rank FROM {p}_nodes)"""]
+    for k in range(1, max_iter + 1):
+        prev = f"{p}_r{k - 1}"
+        parts.append(f"""{p}_d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM {prev} r LEFT JOIN {p}_outw o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+{p}_c{k} AS MATERIALIZED (
+  SELECT t.dst, sum(r.rank * t.prob) AS contrib
+  FROM {prev} r JOIN {p}_trans t ON r.node = t.src
+  GROUP BY t.dst
+),
+{p}_r{k} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {alpha}) / (SELECT n FROM {p}_n)
+         + {alpha} * (coalesce(c.contrib, 0.0)
+                      + (SELECT dm FROM {p}_d{k}) / (SELECT n FROM {p}_n)) AS rank
+  FROM {p}_nodes n LEFT JOIN {p}_c{k} c ON n.node = c.dst
+),
+{p}_delta{k} AS MATERIALIZED (
+  SELECT sum(abs(a.rank - b.rank)) AS v
+  FROM {p}_r{k} a JOIN {prev} b ON a.node = b.node
+)""")
+    stop_cases = "\n    ".join(
+        f"WHEN (SELECT v FROM {p}_delta{k}) < (SELECT n FROM {p}_n) * {tol} THEN {k}"
+        for k in range(1, max_iter + 1)
+    )
+    tagged_union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, node, rank FROM {p}_r{k}" for k in range(1, max_iter + 1)
+    )
+    parts.append(f"""{p}_stop AS MATERIALIZED (
+  SELECT CASE
+    {stop_cases}
+    ELSE {max_iter} END AS k
+),
+{p}_all AS (
+  {tagged_union}
+),
+{p}_final AS (
+  SELECT node, rank FROM {p}_all WHERE k = (SELECT k FROM {p}_stop)
+)""")
+    return ",\n".join(parts), f"{p}_final"
+
+
+def assignment_ctes(table: str = "documents", *, min_similarity: float = 0.9) -> str:
+    """CTE chain through ``assignments(entity_key, cluster_id, surface,
+    mention_count)`` — shared by the cluster-summary and ranked-members
+    oracles. Must be placed under WITH RECURSIVE (the reach CTE)."""
+    return f"""{entities_ctes(table)},
 keyed AS (
   SELECT entity_key, surface,
          lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g')) AS norm
@@ -254,7 +611,13 @@ comp AS (
 assignments AS (
   SELECT e.entity_key, c.cluster_id, e.surface, e.mention_count
   FROM entities e JOIN comp c ON e.entity_key = c.entity_key
-)
+)"""
+
+
+def er_clusters_sql(table: str = "documents", *, min_similarity: float = 0.9) -> str:
+    """The complete flagship oracle: documents → cluster summary."""
+    return f"""WITH RECURSIVE
+{assignment_ctes(table, min_similarity=min_similarity)}
 SELECT cluster_id,
        count(*) AS n_forms,
        CAST(sum(mention_count) AS BIGINT) AS n_mentions,
@@ -263,4 +626,54 @@ SELECT cluster_id,
 FROM assignments
 GROUP BY cluster_id
 ORDER BY n_mentions DESC, cluster_id
+"""
+
+
+def er_ranked_clusters_sql(table: str = "documents", *, max_iter: int = 20) -> str:
+    """Oracle for er_ranked_clusters: assignments (flagship chain) +
+    corpus-level PageRank over the aggregated lemma-graph edges + a
+    per-cluster rank window."""
+    pr, final = pagerank_ctes(edges="prin", max_iter=max_iter, prefix="pr")
+    return f"""WITH RECURSIVE
+{assignment_ctes(table)},
+{graph_ctes(table)},
+corpus_e AS (
+  SELECT src_key, dst_key, CAST(sum(count) AS BIGINT) AS weight
+  FROM edge_rows GROUP BY src_key, dst_key, kind, rel
+),
+prin AS (SELECT src_key AS src, dst_key AS dst, weight AS w FROM corpus_e),
+{pr},
+full_assign AS (
+  SELECT a.entity_key, a.cluster_id, a.surface, a.mention_count, p.rank
+  FROM assignments a LEFT JOIN {final} p ON p.node = a.entity_key
+)
+SELECT cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY rank DESC NULLS LAST, entity_key) AS rank_in_cluster,
+       entity_key, surface,
+       round(coalesce(rank, 0.0), 6) AS rank,
+       mention_count
+FROM full_assign
+ORDER BY cluster_id, rank_in_cluster
+"""
+
+
+def corpus_pagerank_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 15, top: int = 50
+) -> str:
+    """Oracle for corpus_pagerank: lemma-graph edges of doc_id < max_docs,
+    weighted PageRank, top ranks (same (rank desc, node) total order)."""
+    pr, final = pagerank_ctes(edges="prin", max_iter=max_iter, prefix="pr")
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+corpus_e AS (
+  SELECT src_key, dst_key, CAST(sum(count) AS BIGINT) AS weight
+  FROM edge_rows GROUP BY src_key, dst_key, kind, rel
+),
+prin AS (SELECT src_key AS src, dst_key AS dst, weight AS w FROM corpus_e),
+{pr}
+SELECT node, round(rank, 6) AS rank
+FROM {final}
+ORDER BY rank DESC, node
+LIMIT {top}
 """
