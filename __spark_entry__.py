@@ -71,7 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ranked_phrases(spark, sf_dir):
         ex = extract_graphs(_docs(spark, sf_dir))
-        return phrases_table(ex).filter(F.col("rank_pos") < 5)
+        return phrases_table(ex).filter(F.col("rank_pos") < 5).withColumn(
+            # 6 decimals of a probability-mass rank: raw doubles differ
+            # across engines at the last ulp (sum-order), rounded values
+            # hash-match
+            "weight", F.round("weight", 6)
+        )
 
     def er_clusters(spark, sf_dir):
         # run_lean == run (asserted by tests/test_sinks.py::
@@ -707,6 +712,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_oracle import (
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, lemma_edges_sql, lemma_nodes_sql,
+        ranked_phrases_sql,
     )
 
     return {
@@ -722,6 +728,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "lemma_edges": lemma_edges_sql(),
         "er_ranked_clusters": er_ranked_clusters_sql(),
         "corpus_pagerank": corpus_pagerank_sql(),
+        "ranked_phrases": ranked_phrases_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),

@@ -538,6 +538,130 @@ def pagerank_ctes(
     return ",\n".join(parts), f"{p}_final"
 
 
+def docpr_ctes(*, max_iter: int = 100, alpha: float = 0.85, tol: float = 1.0e-6) -> str:
+    """Per-document weighted PageRank (doclevel/rank.py:26-57) unrolled,
+    grouped by doc_id — every document's power iteration runs in the same
+    relational tables, with the numpy version's per-doc adaptive stop
+    reproduced as a per-doc stop-iteration selector.
+
+    Requires ``dpn(doc_id, node_id, n)`` (n = node count of the doc) and
+    ``dpe(doc_id, src_id, dst_id, w)`` CTEs; emits ``dp_final(doc_id,
+    node_id, rank)``."""
+    parts = [f"""dp_outw AS MATERIALIZED (
+  SELECT doc_id, src_id, sum(w) AS out_w FROM dpe GROUP BY doc_id, src_id
+),
+dp_r0 AS MATERIALIZED (SELECT doc_id, node_id, 1.0 / n AS rank, n FROM dpn)"""]
+    for k in range(1, max_iter + 1):
+        prev = f"dp_r{k - 1}"
+        parts.append(f"""dp_d{k} AS MATERIALIZED (
+  SELECT r.doc_id, coalesce(sum(r.rank), 0.0) AS dm
+  FROM {prev} r LEFT JOIN dp_outw o
+    ON r.doc_id = o.doc_id AND r.node_id = o.src_id
+  WHERE o.src_id IS NULL
+  GROUP BY r.doc_id
+),
+dp_c{k} AS MATERIALIZED (
+  SELECT e.doc_id, e.dst_id,
+         sum({alpha} * r.rank * e.w / o.out_w) AS contrib
+  FROM {prev} r
+  JOIN dpe e ON e.doc_id = r.doc_id AND e.src_id = r.node_id
+  JOIN dp_outw o ON o.doc_id = e.doc_id AND o.src_id = e.src_id
+  GROUP BY e.doc_id, e.dst_id
+),
+dp_r{k} AS MATERIALIZED (
+  SELECT n.doc_id, n.node_id,
+         (1.0 - {alpha}) * (1.0 / n.n)
+         + {alpha} * coalesce(d.dm, 0.0) * (1.0 / n.n)
+         + coalesce(c.contrib, 0.0) AS rank,
+         n.n
+  FROM dpn n
+  LEFT JOIN dp_d{k} d ON d.doc_id = n.doc_id
+  LEFT JOIN dp_c{k} c ON c.doc_id = n.doc_id AND c.dst_id = n.node_id
+),
+dp_delta{k} AS MATERIALIZED (
+  SELECT a.doc_id, sum(abs(a.rank - b.rank)) AS v
+  FROM dp_r{k} a JOIN {prev} b
+    ON a.doc_id = b.doc_id AND a.node_id = b.node_id
+  GROUP BY a.doc_id
+)""")
+    delta_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {k} AS k, v FROM dp_delta{k}" for k in range(1, max_iter + 1)
+    )
+    rank_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, node_id, rank, {k} AS k FROM dp_r{k}" for k in range(1, max_iter + 1)
+    )
+    parts.append(f"""dp_deltas AS MATERIALIZED (
+  {delta_union}
+),
+dp_stop AS MATERIALIZED (
+  SELECT docs.doc_id,
+         coalesce(min(CASE WHEN d.v < docs.n * {tol} THEN d.k END), {max_iter}) AS k
+  FROM (SELECT doc_id, min(n) AS n FROM dpn GROUP BY doc_id) docs
+  LEFT JOIN dp_deltas d ON d.doc_id = docs.doc_id
+  GROUP BY docs.doc_id
+),
+dp_all AS MATERIALIZED (
+  {rank_union}
+),
+dp_final AS MATERIALIZED (
+  SELECT a.doc_id, a.node_id, a.rank
+  FROM dp_all a JOIN dp_stop s ON s.doc_id = a.doc_id AND s.k = a.k
+)""")
+    return ",\n".join(parts)
+
+
+def ranked_phrases_sql(table: str = "documents", *, top: int = 5) -> str:
+    """Oracle for phrases_table(extract_graphs(docs)) filtered to the top
+    ``top`` per doc. The corpus has no NER entities, so restack_ranks
+    (doclevel/rank.py:96-136) early-returns the raw per-doc PageRank —
+    phrases are all nodes ordered by (rank DESC, insertion order)."""
+    return f"""WITH
+{graph_ctes(table)},
+dnodes AS MATERIALIZED (
+  -- node_id = insertion order: token nodes by first occurrence, then
+  -- chunk nodes by first occurrence (build_doc_graph appends chunks
+  -- after all sentence tokens)
+  SELECT doc_id, node_key, kind, surface, pos, label, count,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CASE WHEN kind = 'chu' THEN 1 ELSE 0 END, first_tpos
+         ) - 1 AS INT) AS node_id
+  FROM node_rows
+),
+dpn AS MATERIALIZED (
+  SELECT doc_id, node_id,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+  FROM dnodes
+),
+dpe AS MATERIALIZED (
+  SELECT e.doc_id, s.node_id AS src_id, d.node_id AS dst_id,
+         CAST(e.count AS DOUBLE) AS w
+  FROM edge_rows e
+  JOIN dnodes s ON s.doc_id = e.doc_id AND s.node_key = e.src_key
+  JOIN dnodes d ON d.doc_id = e.doc_id AND d.node_key = e.dst_key
+),
+{docpr_ctes()},
+phrases AS (
+  SELECT n.doc_id, n.node_id, n.surface AS text, n.pos, n.label, n.count,
+         p.rank AS weight,
+         -- round-9 sort key: structurally symmetric nodes have EXACTLY
+         -- equal ranks in numpy (stable sort → insertion order), but
+         -- relational sum order perturbs the last ulp here — 1e-9
+         -- granularity restores the tie without masking genuine gaps
+         CAST(row_number() OVER (
+           PARTITION BY n.doc_id ORDER BY round(p.rank, 9) DESC, n.node_id
+         ) - 1 AS INT) AS rank_pos
+  FROM dnodes n
+  JOIN dp_final p ON p.doc_id = n.doc_id AND p.node_id = n.node_id
+  WHERE p.rank > 0
+)
+SELECT doc_id, rank_pos, node_id, text, pos, label,
+       CAST(count AS INT) AS count,
+       round(weight, 6) AS weight
+FROM phrases WHERE rank_pos < {top}
+"""
+
+
 def assignment_ctes(table: str = "documents", *, min_similarity: float = 0.9) -> str:
     """CTE chain through ``assignments(entity_key, cluster_id, surface,
     mention_count)`` — shared by the cluster-summary and ranked-members
