@@ -547,26 +547,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def entity_pairs(spark, sf_dir):
         # the documents corpus is lowercase word-salad (no NER surface
-        # forms) — run the operator over the deterministic synthetic pages
-        # corpus, sized from the sf documents count so it scales with sf
+        # forms) — run the operator over the deterministic ARITHMETIC
+        # pages corpus (sources/pages.arith_pages): RNG-free, so the
+        # DuckDB oracle regenerates the identical input and value-checks
+        # the full mixed-case extraction + BFS distance gate
         from textgraphs_spark.operators.graphops import entity_pairs_within_distance
-        from textgraphs_spark.sources.pages import synth_pages
+        from textgraphs_spark.sources.pages import arith_pages
 
-        n = _docs(spark, sf_dir).count()
-        pages = synth_pages(spark, n).select(F.xxhash64("url").alias("doc_id"), "text")
-        return entity_pairs_within_distance(pages.limit(100))
+        return entity_pairs_within_distance(arith_pages(spark))
 
     def kg_linking(spark, sf_dir):
         from textgraphs_spark.operators.extract import extract_entities
         from textgraphs_spark.operators.linking import kg_catalog_from_gazetteer, link_entities
-        from textgraphs_spark.sources.pages import synth_pages
+        from textgraphs_spark.sources.pages import arith_pages
 
-        n = _docs(spark, sf_dir).count()
-        pages = synth_pages(spark, n).select(F.xxhash64("url").alias("doc_id"), "text")
         ents = (
-            extract_entities(pages)
+            extract_entities(arith_pages(spark))
             .groupBy(F.col("node_key").alias("entity_key"))
-            .agg(F.first("surface").alias("surface"))
+            .agg(F.min("surface").alias("surface"))
         )
         catalog = kg_catalog_from_gazetteer(spark)
         return link_entities(ents, catalog).orderBy("entity_key", "iri")
@@ -714,6 +712,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         extract_mentions_sql, lemma_edges_sql, lemma_nodes_sql,
         ranked_phrases_sql,
     )
+    from textgraphs_spark.plans.pages_oracle import (
+        entity_pairs_sql as entity_pairs_oracle_sql,
+        kg_linking_sql as kg_linking_oracle_sql,
+    )
 
     return {
         # the flagship, value-verified end to end: tokenize → tag →
@@ -729,6 +731,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_ranked_clusters": er_ranked_clusters_sql(),
         "corpus_pagerank": corpus_pagerank_sql(),
         "ranked_phrases": ranked_phrases_sql(),
+        "entity_pairs": entity_pairs_oracle_sql(),
+        "kg_linking": kg_linking_oracle_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),

@@ -61,30 +61,40 @@ def _verb_s_test(col: str) -> str:
     END)"""
 
 
-def tag_case(col: str) -> str:
-    """The full _tag cascade (nlp/pipeline.py:67-103) for lowercase
-    tokens — the PROPN branch is omitted per the module preconditions."""
+def tag_case(col: str, *, mixed_case: bool = False, sent_initial: str = "FALSE") -> str:
+    """The full _tag cascade (nlp/pipeline.py:67-103). Dictionary and
+    suffix tests run on the lowercase form (as the Python tagger does);
+    with ``mixed_case`` the PROPN branch is included at its cascade
+    position, gated by the ``sent_initial`` SQL predicate and the
+    COMMON_WORDS exemption."""
     irr_verb = [k for k, v in lex.IRREGULAR_LEMMA.items() if v in lex.VERB]
+    low = f"lower({col})" if mixed_case else col
+    propn = ""
+    if mixed_case:
+        propn = f"""
+      WHEN substr({col}, 1, 1) BETWEEN 'A' AND 'Z'
+           AND NOT (({sent_initial}) AND {low} IN ({_inlist(lex.COMMON_WORDS)}))
+        THEN 'PROPN'"""
     return f"""CASE
       WHEN regexp_matches({col}, '^[0-9]+$') THEN 'NUM'
-      WHEN {col} IN ({_inlist(lex.DET)}) THEN 'DET'
-      WHEN {col} IN ({_inlist(lex.AUX)}) THEN 'AUX'
-      WHEN {col} IN ({_inlist(lex.ADP)}) THEN 'ADP'
-      WHEN {col} IN ({_inlist(lex.PRON)}) THEN 'PRON'
-      WHEN {col} IN ({_inlist(lex.CCONJ)}) THEN 'CCONJ'
-      WHEN {col} IN ({_inlist(lex.SCONJ)}) THEN 'SCONJ'
-      WHEN {col} IN ({_inlist(lex.ADV)}) THEN 'ADV'
-      WHEN {col} IN ({_inlist(lex.VERB)}) OR {col} IN ({_inlist(irr_verb)}) THEN 'VERB'
-      WHEN {col} IN ({_inlist(lex.ADJ)}) THEN 'ADJ'
-      WHEN {col} LIKE '%ly' AND length({col}) > 4 THEN 'ADV'
-      WHEN ({col} LIKE '%ing' OR {col} LIKE '%ed')
-           AND {col} NOT IN ({_inlist(lex.ING_ED_NOUNS)})
-           AND length({col}) > 4 THEN 'VERB'
-      WHEN ({col} LIKE '%ous' OR {col} LIKE '%ful' OR {col} LIKE '%ive'
-            OR {col} LIKE '%able' OR {col} LIKE '%ible')
-           AND length({col}) > 5 THEN 'ADJ'
-      WHEN {col} LIKE '%s' AND {col} NOT LIKE '%ss' AND {col} NOT LIKE '%us'
-           AND {col} NOT LIKE '%is' AND {_verb_s_test(col)} THEN 'VERB'
+      WHEN {low} IN ({_inlist(lex.DET)}) THEN 'DET'
+      WHEN {low} IN ({_inlist(lex.AUX)}) THEN 'AUX'
+      WHEN {low} IN ({_inlist(lex.ADP)}) THEN 'ADP'
+      WHEN {low} IN ({_inlist(lex.PRON)}) THEN 'PRON'
+      WHEN {low} IN ({_inlist(lex.CCONJ)}) THEN 'CCONJ'
+      WHEN {low} IN ({_inlist(lex.SCONJ)}) THEN 'SCONJ'
+      WHEN {low} IN ({_inlist(lex.ADV)}) THEN 'ADV'{propn}
+      WHEN {low} IN ({_inlist(lex.VERB)}) OR {low} IN ({_inlist(irr_verb)}) THEN 'VERB'
+      WHEN {low} IN ({_inlist(lex.ADJ)}) THEN 'ADJ'
+      WHEN {low} LIKE '%ly' AND length({low}) > 4 THEN 'ADV'
+      WHEN ({low} LIKE '%ing' OR {low} LIKE '%ed')
+           AND {low} NOT IN ({_inlist(lex.ING_ED_NOUNS)})
+           AND length({low}) > 4 THEN 'VERB'
+      WHEN ({low} LIKE '%ous' OR {low} LIKE '%ful' OR {low} LIKE '%ive'
+            OR {low} LIKE '%able' OR {low} LIKE '%ible')
+           AND length({low}) > 5 THEN 'ADJ'
+      WHEN {low} LIKE '%s' AND {low} NOT LIKE '%ss' AND {low} NOT LIKE '%us'
+           AND {low} NOT LIKE '%is' AND {_verb_s_test(low)} THEN 'VERB'
       ELSE 'NOUN'
     END"""
 

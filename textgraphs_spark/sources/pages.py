@@ -214,3 +214,45 @@ def extract_text_col(df: DataFrame, html_col: str = "html") -> DataFrame:
         return s.map(lambda b: extract_text(b) if b is not None else "")
 
     return df.withColumn("extracted_text", _ex(F.col(html_col)))
+
+
+def _arith_lists():
+    """The closed vocabularies the arithmetic corpus indexes into —
+    derived from the tagger gazetteers so NER labels are exercised
+    (GPE + ORG), plus the name lists. Shared with the DuckDB oracle
+    builder (plans/pages_oracle.py), which inlines the same lists."""
+    from ..nlp import lex
+
+    gpe = [w.title() for w in sorted(lex.GAZETTEER_GPE) if " " not in w]
+    org = [w.title() for w in sorted(lex.GAZETTEER_ORG)]
+    return FIRST_NAMES, LAST_NAMES, gpe, org
+
+
+def arith_pages(spark: SparkSession, n_pages: int = 150) -> DataFrame:
+    """Deterministic pages corpus built from PURE index arithmetic —
+    no RNG at all, so a SQL oracle regenerates it bit-identically
+    (synth_pages uses a Mersenne Twister, which SQL engines cannot
+    reproduce; this variant exists for value-verified queries).
+
+    One sentence per page, no punctuation:
+      "{First1} {Last1} met {First2} {Last2} in {Place} near {Org} offices"
+    exercising multi-token PROPN merging (PERSON), gazetteer GPE/ORG
+    labels, class-IRI links, and ADP-governed dependency arcs.
+    """
+    fn, ln, gpe, org = _arith_lists()
+
+    def pick(lst, expr):
+        arr = F.array(*[F.lit(x) for x in lst])
+        return F.element_at(arr, (expr % len(lst) + 1).cast("int"))
+
+    i = F.col("id")
+    text = F.concat_ws(
+        " ",
+        pick(fn, i), pick(ln, i),
+        F.lit("met"),
+        pick(fn, i * 7 + 3), pick(ln, i * 5 + 11),
+        F.lit("in"), pick(gpe, i),
+        F.lit("near"), pick(org, i * 3 + 1),
+        F.lit("offices"),
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
