@@ -154,6 +154,73 @@ def test_multimodal_features(spark):
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in frames)
 
 
+def _make_png(width: int, height: int) -> bytes:
+    """A real, valid grayscale PNG via stdlib struct+zlib."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_frames: int, rate: int = 8000) -> bytes:
+    """A real, valid 16-bit mono PCM WAV via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", (1000 if i % 2 == 0 else -1000)) for i in range(n_frames)
+        ))
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode(spark):
+    """The REAL decode branch parses genuine PNG / WAV containers
+    (stdlib-built fixtures) into header-derived feature vectors."""
+    from textgraphs_spark.operators.multimodal import (
+        DecoderUnavailable, decode_png_header, decode_wav_header, extract_features,
+    )
+
+    png = _make_png(37, 21)
+    wav = _make_wav(64)
+
+    meta = decode_png_header(png)
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (37, 21, 8)
+    wmeta = decode_wav_header(wav)
+    assert (wmeta["channels"], wmeta["sample_rate"], wmeta["n_frames"]) == (1, 8000, 64)
+    assert abs(wmeta["rms"] - 1000.0) < 1e-6
+
+    media = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(wav))], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, real_decode=True).collect()}
+    assert feats[0]["feature"][0] == 1.0 and feats[0]["feature"][1] == 37.0
+    assert feats[1]["feature"][0] == 2.0 and feats[1]["feature"][2] == 8000.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(DecoderUnavailable):
+        decode_png_header(b"not a png at all")
+
+
 def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     from textgraphs_spark.streaming.events import (
         read_events_stream, run_available_now, windowed_counts,

@@ -2,9 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, Arrow batch shape, partition sizing) is real
-and tested, while the actual codec work is stubbed behind
-``DecoderUnavailable`` (the decode libraries are not in this container) or
-a deterministic fake for tests.
+and tested. Two decode branches:
+
+* REAL, stdlib-only parsers for container formats that need no codec
+  libraries — PNG IHDR (width/height/bit depth/color type + chunk census)
+  and RIFF/WAVE PCM (channels/rate/bit depth/frames + RMS amplitude);
+* a deterministic fake (byte-histogram feature) for synthetic payloads
+  and tests. Formats beyond PNG/WAV raise ``DecoderUnavailable`` —
+  full image/video codecs are not in this container.
 
 At 100 TB the rules encoded here:
 * binary payloads are NEVER read unless the plan projects them — keep
@@ -45,6 +50,91 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_header(payload: bytes) -> dict:
+    """Parse a real PNG IHDR (stdlib-only): width/height/bit depth/color
+    type, plus chunk census. Raises DecoderUnavailable on non-PNG."""
+    import struct
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise DecoderUnavailable("not a PNG payload")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise DecoderUnavailable("malformed PNG: first chunk is not IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    # chunk census (bounded walk; tolerates truncated tails)
+    n_chunks, off = 0, 8
+    while off + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[off:off + 4])
+        n_chunks += 1
+        off += 12 + clen
+    return {
+        "media_type": "image", "format": "png", "width": w, "height": h,
+        "bit_depth": bit_depth, "color_type": color_type,
+        "interlace": interlace, "n_chunks": n_chunks,
+    }
+
+
+def decode_wav_header(payload: bytes) -> dict:
+    """Parse a real RIFF/WAVE header + PCM stats (stdlib-only): channels,
+    sample rate, bit depth, frame count, and RMS amplitude over 16-bit
+    PCM data. Raises DecoderUnavailable on non-WAV."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecoderUnavailable("not a WAV payload")
+    off = 12
+    fmt = None
+    data = b""
+    while off + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[off:off + 8])
+        body = payload[off + 8:off + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        off += 8 + clen + (clen & 1)
+    if fmt is None:
+        raise DecoderUnavailable("malformed WAV: no fmt chunk")
+    _audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    n_frames = len(data) // max(channels * max(bits // 8, 1), 1)
+    rms = 0.0
+    if bits == 16 and len(data) >= 2:
+        import array
+        import math
+
+        samples = array.array("h")
+        samples.frombytes(data[: len(data) - (len(data) % 2)])
+        if samples:
+            rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    return {
+        "media_type": "audio", "format": "wav", "channels": channels,
+        "sample_rate": rate, "bit_depth": bits, "n_frames": n_frames,
+        "rms": rms,
+    }
+
+
+def _real_feature(payload: bytes, dim: int = 16) -> list[float]:
+    """Feature vector from a REAL decode (PNG or WAV header + stats) —
+    header fields in fixed slots, zero-padded to ``dim``. Raises
+    DecoderUnavailable for formats without a parser in this container."""
+    try:
+        m = decode_png_header(payload)
+        vec = [1.0, float(m["width"]), float(m["height"]),
+               float(m["bit_depth"]), float(m["color_type"]),
+               float(m["interlace"]), float(m["n_chunks"])]
+    except DecoderUnavailable:
+        m = decode_wav_header(payload)
+        vec = [2.0, float(m["channels"]), float(m["sample_rate"]),
+               float(m["bit_depth"]), float(m["n_frames"]),
+               round(float(m["rms"]), 3), 0.0]
+    return (vec + [0.0] * dim)[:dim]
+
+
 def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic stand-in for a real feature extractor: a histogram
     of byte values folded into ``dim`` buckets, L1-normalized."""
@@ -68,11 +158,7 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        if real_decode:
-            raise DecoderUnavailable(
-                "image/audio codecs are not available in this environment; "
-                "run with real_decode=False for the deterministic fake"
-            )
+        feature_fn = _real_feature if real_decode else _fake_feature
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -85,7 +171,7 @@ def extract_features(
                     # engines without blob hashing (DuckDB 1.0) can
                     # reproduce it for value verification
                     "byte_hash": hashlib.md5(payload.hex().encode()).hexdigest(),
-                    "feature": _fake_feature(bytes(payload), dim),
+                    "feature": feature_fn(bytes(payload), dim),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
