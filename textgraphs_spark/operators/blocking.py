@@ -225,6 +225,12 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     preserved by the exact-key channel (identical forms already share a
     lemma key upstream).
     """
+    # materialize the input ONCE: the sizing aggregation, the broadcast
+    # guard's count, and the downstream self-join all read these
+    # partitions instead of re-deriving the (expensive) blocking channels
+    # per action — without this the guard count alone recomputes the
+    # whole minhash/banding upstream
+    df = df.localCheckpoint()
     # sizes via groupBy (partial aggregation absorbs the hot key — a
     # Window.partitionBy(key) would funnel the entire hot block through
     # ONE window task, the exact straggler salting exists to remove),
@@ -239,13 +245,13 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
             F.ceil(F.col("_block_n") / F.lit(max_block_size)).cast("int"),
         )
         .select(key_col, "_n_shards")
-        .localCheckpoint()  # counted below, then joined — compute once
     )
     # the oversized-key set is usually tiny (Zipf head), but on a
     # low-entropy corpus it is bounded only by |rows|/max_block_size —
     # force-broadcasting millions of keys would OOM the driver. Guard:
     # broadcast only below a row threshold; above it, fall back to a
     # shuffle join (AQE's skew-join splitting is the backstop there).
+    # (cheap: a hash agg over the checkpointed partitions)
     if oversized.count() <= _MAX_BROADCAST_KEYS:
         oversized = F.broadcast(oversized)
     return (
@@ -275,10 +281,10 @@ def candidate_pairs(
     Output: (block_key, left_id, right_id, left_<carry>, right_<carry>)
     with left_id < right_id.
     """
-    # localCheckpoint: the block table is self-joined below — materializing
-    # it once halves the upstream work, and lineage truncation guarantees
-    # neither join side re-derives the salting aggregation
-    salted = _salt_oversized(blocked, key_col, id_col, max_block_size).localCheckpoint()
+    # _salt_oversized checkpoints the block table internally; the salted
+    # frame on top of it is a cheap map-side broadcast join, so the
+    # self-join below re-reads materialized partitions on both sides
+    salted = _salt_oversized(blocked, key_col, id_col, max_block_size)
     left_cols = [F.col(key_col), F.col("salted_key"), F.col(id_col).alias("left_id")] + [
         F.col(c).alias(f"left_{c}") for c in carry_cols
     ]
