@@ -383,6 +383,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("stripe")
         )
 
+    def events_value_stripes(spark, sf_dir):
+        # the SCALE substitute for events_ntile's global sort (PLANS.md):
+        # value-quantile striping as one percentile aggregation (no sort,
+        # map-side partial) + a broadcast 1-row cut vector bucketing each
+        # row map-side. Cuts rounded to 9 decimals on both engines so
+        # boundary rows bucket identically.
+        ev = _t(spark, sf_dir, "events")
+        ps = [i / 8.0 for i in range(1, 8)]
+        cuts = ev.agg(
+            F.expr(
+                f"transform(percentile(value, array({', '.join(map(str, ps))})),"
+                " c -> round(c, 9))"
+            ).alias("cuts")
+        )
+        return (
+            ev.crossJoin(F.broadcast(cuts))
+            .withColumn(
+                "stripe",
+                (F.lit(1) + F.expr("size(filter(cuts, c -> value > c))")).cast("int"),
+            )
+            .groupBy("stripe")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("value"), 6).alias("min_v"),
+                F.round(F.max("value"), 6).alias("max_v"),
+            )
+            .orderBy("stripe")
+        )
+
     def documents_quality_gate(spark, sf_dir):
         from textgraphs_spark.operators.quality_gate import document_rules, violation_counts
 
@@ -618,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_revenue": top_parts_by_revenue,
         "events_user_windows": events_user_windows,
         "events_ntile": events_ntile,
+        "events_value_stripes": events_value_stripes,
         "multimodal_features": multimodal_features,
         "events_value_percentiles": events_value_percentiles,
         "events_type_pivot": events_type_pivot,
@@ -1062,5 +1092,18 @@ WITH w AS (
 SELECT stripe, count(*) AS n,
        round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
 FROM w GROUP BY stripe ORDER BY stripe
+""",
+        "events_value_stripes": """
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+           c -> round(c, 9)) AS cuts
+  FROM events
+)
+SELECT CAST(1 + len(list_filter(cuts.cuts, c -> value > c)) AS INT) AS stripe,
+       count(*) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+FROM events, cuts
+GROUP BY 1 ORDER BY 1
 """,
     }
