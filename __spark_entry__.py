@@ -55,22 +55,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_edges, corpus_nodes, extract_graphs, mentions_table, phrases_table,
     )
 
-    # ---- ER / lemma-graph family (extraction is UDF-based → rows-only) --
+    # ---- ER / lemma-graph family (UDF extraction; oracles are generated
+    # SQL twins of the tagger — see plans/er_oracle.py) ------------------
 
     def extract_mentions(spark, sf_dir):
-        ex = extract_graphs(_docs(spark, sf_dir))
+        ex = extract_graphs(_docs(spark, sf_dir), parts=("mentions",))
         return mentions_table(ex).orderBy("doc_id", "sent_id", "token_id")
 
     def lemma_nodes(spark, sf_dir):
-        ex = extract_graphs(_docs(spark, sf_dir))
+        ex = extract_graphs(_docs(spark, sf_dir), parts=("nodes",))
         return corpus_nodes(ex)
 
     def lemma_edges(spark, sf_dir):
-        ex = extract_graphs(_docs(spark, sf_dir))
+        ex = extract_graphs(_docs(spark, sf_dir), parts=("edges",))
         return corpus_edges(ex)
 
     def ranked_phrases(spark, sf_dir):
-        ex = extract_graphs(_docs(spark, sf_dir))
+        ex = extract_graphs(_docs(spark, sf_dir), parts=("phrases",))
         return phrases_table(ex).filter(F.col("rank_pos") < 5).withColumn(
             # 6 decimals of a probability-mass rank: raw doubles differ
             # across engines at the last ulp (sum-order), rounded values
@@ -98,7 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(spark, sf_dir)
         assignments = ERPipeline(spark, include_lemmas=True).run_lean(docs)
-        ex = extract_graphs(docs)
+        ex = extract_graphs(docs, parts=("edges",))
         edges = corpus_edges(ex).select(
             F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
             F.col("count").alias("weight"),
@@ -138,7 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # doc_id < 50, not limit(50): a deterministic, partition-prunable
         # subset (limit without order depends on scan partitioning)
-        ex = extract_graphs(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
+        ex = extract_graphs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 50), parts=("edges",)
+        )
         edges = corpus_edges(ex).select(
             F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
             F.col("count").alias("weight"),

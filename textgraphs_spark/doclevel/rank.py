@@ -66,11 +66,14 @@ def calc_quantile_bins(num_rows: int) -> np.ndarray:
 
 def stripe_column(values: np.ndarray, bins: np.ndarray) -> np.ndarray:
     """Digitize values into nearest-interpolation quantile bins
-    (util.py:88-113)."""
-    import pandas as pd
+    (util.py:88-113).
 
-    q = pd.Series(values).quantile(bins, interpolation="nearest")
-    return np.digitize(values, q.to_numpy()) - 1
+    np.percentile(method="nearest") IS what pandas Series.quantile
+    (interpolation="nearest") computes underneath — but without the
+    Series/Index construction overhead, which profiling showed was ~70%
+    of the whole per-doc extraction wall (4 stripe calls per document)."""
+    q = np.percentile(values, np.asarray(bins) * 100.0, method="nearest")
+    return np.digitize(values, q) - 1
 
 
 def solve_restack_coeffs(sum_e: float, sum_l: float, min_e: float, max_l: float) -> tuple[float, float]:

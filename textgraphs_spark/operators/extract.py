@@ -82,9 +82,19 @@ EXTRACT_SCHEMA = T.StructType([
 ])
 
 
-def _process_doc(doc_id: int, text: str) -> dict:
+ALL_PARTS = ("mentions", "nodes", "edges", "phrases")
+
+
+def _process_doc(doc_id: int, text: str, parts: tuple = ALL_PARTS) -> dict:
     """Run the full per-doc pipeline; imports stay function-local so the
-    module pickles cheaply to executors."""
+    module pickles cheaply to executors.
+
+    ``parts`` selects which output arrays are POPULATED — the parse and
+    ranking always run (they are cheap after the numpy stripe kernel),
+    but Arrow serialization of nested struct arrays dominates the stage
+    wall, so a query that reads only ``mentions`` should not pay to ship
+    ``nodes``/``edges``/``phrases``.
+    """
     import numpy as np
 
     from ..doclevel.build import build_doc_graph
@@ -121,14 +131,15 @@ def _process_doc(doc_id: int, text: str) -> dict:
     id2key = {nd.node_id: nd.key for nd in nodes}
 
     mentions = []
-    for nd in nodes:
-        for loc in nd.loc:
-            mentions.append({
-                "para_id": loc[1], "sent_id": loc[2], "token_id": loc[3],
-                "node_key": nd.key, "surface": nd.text, "pos": nd.pos,
-                "kind": nd.kind, "label": nd.label, "length": nd.length,
-                "sub_obj": nd.sub_obj, "dep": None, "head_key": None,
-            })
+    if "mentions" in parts:
+        for nd in nodes:
+            for loc in nd.loc:
+                mentions.append({
+                    "para_id": loc[1], "sent_id": loc[2], "token_id": loc[3],
+                    "node_key": nd.key, "surface": nd.text, "pos": nd.pos,
+                    "kind": nd.kind, "label": nd.label, "length": nd.length,
+                    "sub_obj": nd.sub_obj, "dep": None, "head_key": None,
+                })
 
     node_rows = [{
         "node_id": nd.node_id, "node_key": nd.key, "surface": nd.text,
@@ -136,13 +147,13 @@ def _process_doc(doc_id: int, text: str) -> dict:
         "length": nd.length, "count": nd.count, "sub_obj": nd.sub_obj,
         "neighbors": nd.neighbors, "weight": nd.weight,
         "annotated": nd.annotated,
-    } for nd in nodes]
+    } for nd in nodes] if "nodes" in parts else []
 
     edge_rows = [{
         "src_id": e.src, "dst_id": e.dst,
         "src_key": id2key[e.src], "dst_key": id2key[e.dst],
         "kind": e.kind, "rel": e.rel, "prob": e.prob, "count": e.count,
-    } for e in g.edges.values()]
+    } for e in g.edges.values()] if "edges" in parts else []
 
     # ranked phrases: weight > 0, sorted desc, stable on insertion order
     # (reference: doc.py:940-970)
@@ -152,7 +163,7 @@ def _process_doc(doc_id: int, text: str) -> dict:
     } for nd in sorted(
         (nd for nd in nodes if nd.weight > 0),
         key=lambda x: -x.weight,
-    )]
+    )] if "phrases" in parts else []
 
     return {
         "doc_id": doc_id, "mentions": mentions, "nodes": node_rows,
@@ -182,14 +193,23 @@ def _respread(df: DataFrame) -> DataFrame:
     return df
 
 
-def extract_graphs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """documents(id, text, ...) → nested per-doc lemma-graph rows."""
+def extract_graphs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, parts: tuple = ALL_PARTS,
+) -> DataFrame:
+    """documents(id, text, ...) → nested per-doc lemma-graph rows.
+
+    ``parts`` limits which nested arrays are populated (others come back
+    empty): Arrow transfer of nested structs dominates this stage's wall,
+    so single-table consumers (mentions_table, corpus_edges, ...) should
+    request only what they read — measured ~2x on the mentions query.
+    """
     cols = [id_col, text_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                _process_doc(int(r_id), r_text if r_text is not None else "")
+                _process_doc(int(r_id), r_text if r_text is not None else "", parts)
                 for r_id, r_text in zip(pdf[id_col], pdf[text_col])
             ]
             yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
