@@ -72,3 +72,44 @@ def test_bootstrap_merge(spark):
     assert merged.filter(F.col("node_key") == "http://example.org/herzog").count() == 1
     # corpus nodes survive the union + re-agg
     assert merged.filter(F.col("node_key") == "werner.PROPN.herzog.PROPN").count() == 1
+
+
+def test_girvan_newman_barbell(spark):
+    """Two triangles joined by a bridge: the bridge has the highest edge
+    betweenness, so exact Girvan-Newman splits off the two triangles."""
+    from textgraphs_spark.operators.graphops import girvan_newman_communities
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.node: r.community for r in girvan_newman_communities(edges).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 4
+
+
+def test_girvan_newman_matches_label_propagation_shape(spark):
+    """On two disjoint cliques both algorithms find the same communities."""
+    from textgraphs_spark.operators.graphops import (
+        girvan_newman_communities, label_propagation,
+    )
+
+    rows = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    rows += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    gn = {r.node: r.community for r in girvan_newman_communities(edges).collect()}
+    lp = {r.node: r.label for r in label_propagation(edges).collect()}
+    gn_parts = {frozenset(k for k, v in gn.items() if v == c) for c in set(gn.values())}
+    lp_parts = {frozenset(k for k, v in lp.items() if v == c) for c in set(lp.values())}
+    assert gn_parts == lp_parts
+
+
+def test_girvan_newman_scale_gate(spark):
+    import pytest
+    from textgraphs_spark.operators.graphops import girvan_newman_communities
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="label_propagation"):
+        girvan_newman_communities(edges, max_edges=10)

@@ -114,3 +114,110 @@ def label_propagation(
         )
         labels = best.localCheckpoint()
     return labels
+
+
+def girvan_newman_communities(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_communities: int = 2,
+    max_edges: int = 50_000,
+) -> DataFrame:
+    """EXACT Girvan-Newman clustering (reference: textgraphs/vis.py:189-204
+    uses networkx.girvan_newman to color the visualization): repeatedly
+    remove the highest-edge-betweenness edge until the graph splits into
+    ``n_communities`` components. Returns (node, community) with
+    community = min member id.
+
+    Size-adaptive by design: betweenness recomputation is O(V*E) PER
+    REMOVED EDGE and inherently centralized, so this exact form is gated
+    to visualization-scale graphs (``max_edges``) and runs on the driver
+    after a bounded collect — the same adaptive pattern as the CC
+    fast path. At corpus scale use ``label_propagation`` (the declared
+    substitute; see COVERAGE.md divergences).
+    """
+    from collections import deque
+
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .distinct()
+    )
+    n_e = e.count()
+    if n_e > max_edges:
+        raise ValueError(
+            f"girvan_newman_communities is a visualization-scale operator "
+            f"(edges={n_e} > max_edges={max_edges}); use label_propagation"
+        )
+    edge_set = {(int(r.s), int(r.d)) for r in e.toPandas().itertuples(index=False)}
+    nodes = sorted({x for ab in edge_set for x in ab})
+
+    def components(adj):
+        seen, comps = set(), []
+        for n0 in nodes:
+            if n0 in seen:
+                continue
+            comp, q = {n0}, deque([n0])
+            seen.add(n0)
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        comp.add(v)
+                        q.append(v)
+            comps.append(comp)
+        return comps
+
+    def edge_betweenness(adj):
+        """Brandes' algorithm accumulated onto edges (undirected)."""
+        bet = {frozenset(ed): 0.0 for ed in edge_set}
+        for s0 in nodes:
+            # BFS: shortest-path counts
+            dist = {s0: 0}
+            sigma = {s0: 1.0}
+            preds: dict[int, list[int]] = {s0: []}
+            order = []
+            q = deque([s0])
+            while q:
+                u = q.popleft()
+                order.append(u)
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0.0
+                        preds[v] = []
+                        q.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            delta = {u: 0.0 for u in order}
+            for v in reversed(order):
+                for u in preds[v]:
+                    c = sigma[u] / sigma[v] * (1.0 + delta[v])
+                    key = frozenset((u, v))
+                    if key in bet:
+                        bet[key] += c
+                    delta[u] += c
+        return bet
+
+    cur = set(edge_set)
+    while True:
+        adj = {n0: set() for n0 in nodes}
+        for a, b in cur:
+            adj[a].add(b)
+            adj[b].add(a)
+        comps = components(adj)
+        if len(comps) >= n_communities or not cur:
+            break
+        bet = edge_betweenness(adj)
+        # deterministic: max betweenness, ties by smallest (s, d)
+        victim = max(
+            cur, key=lambda ed: (bet[frozenset(ed)], (-ed[0], -ed[1]))
+        )
+        cur.discard(victim)
+
+    rows = [(n0, min(c)) for c in comps for n0 in c]
+    return edges.sparkSession.createDataFrame(rows, "node long, community long")
