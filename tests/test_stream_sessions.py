@@ -172,3 +172,75 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         for r in session_stats(ev, gap_minutes=30).collect()
     }
     assert streamed == batch
+
+
+def test_simhash_col_matches_batch_kernel(spark):
+    """The stateless per-row SimHash expression is bit-identical to the
+    groupBy aggregation kernel."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.dedup import simhash, simhash_col
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} shared tail words") for i in range(20)]
+        + [(100, ""), (101, "one")],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    exprv = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash_col("text").alias("fp")).collect()
+    }
+    # the aggregation kernel emits no row for token-less docs; the
+    # stateless expression gives them fingerprint 0 (all sums 0)
+    assert exprv.pop(100) == 0
+    assert batch == exprv
+
+
+def test_stream_near_dup_candidates(spark, tmp_path):
+    """Near-identical docs arriving within the lag window are flagged by
+    the band self-join; the result matches the batch near-dup operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.dedup import simhash_near_dup_pairs
+    from textgraphs_spark.streaming.events import (
+        run_available_now, stream_near_dup_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(6):
+        # three near-dup pairs (i, i+100) + unrelated docs
+        rows.append((i, base + f" tail {i}", f"2024-01-01 10:0{i}:00"))
+        rows.append((i + 100, base + f" tail {i} extra", f"2024-01-01 10:0{i}:30"))
+        rows.append((i + 200, f"completely different text number {i} about "
+                              f"unrelated topic {i * 7}", f"2024-01-01 10:0{i}:15"))
+    src = tmp_path / "neardup_src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text", "ts"]).to_parquet(
+        src / "part0.parquet"
+    )
+
+    schema = "doc_id long, text string, ts string"
+    stream = (
+        spark.readStream.schema(schema).parquet(str(src))
+    )
+    out = stream_near_dup_candidates(stream, watermark="10 minutes",
+                                     max_lag="10 minutes", max_hamming=8)
+    run_available_now(out, checkpoint=str(tmp_path / "ck"), table_name="nd_out")
+    got = {
+        frozenset((r.left_id, r.right_id))
+        for r in spark.sql("SELECT DISTINCT left_id, right_id FROM nd_out").collect()
+    }
+    # streamed left/right is time-ordered; batch is id-ordered — compare
+    # the unordered pair sets
+    batch_docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string"
+    )
+    want = {
+        frozenset((r.left_id, r.right_id))
+        for r in simhash_near_dup_pairs(batch_docs, max_hamming=8).collect()
+    }
+    assert want, "fixture must contain near-dups"
+    assert got == want

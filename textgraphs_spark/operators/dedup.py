@@ -329,6 +329,37 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", 
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_col(text_col: str = "text", *, bits: int = 60) -> "F.Column":
+    """STATELESS per-row SimHash — the same fingerprint as ``simhash()``
+    computed entirely inside array expressions (no groupBy), for contexts
+    where aggregation is unavailable or costly (streams: the only
+    stateful operator should be the join; see streaming/events.py).
+
+    Bit-identical to the aggregation kernel: summing ±1 per token
+    OCCURRENCE equals summing ±count per distinct token. Higher-order
+    functions are interpreted, so this trades per-row CPU for
+    statelessness — the batch path keeps the codegen'd groupBy kernel.
+    """
+    toks = _TOKENS.format(c=text_col)
+    # one md5 per token occurrence (top 60 bits as a long), then ±1 per
+    # bit accumulated into a 60-long array of signed sums, folded into
+    # the fingerprint
+    hashes = (
+        f"transform({toks},"
+        f" t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    sums = (
+        f"aggregate({hashes}, array_repeat(0L, {bits}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f" (a, b) -> a + IF((h & shiftleft(1L, b)) != 0, 1L, -1L)))"
+    )
+    fp = (
+        f"aggregate(zip_with({sums}, sequence(0, {bits - 1}),"
+        f" (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+    return F.expr(fp)
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     *,

@@ -107,3 +107,93 @@ def stream_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def stream_near_dup_candidates(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "1 hour",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Streaming near-duplicate detection: each arriving document is
+    checked against documents seen within ``max_lag`` via a SimHash-band
+    stream-stream self-join — the streaming twin of
+    ``operators/dedup.py::simhash_near_dup_pairs``.
+
+    Plan shape (state bounded by the watermark on both sides):
+    1. fingerprint each doc with the STATELESS per-row SimHash expression
+       (``dedup.simhash_col`` — bit-identical to the batch aggregation
+       kernel, no groupBy, so the only stateful operator is the join);
+    2. explode into 4 x 16-bit band keys (pigeonhole: any pair within
+       Hamming <= 3 shares a band; larger ``max_hamming`` trades recall);
+    3. stream-stream self-join on (band, bkey) with an event-time
+       interval condition — Spark retains only ``max_lag`` of band state;
+    4. exact Hamming verify on the candidates.
+
+    Emits (left_id, right_id, left_ts, right_ts, band, hamming) with
+    left before right in EVENT TIME (the earlier doc is the "original",
+    the later its near-dup; id breaks exact ties) — one row per MATCHING
+    BAND, keeping the plan to a single stateful operator; a pair within
+    Hamming of several bands appears once per band, and the trivial
+    downstream dedup is a batch concern, exactly like the batch
+    operator's final dropDuplicates.
+    """
+    from ..operators.dedup import simhash_col
+
+    fp = docs_stream.select(
+        F.col(id_col),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        simhash_col(text_col).alias("simhash"),
+    )
+    bands = []
+    for i in range(4):
+        bands.append(fp.select(
+            F.col(id_col), F.col("simhash"), F.col("_ts"),
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+        ))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+
+    left = (
+        banded.select(
+            F.col(id_col).alias("left_id"), F.col("simhash").alias("lh"),
+            F.col("_ts").alias("left_ts"),
+            F.col("band").alias("lband"), F.col("bkey").alias("lbkey"),
+        ).withWatermark("left_ts", watermark)
+    )
+    right = (
+        banded.select(
+            F.col(id_col).alias("right_id"), F.col("simhash").alias("rh"),
+            F.col("_ts").alias("right_ts"),
+            F.col("band").alias("rband"), F.col("bkey").alias("rbkey"),
+        ).withWatermark("right_ts", watermark)
+    )
+    # pair by TIME order (the earlier doc is the "original", the later
+    # one its near-dup), id as the tie-break — unlike the batch operator
+    # ids carry no arrival meaning here
+    joined = left.join(
+        right,
+        (F.col("lband") == F.col("rband"))
+        & (F.col("lbkey") == F.col("rbkey"))
+        & (
+            (F.col("left_ts") < F.col("right_ts"))
+            | ((F.col("left_ts") == F.col("right_ts"))
+               & (F.col("left_id") < F.col("right_id")))
+        )
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"interval {max_lag}")),
+    )
+    hamming = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))
+    return (
+        joined.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "left_id", "right_id", "left_ts", "right_ts",
+            F.col("lband").alias("band"), "hamming",
+        )
+    )
