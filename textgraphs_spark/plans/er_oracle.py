@@ -166,23 +166,23 @@ def graph_ctes(table: str = "documents") -> str:
     stem, fix, rest = _verb_lemma_cols("tok")
     chainable = "('DET', 'ADJ', 'NOUN', 'PROPN', 'CCONJ')"
     nominal = "('NOUN', 'PROPN', 'PRON', 'NUM')"
-    return f"""tokr AS (
+    return f"""tokr AS MATERIALIZED (
   SELECT doc_id, CAST(r.i AS INT) AS tpos, toks[CAST(r.i AS INT)] AS tok
   FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM {table}) d,
        unnest(range(1, len(toks) + 1)) AS r(i)
 ),
-tagr AS (
+tagr AS MATERIALIZED (
   SELECT doc_id, tpos, tok,
     {tag_case('tok')} AS tag
   FROM tokr
 ),
-lemr0 AS (
+lemr0 AS MATERIALIZED (
   SELECT doc_id, tpos, tok, tag,
     {_irregular_case('tok')} AS _irr,
     {stem} AS _vstem
   FROM tagr
 ),
-lemr AS (
+lemr AS MATERIALIZED (
   SELECT doc_id, tpos, tok, tag,
     coalesce(_irr,
       CASE
@@ -193,7 +193,7 @@ lemr AS (
       END) AS lemma
   FROM lemr0
 ),
-toknode AS (
+toknode AS MATERIALIZED (
   -- node identity per token: linked lemma key for NOUN/PROPN/VERB,
   -- doc-unique placeholder key otherwise (0-based doc-global index)
   SELECT doc_id, tpos, tok, tag, lemma,
@@ -204,7 +204,7 @@ toknode AS (
          END AS node_key
   FROM lemr
 ),
-rootp AS (
+rootp AS MATERIALIZED (
   SELECT doc_id,
          coalesce(
            min(CASE WHEN tag = 'VERB' THEN tpos END),
@@ -213,7 +213,7 @@ rootp AS (
            1) AS root_pos
   FROM toknode GROUP BY doc_id
 ),
-depw AS (
+depw AS MATERIALIZED (
   SELECT t.*, r.root_pos,
          max(CASE WHEN tag = 'ADP' THEN tpos END)
            OVER (PARTITION BY t.doc_id ORDER BY tpos
@@ -226,7 +226,7 @@ depw AS (
                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nom
   FROM toknode t JOIN rootp r ON t.doc_id = r.doc_id
 ),
-depg AS (
+depg AS MATERIALIZED (
   SELECT *,
          CASE WHEN tag IN {nominal} AND tpos <> root_pos
                    AND prev_adp IS NOT NULL
@@ -234,14 +234,14 @@ depg AS (
               THEN prev_adp END AS gov
   FROM depw
 ),
-attrp AS (
+attrp AS MATERIALIZED (
   -- the FIRST nominal after the root with no ADP governor gets 'attr'
   SELECT doc_id, min(tpos) AS attr_pos
   FROM depg
   WHERE tag IN {nominal} AND tpos <> root_pos AND gov IS NULL AND tpos > root_pos
   GROUP BY doc_id
 ),
-deps AS (
+deps AS MATERIALIZED (
   SELECT g.doc_id, g.tpos, g.tok, g.tag, g.lemma, g.linked, g.node_key,
          CASE
            WHEN g.tpos = g.root_pos THEN 'ROOT'
@@ -270,12 +270,12 @@ deps AS (
 ),
 -- noun-chunk overlay: islands of chainable tags; chunk spans the first
 -- startable (non-CCONJ) token through the last nominal of the island
-isl AS (
+isl AS MATERIALIZED (
   SELECT doc_id, tpos, tok, tag, lemma,
          tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
   FROM deps WHERE tag IN {chainable}
 ),
-spans AS (
+spans AS MATERIALIZED (
   SELECT doc_id, grp,
          min(CASE WHEN tag <> 'CCONJ' THEN tpos END) AS s,
          max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END) AS ln
@@ -285,7 +285,7 @@ spans AS (
      AND max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN tpos END)
          >= min(CASE WHEN tag <> 'CCONJ' THEN tpos END)
 ),
-chunk_occ AS (
+chunk_occ AS MATERIALIZED (
   SELECT sp.doc_id, sp.s, sp.ln,
          string_agg(t.lemma || '.' || t.tag, '.' ORDER BY t.tpos) AS chunk_key,
          string_agg(t.tok, ' ' ORDER BY t.tpos) AS surface,
@@ -294,7 +294,7 @@ chunk_occ AS (
     ON t.doc_id = sp.doc_id AND t.tpos BETWEEN sp.s AND sp.ln
   GROUP BY sp.doc_id, sp.s, sp.ln
 ),
-chunk_new AS (
+chunk_new AS MATERIALIZED (
   -- novelty: keys already present as token nodes (pre-overlay) are skipped
   SELECT c.* FROM chunk_occ c
   WHERE NOT EXISTS (
@@ -302,7 +302,7 @@ chunk_new AS (
     WHERE t.doc_id = c.doc_id AND t.node_key = c.chunk_key
   )
 ),
-chunk_nodes AS (
+chunk_nodes AS MATERIALIZED (
   SELECT doc_id, chunk_key AS node_key, 'chu' AS kind,
          min_by(surface, s) AS surface, 'noun_chunk' AS pos,
          CAST(NULL AS VARCHAR) AS label,
@@ -310,7 +310,7 @@ chunk_nodes AS (
          count(*) AS count, FALSE AS sub_obj, min(s) AS first_tpos
   FROM chunk_new GROUP BY doc_id, chunk_key
 ),
-tok_nodes AS (
+tok_nodes AS MATERIALIZED (
   SELECT doc_id, node_key,
          CASE WHEN linked THEN 'lem' ELSE 'dep' END AS kind,
          min_by(tok, tpos) AS surface, min(tag) AS pos,
@@ -320,10 +320,10 @@ tok_nodes AS (
          min(tpos) AS first_tpos
   FROM deps GROUP BY doc_id, node_key, linked
 ),
-node_rows AS (
+node_rows AS MATERIALIZED (
   SELECT * FROM tok_nodes UNION ALL SELECT * FROM chunk_nodes
 ),
-mention_rows AS (
+mention_rows AS MATERIALIZED (
   -- one row per node occurrence (placeholders have no mentions);
   -- surface/sub_obj are NODE-level within the doc
   SELECT d.doc_id, d.tpos - 1 AS token_id, d.node_key,
@@ -336,14 +336,14 @@ mention_rows AS (
   FROM chunk_new c JOIN chunk_nodes n
     ON n.doc_id = c.doc_id AND n.node_key = c.chunk_key
 ),
-dep_edges AS (
+dep_edges AS MATERIALIZED (
   SELECT s.doc_id, s.node_key AS src_key, h.node_key AS dst_key,
          'dep' AS kind, s.dep AS rel, 1.0 AS prob, count(*) AS count
   FROM deps s JOIN deps h ON h.doc_id = s.doc_id AND h.tpos = s.head_pos
   WHERE s.node_key <> h.node_key
   GROUP BY s.doc_id, s.node_key, h.node_key, s.dep
 ),
-chu_edges AS (
+chu_edges AS MATERIALIZED (
   SELECT c.doc_id, c.chunk_key AS src_key, t.node_key AS dst_key,
          'chu' AS kind, 'noun_chunk' AS rel, 1.0 AS prob, count(*) AS count
   FROM chunk_new c JOIN deps t
@@ -351,7 +351,7 @@ chu_edges AS (
   WHERE c.chunk_key <> t.node_key
   GROUP BY c.doc_id, c.chunk_key, t.node_key
 ),
-edge_rows AS (
+edge_rows AS MATERIALIZED (
   SELECT * FROM dep_edges UNION ALL SELECT * FROM chu_edges
 )"""
 
@@ -400,28 +400,28 @@ def entities_ctes(table: str = "documents") -> str:
     """CTE chain documents → entities(entity_key, surface, mention_count,
     doc_freq) — the SQL twin of extract_entities(include_lemmas=True) +
     the ERPipeline entity aggregation (min-surface canonicalization)."""
-    return f"""tok AS (
+    return f"""tok AS MATERIALIZED (
   SELECT doc_id, CAST(r.i AS INT) AS pos, toks[CAST(r.i AS INT)] AS tok
   FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM {table}) d,
        unnest(range(1, len(toks) + 1)) AS r(i)
 ),
-tagged AS (
+tagged AS MATERIALIZED (
   SELECT doc_id, pos, tok,
     {tag_case('tok')} AS pos_tag
   FROM tok
 ),
-ent_tok AS (
+ent_tok AS MATERIALIZED (
   SELECT doc_id, pos, tok,
     {noun_lemma_case('tok')} AS lemma
   FROM tagged WHERE pos_tag IN ('NOUN', 'PROPN')
 ),
-doc_ents AS (
+doc_ents AS MATERIALIZED (
   -- per-doc node upsert: surface = FIRST occurrence of the key in the doc
   SELECT doc_id, lemma || '.' || 'NOUN' AS entity_key,
          min_by(tok, pos) AS surface, count(*) AS cnt
   FROM ent_tok GROUP BY doc_id, lemma
 ),
-entities AS (
+entities AS MATERIALIZED (
   SELECT entity_key, min(surface) AS surface,
          CAST(sum(cnt) AS BIGINT) AS mention_count,
          count(*) AS doc_freq
@@ -442,17 +442,17 @@ def _minhash_channel(num_hashes: int = 16, bands: int = 4, shingle: int = 3) -> 
         for b in range(bands)
     )
     band_ids = ", ".join(f"({b})" for b in range(bands))
-    return f"""esh AS (
+    return f"""esh AS MATERIALIZED (
   SELECT entity_key, substr(norm, CAST(i.i AS INT), {shingle}) AS _sh
   FROM keyed, unnest(range(1, greatest(length(norm) - {shingle - 1}, 1) + 1)) AS i(i)
 ),
 ehb AS (SELECT entity_key, CAST('0x' || substr(md5(_sh), 1, 15) AS BIGINT) AS _hb FROM esh),
-esig AS (
+esig AS MATERIALIZED (
   SELECT entity_key,
     {mins}
   FROM ehb GROUP BY entity_key
 ),
-ebands AS (
+ebands AS MATERIALIZED (
   SELECT entity_key, b.band_id,
     CASE b.band_id
       {band_cases}
@@ -651,7 +651,7 @@ dpe AS MATERIALIZED (
   JOIN dnodes d ON d.doc_id = e.doc_id AND d.node_key = e.dst_key
 ),
 {docpr_ctes()},
-phrases AS (
+phrases AS MATERIALIZED (
   SELECT n.doc_id, n.node_id, n.surface AS text, n.pos, n.label, n.count,
          p.rank AS weight,
          -- round-9 sort key: structurally symmetric nodes have EXACTLY
@@ -677,33 +677,33 @@ def assignment_ctes(table: str = "documents", *, min_similarity: float = 0.9) ->
     mention_count)`` — shared by the cluster-summary and ranked-members
     oracles. Must be placed under WITH RECURSIVE (the reach CTE)."""
     return f"""{entities_ctes(table)},
-keyed AS (
+keyed AS MATERIALIZED (
   SELECT entity_key, surface,
          lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g')) AS norm
   FROM entities
 ),
-kparts AS (
+kparts AS MATERIALIZED (
   SELECT entity_key, surface, norm,
          string_split_regex(trim(norm), ' +') AS toks
   FROM keyed
 ),
-chan_key AS (
+chan_key AS MATERIALIZED (
   SELECT entity_key,
          concat_ws('|', toks[len(toks)], substr(toks[1], 1, 1)) AS bkey
   FROM kparts
 ),
 {_minhash_channel()},
-chan_mh AS (
+chan_mh AS MATERIALIZED (
   SELECT entity_key, concat_ws('|', 'mh', band_id, band_key) AS bkey FROM ebands
 ),
-blocked AS (
+blocked AS MATERIALIZED (
   SELECT * FROM chan_key UNION ALL SELECT * FROM chan_mh
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
   FROM blocked a JOIN blocked b ON a.bkey = b.bkey AND a.entity_key < b.entity_key
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT c.left_id, c.right_id, lp.p AS lp, rp.p AS rp
   FROM cands c
   JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM entities) lp
@@ -711,13 +711,13 @@ scored AS (
   JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM entities) rp
     ON rp.entity_key = c.right_id
 ),
-nm AS (
+nm AS MATERIALIZED (
   SELECT left_id, right_id,
          coalesce(lp[1], '') AS fa, coalesce(lp[len(lp)], '') AS la,
          coalesce(rp[1], '') AS fb, coalesce(rp[len(rp)], '') AS lb
   FROM scored
 ),
-matches AS (
+matches AS MATERIALIZED (
   SELECT left_id, right_id
   FROM nm
   WHERE la <> '' AND lb <> ''
@@ -730,7 +730,7 @@ matches AS (
                 END)
       + 0.65 * jaro_winkler_similarity(la, lb) >= {min_similarity}
 ),
-edgesu AS (
+edgesu AS MATERIALIZED (
   SELECT left_id AS a, right_id AS b FROM matches
   UNION SELECT right_id, left_id FROM matches
 ),
@@ -739,10 +739,10 @@ reach(node, r) AS (
   UNION
   SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
 ),
-comp AS (
+comp AS MATERIALIZED (
   SELECT node AS entity_key, min(r) AS cluster_id FROM reach GROUP BY node
 ),
-assignments AS (
+assignments AS MATERIALIZED (
   SELECT e.entity_key, c.cluster_id, e.surface, e.mention_count
   FROM entities e JOIN comp c ON e.entity_key = c.entity_key
 )"""
@@ -771,13 +771,13 @@ def er_ranked_clusters_sql(table: str = "documents", *, max_iter: int = 20) -> s
     return f"""WITH RECURSIVE
 {assignment_ctes(table)},
 {graph_ctes(table)},
-corpus_e AS (
+corpus_e AS MATERIALIZED (
   SELECT src_key, dst_key, CAST(sum(count) AS BIGINT) AS weight
   FROM edge_rows GROUP BY src_key, dst_key, kind, rel
 ),
 prin AS (SELECT src_key AS src, dst_key AS dst, weight AS w FROM corpus_e),
 {pr},
-full_assign AS (
+full_assign AS MATERIALIZED (
   SELECT a.entity_key, a.cluster_id, a.surface, a.mention_count, p.rank
   FROM assignments a LEFT JOIN {final} p ON p.node = a.entity_key
 )
@@ -800,7 +800,7 @@ def corpus_pagerank_sql(
     pr, final = pagerank_ctes(edges="prin", max_iter=max_iter, prefix="pr")
     return f"""WITH
 {graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
-corpus_e AS (
+corpus_e AS MATERIALIZED (
   SELECT src_key, dst_key, CAST(sum(count) AS BIGINT) AS weight
   FROM edge_rows GROUP BY src_key, dst_key, kind, rel
 ),

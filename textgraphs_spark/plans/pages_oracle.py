@@ -10,6 +10,11 @@ per-doc BFS distances / catalog linking.
 
 Preconditions: single-sentence pages, ASCII `[A-Za-z0-9 ]` text (no
 initials, so no lookbehind sentence splitting — RE2 engines lack it).
+
+All CTEs are MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+the unrolled BFS references the adjacency once per step — un-materialized
+that re-derives the whole extraction chain per step (measured 40-60 s vs
+~2 s for the same query).
 """
 
 from __future__ import annotations
@@ -71,23 +76,23 @@ def pages_graph_ctes(n_pages: int = 150) -> str:
     nominal = "('NOUN', 'PROPN', 'PRON', 'NUM')"
     chainable = "('DET', 'ADJ', 'NOUN', 'PROPN', 'CCONJ')"
     return f"""{arith_pages_sql(n_pages)},
-rtok AS (
+rtok AS MATERIALIZED (
   SELECT doc_id, CAST(r.i AS INT) AS tpos, toks[CAST(r.i AS INT)] AS tok
   FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM pages) d,
        unnest(range(1, len(toks) + 1)) AS r(i)
 ),
-rtag AS (
+rtag AS MATERIALIZED (
   SELECT doc_id, tpos, tok,
     {tag_case('tok', mixed_case=True, sent_initial='tpos = 1')} AS tag
   FROM rtok
 ),
-rlem0 AS (
+rlem0 AS MATERIALIZED (
   SELECT doc_id, tpos, tok, tag, lower(tok) AS low,
     {_irregular_case('lower(tok)')} AS _irr,
     {stem0} AS _vstem
   FROM rtag
 ),
-rlem AS (
+rlem AS MATERIALIZED (
   SELECT doc_id, tpos, tok, tag,
     coalesce(_irr,
       CASE
@@ -98,7 +103,7 @@ rlem AS (
   FROM rlem0
 ),
 -- merge maximal PROPN runs into single entity tokens
-runs AS (
+runs AS MATERIALIZED (
   SELECT *,
          CASE WHEN tag = 'PROPN'
               THEN tpos - row_number() OVER (
@@ -106,7 +111,7 @@ runs AS (
               END AS grp
   FROM rlem
 ),
-mtok0 AS (
+mtok0 AS MATERIALIZED (
   SELECT doc_id, min(tpos) AS first_tpos,
          string_agg(tok, ' ' ORDER BY tpos) AS text,
          string_agg(lemma, ' ' ORDER BY tpos) AS lemma,
@@ -117,13 +122,13 @@ mtok0 AS (
   SELECT doc_id, tpos, tok, lemma, lemma || '.' || tag, tag, 1, FALSE
   FROM runs WHERE tag <> 'PROPN'
 ),
-mtok AS (
+mtok AS MATERIALIZED (
   SELECT doc_id, first_tpos, text, lemma, pair_str, tag, n_raw, is_ent,
          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY first_tpos) - 1 AS INT) AS mi,
          CASE WHEN is_ent THEN {_ner_label_case('lower(text)')} END AS ent_label
   FROM mtok0
 ),
-mkey AS (
+mkey AS MATERIALIZED (
   SELECT *,
          CASE
            WHEN is_ent THEN pair_str
@@ -141,7 +146,7 @@ mroot AS (
            0) AS root_mi
   FROM mkey GROUP BY doc_id
 ),
-mdepw AS (
+mdepw AS MATERIALIZED (
   SELECT t.*, r.root_mi,
          max(CASE WHEN tag = 'ADP' THEN mi END)
            OVER (PARTITION BY t.doc_id ORDER BY mi
@@ -154,7 +159,7 @@ mdepw AS (
                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nom
   FROM mkey t JOIN mroot r ON t.doc_id = r.doc_id
 ),
-mdepg AS (
+mdepg AS MATERIALIZED (
   SELECT *,
          CASE WHEN tag IN {nominal} AND mi <> root_mi
                    AND prev_adp IS NOT NULL
@@ -162,7 +167,7 @@ mdepg AS (
               THEN prev_adp END AS gov
   FROM mdepw
 ),
-mdeps AS (
+mdeps AS MATERIALIZED (
   SELECT g.*,
          CASE
            WHEN g.mi = g.root_mi THEN g.root_mi
@@ -173,19 +178,19 @@ mdeps AS (
          END AS head_mi
   FROM mdepg g
 ),
-ment AS (
+ment AS MATERIALIZED (
   SELECT doc_id, node_key,
          min_by(text, mi) AS surface,
          min_by(ent_label, mi) AS label,
          count(*) AS cnt
   FROM mkey WHERE is_ent GROUP BY doc_id, node_key
 ),
-misl AS (
+misl AS MATERIALIZED (
   SELECT doc_id, mi, tag, pair_str, node_key,
          mi - row_number() OVER (PARTITION BY doc_id ORDER BY mi) AS grp
   FROM mkey WHERE tag IN {chainable}
 ),
-mspans AS (
+mspans AS MATERIALIZED (
   SELECT doc_id, grp,
          min(CASE WHEN tag <> 'CCONJ' THEN mi END) AS s,
          max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN mi END) AS ln
@@ -194,37 +199,37 @@ mspans AS (
      AND max(CASE WHEN tag IN ('NOUN', 'PROPN') THEN mi END)
          >= min(CASE WHEN tag <> 'CCONJ' THEN mi END)
 ),
-mchunks AS (
+mchunks AS MATERIALIZED (
   SELECT sp.doc_id, sp.s, sp.ln,
          string_agg(t.pair_str, '.' ORDER BY t.mi) AS chunk_key
   FROM mspans sp JOIN mkey t
     ON t.doc_id = sp.doc_id AND t.mi BETWEEN sp.s AND sp.ln
   GROUP BY sp.doc_id, sp.s, sp.ln
 ),
-mchunk_new AS (
+mchunk_new AS MATERIALIZED (
   SELECT c.* FROM mchunks c
   WHERE NOT EXISTS (
     SELECT 1 FROM mkey t
     WHERE t.doc_id = c.doc_id AND t.node_key = c.chunk_key
   )
 ),
-dep_e AS (
+dep_e AS MATERIALIZED (
   SELECT DISTINCT s.doc_id, s.node_key AS src, h.node_key AS dst
   FROM mdeps s JOIN mdeps h ON h.doc_id = s.doc_id AND h.mi = s.head_mi
   WHERE s.node_key <> h.node_key
 ),
-chu_e AS (
+chu_e AS MATERIALIZED (
   SELECT DISTINCT c.doc_id, c.chunk_key AS src, t.node_key AS dst
   FROM mchunk_new c JOIN mkey t
     ON t.doc_id = c.doc_id AND t.mi BETWEEN c.s AND c.ln
   WHERE c.chunk_key <> t.node_key
 ),
-iri_e AS (
+iri_e AS MATERIALIZED (
   SELECT DISTINCT doc_id, node_key AS src,
          {_class_iri_case('label')} AS dst
   FROM ment WHERE {_class_iri_case('label')} IS NOT NULL
 ),
-alledges AS (
+alledges AS MATERIALIZED (
   SELECT doc_id, src AS a, dst AS b FROM dep_e
   UNION ALL SELECT doc_id, dst, src FROM dep_e
   UNION ALL SELECT doc_id, src, dst FROM chu_e
