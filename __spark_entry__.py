@@ -601,6 +601,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog = kg_catalog_from_gazetteer(spark)
         return link_entities(ents, catalog).orderBy("entity_key", "iri")
 
+    def relation_inf_edges(spark, sf_dir):
+        # the RE pipeline contract end to end (pattern-based default in
+        # the pluggable gen_triples_batch slot): adjacent-entity verb
+        # patterns → probability gate → rel→IRI resolution → INF edges
+        from textgraphs_spark.operators.relations import infer_relations, inf_edges
+        from textgraphs_spark.sources.pages import arith_pages
+
+        triples = infer_relations(arith_pages(spark))
+        return inf_edges(triples).orderBy("src_key", "dst_key", "rel")
+
     def multimodal_features(spark, sf_dir):
         # feature vector flattened to comma-joined micro-units (x*1e6 as
         # long): exact integers on both engines, scalar for the driver's
@@ -665,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcloud_weights": wordcloud_weights,
         "entity_pairs": entity_pairs,
         "kg_linking": kg_linking,
+        "relation_inf_edges": relation_inf_edges,
     }
 
 
@@ -748,6 +759,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
         kg_linking_sql as kg_linking_oracle_sql,
+        relation_edges_sql,
     )
 
     return {
@@ -766,6 +778,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
+        "relation_inf_edges": relation_edges_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),

@@ -269,6 +269,64 @@ WHERE b.node <> b.root_key AND b.dist + 1 <= {max_skip}
 """
 
 
+def relation_edges_sql(n_pages: int = 150, *, min_prob: float = 0.9) -> str:
+    """Oracle for the pattern-based relation extractor + inf_edges over
+    arith_pages (operators/relations.py::_pattern_triples, inf_edges):
+    adjacent entity mentions with a verb strictly between them yield a
+    (src, rel, dst) triple; rel = verb lemma (suffixed with an
+    intervening ADP lemma) remapped, then resolved to a property IRI."""
+    from ..operators.relations import REL_IRI
+
+    rel_dim = ",\n   ".join(
+        f"('{k}', '{v}')" for k, v in sorted(REL_IRI.items())
+    )
+    return f"""WITH
+{pages_graph_ctes(n_pages)},
+epairs AS MATERIALIZED (
+  SELECT doc_id, mi AS a_mi, node_key AS a_key, text AS a_text,
+         lead(mi) OVER (PARTITION BY doc_id ORDER BY mi) AS b_mi,
+         lead(node_key) OVER (PARTITION BY doc_id ORDER BY mi) AS b_key
+  FROM mkey WHERE is_ent
+),
+between_toks AS MATERIALIZED (
+  SELECT p.doc_id, p.a_mi, p.b_mi, p.a_key, p.b_key,
+         min_by(CASE WHEN t.tag = 'VERB' THEN t.lemma END,
+                CASE WHEN t.tag = 'VERB' THEN t.mi END) AS verb_lemma,
+         min_by(CASE WHEN t.tag = 'ADP' THEN t.lemma END,
+                CASE WHEN t.tag = 'ADP' THEN t.mi END) AS adp_lemma
+  FROM epairs p
+  JOIN mkey t ON t.doc_id = p.doc_id AND t.mi > p.a_mi AND t.mi < p.b_mi
+  WHERE p.b_mi IS NOT NULL
+  GROUP BY p.doc_id, p.a_mi, p.b_mi, p.a_key, p.b_key
+),
+triples AS MATERIALIZED (
+  SELECT doc_id, a_key AS src_key,
+         CASE coalesce(verb_lemma || CASE WHEN adp_lemma IS NOT NULL
+                                          THEN '_' || adp_lemma ELSE '' END, '')
+           WHEN 'meet' THEN 'met'
+           WHEN 'travel_from' THEN 'traveled_from'
+           WHEN 'work_with' THEN 'works_with'
+           WHEN 'praise' THEN 'praised'
+           ELSE verb_lemma || CASE WHEN adp_lemma IS NOT NULL
+                                   THEN '_' || adp_lemma ELSE '' END
+         END AS rel,
+         b_key AS dst_key, 0.95 AS prob
+  FROM between_toks
+  WHERE verb_lemma IS NOT NULL
+),
+rel_dim(rel, rel_iri) AS (VALUES
+   {rel_dim}
+)
+SELECT t.src_key, t.dst_key,
+       coalesce(d.rel_iri, t.rel) AS rel,
+       count(*) AS count, max(t.prob) AS prob, 'inf' AS kind
+FROM triples t LEFT JOIN rel_dim d ON t.rel = d.rel
+WHERE t.src_key <> t.dst_key AND t.prob >= {min_prob}
+GROUP BY t.src_key, t.dst_key, coalesce(d.rel_iri, t.rel)
+ORDER BY src_key, dst_key, rel
+"""
+
+
 def kg_linking_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
     """Oracle for kg_linking over arith_pages: corpus entity keys linked
     against the gazetteer catalog (linking.kg_catalog_from_gazetteer,
