@@ -601,6 +601,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog = kg_catalog_from_gazetteer(spark)
         return link_entities(ents, catalog).orderBy("entity_key", "iri")
 
+    def kg_sameas_edges(spark, sf_dir):
+        # J8: two catalogs (dbpedia + wikidata namespaces) linking the
+        # same entity yield owl:sameAs match edges — the transitive-
+        # closure feed (reference kg.py:1068-1142)
+        from textgraphs_spark.operators.extract import extract_entities
+        from textgraphs_spark.operators.linking import (
+            kg_catalog_from_gazetteer, link_entities, sameas_edges,
+        )
+        from textgraphs_spark.sources.pages import arith_pages
+
+        ents = (
+            extract_entities(arith_pages(spark))
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(F.min("surface").alias("surface"))
+        )
+        links = link_entities(ents, kg_catalog_from_gazetteer(spark))
+        return sameas_edges(links).orderBy("left_id", "right_id")
+
     def relation_inf_edges(spark, sf_dir):
         # the RE pipeline contract end to end (pattern-based default in
         # the pluggable gen_triples_batch slot): adjacent-entity verb
@@ -675,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcloud_weights": wordcloud_weights,
         "entity_pairs": entity_pairs,
         "kg_linking": kg_linking,
+        "kg_sameas_edges": kg_sameas_edges,
         "relation_inf_edges": relation_inf_edges,
     }
 
@@ -759,7 +778,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
         kg_linking_sql as kg_linking_oracle_sql,
-        relation_edges_sql,
+        relation_edges_sql, sameas_edges_sql,
     )
 
     return {
@@ -778,6 +797,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
+        "kg_sameas_edges": sameas_edges_sql(),
         "relation_inf_edges": relation_edges_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),

@@ -269,6 +269,25 @@ WHERE b.node <> b.root_key AND b.dist + 1 <= {max_skip}
 """
 
 
+def sameas_edges_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
+    """Oracle for sameas_edges(link_entities(...)): IRIs of DIFFERENT
+    namespaces linked to the same entity key become owl:sameAs edges."""
+    base = kg_linking_sql(n_pages, min_prob=min_prob).rstrip().rstrip("\n")
+    base = base[: base.rindex("SELECT n.entity_key")].rstrip()
+    return f"""{base},
+links AS MATERIALIZED (
+  SELECT n.entity_key, c.iri, c.namespace
+  FROM normed n JOIN catalog c ON n._norm = c.surface_norm
+  WHERE c.prob >= {min_prob}
+)
+SELECT DISTINCT a.iri AS left_id, b.iri AS right_id,
+       'http://www.w3.org/2002/07/owl#sameAs' AS rel
+FROM links a JOIN links b
+  ON a.entity_key = b.entity_key AND a.namespace < b.namespace
+ORDER BY left_id, right_id
+"""
+
+
 def relation_edges_sql(n_pages: int = 150, *, min_prob: float = 0.9) -> str:
     """Oracle for the pattern-based relation extractor + inf_edges over
     arith_pages (operators/relations.py::_pattern_triples, inf_edges):
