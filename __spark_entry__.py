@@ -601,6 +601,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         catalog = kg_catalog_from_gazetteer(spark)
         return link_entities(ents, catalog).orderBy("entity_key", "iri")
 
+    def ranked_phrases_pages(spark, sf_dir):
+        # the FULL restack ranking (quantile striping + RMS + the
+        # entity-over-lemma LP) — exercised on the entity-bearing pages
+        # corpus (the lowercase documents corpus has no entities, so
+        # ranked_phrases there early-returns raw PageRank)
+        from textgraphs_spark.sources.pages import arith_pages
+
+        ex = extract_graphs(arith_pages(spark), parts=("phrases",))
+        return phrases_table(ex).filter(F.col("rank_pos") < 5).withColumn(
+            "weight", F.round("weight", 6)
+        )
+
     def kg_sameas_edges(spark, sf_dir):
         # J8: two catalogs (dbpedia + wikidata namespaces) linking the
         # same entity yield owl:sameAs match edges — the transitive-
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking": kg_linking,
         "kg_sameas_edges": kg_sameas_edges,
         "relation_inf_edges": relation_inf_edges,
+        "ranked_phrases_pages": ranked_phrases_pages,
     }
 
 
@@ -778,7 +791,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
         kg_linking_sql as kg_linking_oracle_sql,
-        relation_edges_sql, sameas_edges_sql,
+        ranked_phrases_pages_sql, relation_edges_sql, sameas_edges_sql,
     )
 
     return {
@@ -799,6 +812,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "kg_linking": kg_linking_oracle_sql(),
         "kg_sameas_edges": sameas_edges_sql(),
         "relation_inf_edges": relation_edges_sql(),
+        "ranked_phrases_pages": ranked_phrases_pages_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),

@@ -346,6 +346,259 @@ ORDER BY src_key, dst_key, rel
 """
 
 
+def _ner_meta_case(label: str, field: int) -> str:
+    """NER label → NER_MAP iri/definition/cls_label (field 0/1/2)."""
+    whens = "\n      ".join(
+        f"WHEN '{k}' THEN '{v[field]}'" for k, v in sorted(lex.NER_MAP.items())
+    )
+    return f"CASE {label}\n      {whens}\n      ELSE NULL END"
+
+
+def ranked_phrases_pages_sql(n_pages: int = 150, *, top: int = 5) -> str:
+    """Oracle for phrases_table(extract_graphs(arith_pages)) top-``top``:
+    unlike the lowercase documents corpus, pages HAVE entities, so this
+    exercises the FULL restack (doc.py:796-890 semantics): per-doc
+    PageRank → VERB/IRI count redaction → max-normalization → quantile
+    striping (np.percentile 'nearest' == sorted value at the
+    banker-rounded virtual index) → RMS → entity-over-lemma LP
+    coefficients in closed form → stacked weights.
+    """
+    from .er_oracle import docpr_ctes
+
+    rdf_type = lex.RDF_TYPE.replace("'", "''")
+    # per-column quantile + stripe CTEs (c0..c3)
+    quant_parts, stripe_cols = [], []
+    for c in range(4):
+        quant_parts.append(f"""q{c} AS MATERIALIZED (
+  SELECT b.doc_id, b.j, v.val AS qv
+  FROM bins b
+  JOIN (
+    SELECT doc_id, c{c} AS val,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c{c}) - 1 AS rk
+    FROM normedf
+  ) v ON v.doc_id = b.doc_id
+     AND v.rk = CAST(roundbankers(b.q * (b.n - 1), 0) AS INT)
+)""")
+        stripe_cols.append(
+            f"(SELECT count(CASE WHEN q.qv <= f.c{c} THEN 1 END) - 1\n"
+            f"          FROM q{c} q WHERE q.doc_id = f.doc_id) AS s{c}"
+        )
+    quants = ",\n".join(quant_parts)
+    stripes = ",\n         ".join(stripe_cols)
+    return f"""WITH
+{pages_graph_ctes(n_pages)},
+subo AS MATERIALIZED (
+  -- sub_obj per merged token: pobj (ADP-governed) or nsubj (pre-root)
+  SELECT *,
+         (tag IN ('NOUN','PROPN','PRON','NUM') AND mi <> root_mi
+          AND (gov IS NOT NULL OR mi < root_mi)) AS sub_flag
+  FROM mdeps
+),
+tok_nodes_p AS MATERIALIZED (
+  SELECT doc_id, node_key,
+         CASE WHEN bool_or(is_ent) THEN 'ent'
+              WHEN min(tag) IN ('NOUN', 'PROPN', 'VERB') THEN 'lem'
+              ELSE 'dep' END AS kind,
+         min_by(text, mi) AS surface, min(tag) AS pos,
+         CASE WHEN bool_or(is_ent) OR min(tag) IN ('NOUN', 'VERB')
+              THEN count(*) ELSE 0 END AS count,
+         bool_or(sub_flag) AS sub_obj,
+         min(mi) AS ord1,
+         CASE WHEN bool_or(is_ent)
+              THEN {_ner_meta_case('min_by(ent_label, mi)', 0)} END AS label
+  FROM subo GROUP BY doc_id, node_key
+),
+iri_nodes_p AS MATERIALIZED (
+  SELECT doc_id, iri AS node_key, 'iri' AS kind,
+         {_ner_meta_case('lbl', 1)} AS surface,
+         '{rdf_type}' AS pos,
+         count(*) AS count, FALSE AS sub_obj,
+         min(first_mi) AS ord1,
+         {_ner_meta_case('lbl', 2)} AS label
+  FROM (
+    SELECT doc_id, min_by(ent_label, mi) AS lbl,
+           {_ner_meta_case('min_by(ent_label, mi)', 0)} AS iri,
+           min(mi) AS first_mi
+    FROM subo WHERE is_ent GROUP BY doc_id, node_key
+  ) WHERE iri IS NOT NULL
+  GROUP BY doc_id, iri, lbl
+),
+chunk_surf AS MATERIALIZED (
+  SELECT c.doc_id, c.s, c.ln, c.chunk_key,
+         string_agg(t.text, ' ' ORDER BY t.mi) AS surface
+  FROM mchunk_new c JOIN mkey t
+    ON t.doc_id = c.doc_id AND t.mi BETWEEN c.s AND c.ln
+  GROUP BY c.doc_id, c.s, c.ln, c.chunk_key
+),
+chu_nodes_p AS MATERIALIZED (
+  SELECT doc_id, chunk_key AS node_key, 'chu' AS kind,
+         min_by(surface, s) AS surface, 'noun_chunk' AS pos,
+         count(*) AS count, FALSE AS sub_obj, min(s) AS ord1,
+         CAST(NULL AS VARCHAR) AS label
+  FROM chunk_surf GROUP BY doc_id, chunk_key
+),
+allnodes AS MATERIALIZED (
+  SELECT *, 0 AS grp FROM tok_nodes_p
+  UNION ALL SELECT *, 1 FROM iri_nodes_p
+  UNION ALL SELECT *, 2 FROM chu_nodes_p
+),
+idn AS MATERIALIZED (
+  SELECT doc_id, node_key, kind, surface, pos, count, sub_obj, label,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp, ord1) - 1 AS INT) AS node_id
+  FROM allnodes
+),
+-- per-doc weighted edges (dep arcs + chunk membership + class links)
+dep_w AS MATERIALIZED (
+  SELECT s.doc_id, s.node_key AS src_key, h.node_key AS dst_key,
+         count(*) AS w
+  FROM mdeps s JOIN mdeps h ON h.doc_id = s.doc_id AND h.mi = s.head_mi
+  WHERE s.node_key <> h.node_key
+  GROUP BY s.doc_id, s.node_key, h.node_key
+),
+chu_w AS MATERIALIZED (
+  SELECT c.doc_id, c.chunk_key AS src_key, t.node_key AS dst_key,
+         count(*) AS w
+  FROM mchunk_new c JOIN mkey t
+    ON t.doc_id = c.doc_id AND t.mi BETWEEN c.s AND c.ln
+  WHERE c.chunk_key <> t.node_key
+  GROUP BY c.doc_id, c.chunk_key, t.node_key
+),
+iri_w AS MATERIALIZED (
+  SELECT doc_id, src, dst, 1 AS w FROM iri_e
+),
+edges_w AS MATERIALIZED (
+  SELECT * FROM dep_w UNION ALL SELECT * FROM chu_w UNION ALL SELECT * FROM iri_w
+),
+dpn AS MATERIALIZED (
+  SELECT doc_id, node_id,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+  FROM idn
+),
+dpe AS MATERIALIZED (
+  SELECT e.doc_id, s.node_id AS src_id, d.node_id AS dst_id,
+         CAST(sum(e.w) AS DOUBLE) AS w
+  FROM edges_w e
+  JOIN idn s ON s.doc_id = e.doc_id AND s.node_key = e.src_key
+  JOIN idn d ON d.doc_id = e.doc_id AND d.node_key = e.dst_key
+  GROUP BY e.doc_id, s.node_id, d.node_id
+),
+{docpr_ctes()},
+neigh AS MATERIALIZED (
+  SELECT doc_id, src_key, count(DISTINCT dst_key) AS nb
+  FROM edges_w GROUP BY doc_id, src_key
+),
+feat AS MATERIALIZED (
+  SELECT i.doc_id, i.node_key, i.node_id, i.kind, i.surface, i.pos,
+         i.count, i.label,
+         CASE WHEN i.pos = 'VERB' OR i.kind = 'iri' THEN 0 ELSE i.count END AS stacked,
+         coalesce(nb.nb, 0) AS neighbors,
+         CASE WHEN i.sub_obj THEN 1 ELSE 0 END AS subint,
+         p.rank
+  FROM idn i
+  JOIN dp_final p ON p.doc_id = i.doc_id AND p.node_id = i.node_id
+  LEFT JOIN neigh nb ON nb.doc_id = i.doc_id AND nb.src_key = i.node_key
+),
+w0 AS MATERIALIZED (
+  SELECT *, CASE WHEN stacked < 1 THEN 0.0 ELSE rank END AS weight0 FROM feat
+),
+mx AS MATERIALIZED (
+  SELECT doc_id, max(weight0) AS mw, max(stacked) AS ms,
+         max(neighbors) AS mn, max(subint) AS mo, count(*) AS n
+  FROM w0 GROUP BY doc_id
+),
+normedf AS MATERIALIZED (
+  SELECT w.*,
+         CASE WHEN m.mw > 0 THEN w.weight0 / m.mw ELSE 0.0 END AS c0,
+         CASE WHEN m.ms > 0 THEN w.stacked * 1.0 / m.ms ELSE 0.0 END AS c1,
+         CASE WHEN m.mn > 0 THEN w.neighbors * 1.0 / m.mn ELSE 0.0 END AS c2,
+         CASE WHEN m.mo > 0 THEN w.subint * 1.0 / m.mo ELSE 0.0 END AS c3,
+         m.n
+  FROM w0 w JOIN mx m ON w.doc_id = m.doc_id
+),
+gbins AS MATERIALIZED (
+  SELECT doc_id, n,
+         greatest(CAST(roundbankers(ln(n) * 4.0, 0) AS INT), 1) AS g
+  FROM mx
+),
+bins AS MATERIALIZED (
+  SELECT gb.doc_id, gb.n, CAST(b.i AS INT) AS j,
+         CASE WHEN gb.g = 1 THEN 0.0 ELSE b.i * 1.0 / (gb.g - 1) END AS q
+  FROM gbins gb, unnest(range(0, gb.g)) AS b(i)
+),
+{quants},
+striped AS MATERIALIZED (
+  SELECT f.doc_id, f.node_key, f.node_id, f.kind, f.surface, f.pos,
+         f.count, f.label, f.stacked, f.rank,
+         {stripes}
+  FROM normedf f
+),
+rms AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN stacked < 1 THEN 0.0
+              ELSE sqrt((s0*s0 + s1*s1 + s2*s2 + s3*s3) / 4.0) END AS rc0
+  FROM striped
+),
+tot AS MATERIALIZED (SELECT doc_id, sum(rc0) AS t FROM rms GROUP BY doc_id),
+rcn AS MATERIALIZED (
+  SELECT r.*, CASE WHEN t.t > 0 THEN r.rc0 / t.t ELSE r.rc0 END AS rc
+  FROM rms r JOIN tot t ON r.doc_id = t.doc_id
+),
+lp AS MATERIALIZED (
+  -- the closed-form restack LP (doclevel/rank.py:76-93) per doc
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'ent' THEN rc ELSE 0 END) AS sum_e,
+         sum(CASE WHEN kind <> 'ent' THEN rc ELSE 0 END) AS sum_l,
+         min(CASE WHEN kind = 'ent' AND rc > 0 THEN rc END) AS min_e,
+         max(CASE WHEN kind <> 'ent' AND rc > 0 THEN rc END) AS max_l,
+         count(CASE WHEN kind = 'ent' AND rc > 0 THEN 1 END) AS n_e,
+         count(CASE WHEN kind <> 'ent' AND rc > 0 THEN 1 END) AS n_l
+  FROM rcn GROUP BY doc_id
+),
+coeffs AS MATERIALIZED (
+  SELECT doc_id, n_e, n_l,
+    CASE
+      WHEN max_l > 0 AND sum_e + sum_l * min_e / max_l > 0
+           AND 1.0 / (sum_e + sum_l * min_e / max_l)
+               >= (1.0 / (sum_e + sum_l * min_e / max_l)) * min_e / max_l
+        THEN 1.0 / (sum_e + sum_l * min_e / max_l)
+      WHEN sum_e + sum_l + min_e - max_l > 0
+           AND (1.0 / (sum_e + sum_l + min_e - max_l)) * (min_e - max_l) >= 0
+        THEN 1.0 / (sum_e + sum_l + min_e - max_l)
+      ELSE CASE WHEN sum_e > 0 THEN 1.0 / sum_e ELSE 0.0 END
+    END AS coef0,
+    CASE
+      WHEN max_l > 0 AND sum_e + sum_l * min_e / max_l > 0
+           AND 1.0 / (sum_e + sum_l * min_e / max_l)
+               >= (1.0 / (sum_e + sum_l * min_e / max_l)) * min_e / max_l
+        THEN (1.0 / (sum_e + sum_l * min_e / max_l)) * min_e / max_l
+      WHEN sum_e + sum_l + min_e - max_l > 0
+           AND (1.0 / (sum_e + sum_l + min_e - max_l)) * (min_e - max_l) >= 0
+        THEN 1.0 / (sum_e + sum_l + min_e - max_l)
+      ELSE 0.0
+    END AS coef1
+  FROM lp
+),
+finalw AS MATERIALIZED (
+  -- no-entity / no-lemma docs fall back to the RAW PageRank (rank.py:133)
+  SELECT r.doc_id, r.node_id, r.surface AS text, r.pos, r.label, r.count,
+         CASE WHEN c.n_e < 1 OR c.n_l < 1 THEN r.rank
+              WHEN r.kind = 'ent' THEN r.rc * c.coef0
+              ELSE r.rc * c.coef1 END AS weight
+  FROM rcn r JOIN coeffs c ON r.doc_id = c.doc_id
+),
+phr AS MATERIALIZED (
+  SELECT doc_id, node_id, text, pos, label, count, weight,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY round(weight, 9) DESC, node_id
+         ) - 1 AS INT) AS rank_pos
+  FROM finalw WHERE weight > 0
+)
+SELECT doc_id, rank_pos, node_id, text, pos, label,
+       CAST(count AS INT) AS count, round(weight, 6) AS weight
+FROM phr WHERE rank_pos < {top}
+"""
+
+
 def kg_linking_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
     """Oracle for kg_linking over arith_pages: corpus entity keys linked
     against the gazetteer catalog (linking.kg_catalog_from_gazetteer,
