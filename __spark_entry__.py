@@ -147,7 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("count").alias("weight"),
         )
         pr = pagerank(edges, max_iter=15)
-        return pr.orderBy(F.desc("rank"), "node").limit(50).select(
+        # round-9 sort key: structurally symmetric nodes have equal ranks
+        # up to summation-order ulps; damping the key makes the top-50
+        # cut deterministic across engines (node breaks exact ties)
+        return pr.orderBy(F.desc(F.round("rank", 9)), "node").limit(50).select(
             "node", F.round("rank", 6).alias("rank")
         )
 
@@ -477,7 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             click_us.alias("click_us"),
             F.col("asof_view_id").alias("view_id"),
             F.col("asof_ts_us").alias("view_us"),
-            F.round((click_us - F.col("asof_ts_us")) / 1000000.0, 4).alias("latency_s"),
+            # exact integer micros, not round(double, 4): a latency on a
+            # .xxxx5 double boundary rounds differently across engines
+            (click_us - F.col("asof_ts_us")).alias("latency_us"),
         ).orderBy("click_id")
 
     def events_value_buckets(spark, sf_dir):
@@ -1107,7 +1112,7 @@ SELECT c.event_id AS click_id, c.user_id,
        epoch_us(c.ts) AS click_us,
        v.event_id AS view_id,
        epoch_us(v.ts) AS view_us,
-       round((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0, 4) AS latency_s
+       epoch_us(c.ts) - epoch_us(v.ts) AS latency_us
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts

@@ -19,12 +19,18 @@ def daily_distinct_sketches(
     *,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    lg_k: int = 12,
+    lg_k: int = 14,
 ) -> DataFrame:
     """Per-day HLL sketch + estimate of distinct ``key_col`` values.
 
     The ``sketch`` column is reusable state: persist it and later ranges
     roll up via ``rollup_distinct`` with no rescan of the raw events.
+
+    lg_k=14 (16 KB dense): the Datasketches sparse mode keeps estimates
+    EXACT well past the per-day cardinalities of the test corpus at both
+    sf0.01 and sf0.1 (lg_k=12 already drifted by ~0.15% at ~1.3k distinct
+    keys/day); at real scale the estimate is approximate by design and
+    the relative error is ~1.04/sqrt(2^lg_k) ≈ 0.8%.
     """
     return (
         events.groupBy(F.to_date(F.col(ts_col)).alias("day"))

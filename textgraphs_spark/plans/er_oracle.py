@@ -808,6 +808,6 @@ prin AS (SELECT src_key AS src, dst_key AS dst, weight AS w FROM corpus_e),
 {pr}
 SELECT node, round(rank, 6) AS rank
 FROM {final}
-ORDER BY rank DESC, node
+ORDER BY round(rank, 9) DESC, node
 LIMIT {top}
 """
