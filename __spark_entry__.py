@@ -156,6 +156,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- GOR affinity over TPC-H-derived triples (oracle-checked) -------
 
+    def communities_label_prop(spark, sf_dir):
+        # A14/G7 scale path: synchronous label propagation over the
+        # aggregated lemma graph (deterministic (count, label) tie-break)
+        from textgraphs_spark.operators.graphops import label_propagation
+
+        ex = extract_graphs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 50), parts=("edges",)
+        )
+        edges = corpus_edges(ex).select(
+            F.col("src_key").alias("src"), F.col("dst_key").alias("dst")
+        )
+        return label_propagation(edges).orderBy("node")
+
     def gor_affinity(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").join(
             _t(spark, sf_dir, "nation"),
@@ -441,6 +454,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("day")
         )
 
+    def events_distinct_rollup(spark, sf_dir):
+        # the MERGE path — the reason sketches exist at scale: persisted
+        # daily sketches union into a range estimate with no rescan of
+        # the raw events (exact at test cardinality, like the daily query)
+        from textgraphs_spark.operators.sketches import (
+            daily_distinct_sketches, rollup_distinct,
+        )
+
+        return rollup_distinct(
+            daily_distinct_sketches(_t(spark, sf_dir, "events"))
+        ).select(
+            F.col("distinct_est").cast("long").alias("distinct_users"),
+            "n_events", "n_days",
+        )
+
     def events_sessionize(spark, sf_dir):
         from textgraphs_spark.operators.analytics import session_stats
 
@@ -673,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ranked_clusters": er_ranked_clusters,
         "er_incremental": er_incremental,
         "corpus_pagerank": corpus_pagerank,
+        "communities_label_prop": communities_label_prop,
         "gor_affinity": gor_affinity,
         "dedup_exact": dedup_exact,
         "dedup_exact_groups": dedup_exact_groups,
@@ -702,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_no_purchase": users_click_no_purchase,
         "documents_quality_gate": documents_quality_gate,
         "events_distinct_sketch": events_distinct_sketch,
+        "events_distinct_rollup": events_distinct_rollup,
         "events_sessionize": events_sessionize,
         "events_session_window": events_session_window,
         "events_asof_attribution": events_asof_attribution,
@@ -790,8 +820,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_oracle import (
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
-        extract_mentions_sql, lemma_edges_sql, lemma_nodes_sql,
-        ranked_phrases_sql,
+        extract_mentions_sql, label_propagation_sql, lemma_edges_sql,
+        lemma_nodes_sql, ranked_phrases_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -812,6 +842,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "lemma_edges": lemma_edges_sql(),
         "er_ranked_clusters": er_ranked_clusters_sql(),
         "corpus_pagerank": corpus_pagerank_sql(),
+        "communities_label_prop": label_propagation_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
@@ -1055,6 +1086,12 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        count(*) AS n_events,
        count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        "events_distinct_rollup": """
+SELECT count(DISTINCT user_id) AS distinct_users,
+       count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
 """,
         "events_sessionize": """
 WITH w AS (

@@ -107,10 +107,18 @@ def label_propagation(
             .groupBy("a", "label")
             .agg(F.count("*").alias("n"))
         )
+        # window row_number instead of max_by(struct(n, -label)): the
+        # negation trick only orders NUMERIC labels; (n DESC, label ASC)
+        # is type-agnostic (string node keys work) and is the exact
+        # formulation an ANSI-SQL oracle reproduces. Same shuffle shape —
+        # the window partitions on the node key the groupBy just hashed.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("a").orderBy(F.desc("n"), F.asc("label"))
         best = (
-            neigh.groupBy("a")
-            .agg(F.max_by(F.struct("label", "n"), F.struct(F.col("n"), -F.col("label"))).alias("bl"))
-            .select(F.col("a").alias("node"), F.col("bl.label").alias("label"))
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("node"), "label")
         )
         labels = best.localCheckpoint()
     return labels

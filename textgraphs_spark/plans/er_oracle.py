@@ -811,3 +811,40 @@ FROM {final}
 ORDER BY round(rank, 9) DESC, node
 LIMIT {top}
 """
+
+
+def label_propagation_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 5
+) -> str:
+    """Oracle for label_propagation over the lemma graph of
+    doc_id < max_docs: synchronous rounds unrolled, each node adopting
+    the most frequent neighbor label with the (count DESC, label ASC)
+    deterministic tie-break — the same window formulation as the Spark
+    operator."""
+    steps = []
+    for k in range(1, max_iter + 1):
+        prev = f"lab{k - 1}"
+        steps.append(f"""lab{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT u.a AS node, l.label, count(*) AS n,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN {prev} l ON u.b = l.node
+    GROUP BY u.a, l.label
+  ) WHERE rn = 1
+)""")
+    chain = ",\n".join(steps)
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_key AS a, dst_key AS b FROM edge_rows
+    UNION ALL SELECT dst_key, src_key FROM edge_rows
+  )
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM und
+),
+{chain}
+SELECT node, label FROM lab{max_iter} ORDER BY node
+"""
