@@ -220,6 +220,29 @@ def test_multimodal_real_decode(spark):
     with _pytest.raises(DecoderUnavailable):
         decode_png_header(b"not a png at all")
 
+    # truncated fmt chunk: undecodable, not a struct.error task crash
+    import struct as _struct
+
+    short_fmt = b"RIFF" + _struct.pack("<I", 20) + b"WAVE" + b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8
+    with _pytest.raises(DecoderUnavailable):
+        decode_wav_header(short_fmt)
+
+
+def test_stripe_column_guards():
+    """np.percentile NaN/empty semantics are guarded: NaN weights fail
+    loudly instead of corrupting every stripe edge."""
+    import numpy as np
+    import pytest as _pytest
+
+    from textgraphs_spark.doclevel.rank import calc_quantile_bins, stripe_column
+
+    bins = calc_quantile_bins(10)
+    assert stripe_column(np.zeros(0), bins).size == 0
+    with _pytest.raises(ValueError, match="NaN"):
+        stripe_column(np.array([1.0, np.nan]), bins)
+    got = stripe_column(np.array([1.0, 2.0, 3.0]), bins)
+    assert got.shape == (3,)
+
 
 def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     from textgraphs_spark.streaming.events import (

@@ -71,7 +71,18 @@ def stripe_column(values: np.ndarray, bins: np.ndarray) -> np.ndarray:
     np.percentile(method="nearest") IS what pandas Series.quantile
     (interpolation="nearest") computes underneath — but without the
     Series/Index construction overhead, which profiling showed was ~70%
-    of the whole per-doc extraction wall (4 stripe calls per document)."""
+    of the whole per-doc extraction wall (4 stripe calls per document).
+
+    Unlike Series.quantile, np.percentile PROPAGATES NaNs into the bin
+    edges (corrupting every stripe) and raises on empty input — guard
+    both explicitly so a NaN weight upstream fails loudly instead of
+    silently mis-striping the whole document."""
+    values = np.asarray(values, dtype="float64")
+    if values.size == 0:
+        return np.zeros(0, dtype="int64")
+    if np.isnan(values).any():
+        raise ValueError("stripe_column: NaN in values — upstream rank/"
+                         "count arrays must be finite")
     q = np.percentile(values, np.asarray(bins) * 100.0, method="nearest")
     return np.digitize(values, q) - 1
 

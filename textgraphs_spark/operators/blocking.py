@@ -224,7 +224,20 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     — the deliberate pair-budget cap; recall for hot keys is instead
     preserved by the exact-key channel (identical forms already share a
     lemma key upstream).
+
+    EAGER + BATCH-ONLY: this materializes ``df`` (localCheckpoint) and
+    runs the sizing count at plan-construction time — public operators
+    built on it (``candidate_pairs``, ``ngram_jaccard_pairs``) therefore
+    execute jobs when *called*, not when acted on, and cannot accept
+    streaming DataFrames (use the stateless band-join path in
+    streaming/events.py for streams).
     """
+    if df.isStreaming:
+        raise TypeError(
+            "salted blocking requires a batch DataFrame (block sizing is "
+            "a global aggregate); for streams use the SimHash/band join "
+            "operators in textgraphs_spark.streaming.events"
+        )
     # materialize the input ONCE: the sizing aggregation, the broadcast
     # guard's count, and the downstream self-join all read these
     # partitions instead of re-deriving the (expensive) blocking channels
@@ -252,7 +265,22 @@ def _salt_oversized(df: DataFrame, key_col: str, id_col: str, max_block_size: in
     # broadcast only below a row threshold; above it, fall back to a
     # shuffle join (AQE's skew-join splitting is the backstop there).
     # (cheap: a hash agg over the checkpointed partitions)
-    if oversized.count() <= _MAX_BROADCAST_KEYS:
+    n_oversized = oversized.count()
+    if n_oversized:
+        # the pair budget engaged: cross-shard pairs of these blocks are
+        # dropped. Surface it — a silent recall change is worse than a
+        # noisy one (callers that size max_block_size correctly for their
+        # corpus never see this).
+        import warnings
+
+        warnings.warn(
+            f"salted blocking engaged: {n_oversized} block(s) over "
+            f"max_block_size={max_block_size} were sharded; pairs across "
+            "shards of an oversized block are dropped (deliberate pair "
+            "budget)",
+            stacklevel=3,
+        )
+    if n_oversized <= _MAX_BROADCAST_KEYS:
         oversized = F.broadcast(oversized)
     return (
         df.join(oversized, key_col, "left")
@@ -280,6 +308,9 @@ def candidate_pairs(
 
     Output: (block_key, left_id, right_id, left_<carry>, right_<carry>)
     with left_id < right_id.
+
+    EAGER + BATCH-ONLY (via ``_salt_oversized``): calling this runs the
+    block-sizing jobs immediately and checkpoints the block table.
     """
     # _salt_oversized checkpoints the block table internally; the salted
     # frame on top of it is a cheap map-side broadcast join, so the

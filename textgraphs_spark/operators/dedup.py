@@ -64,7 +64,12 @@ def ngram_jaccard_pairs(
     ``blocking.candidate_pairs`` does — blocks above the cap are salted
     into shards and only intra-shard pairs survive (an explicit pair
     budget). Without it a hot block (one dominant source/host) degrades
-    to O(n²) pairs as the corpus grows. ``None`` disables the cap.
+    to O(n²) pairs as the corpus grows. ``None`` disables the cap. When
+    the cap actually engages, a ``UserWarning`` names the truncated
+    blocks — the recall change is never silent. NOTE: with the cap on,
+    the call is EAGER (block sizing materializes the gram table at
+    plan-construction time) and batch-only; see
+    ``blocking._salt_oversized``.
     """
     toks = F.expr(_TOKENS.format(c=text_col))
     # distinct over gram STRINGS, then hash each gram to a long before the
@@ -141,11 +146,19 @@ def minhash_dedup_pairs(
 
     The estimator is de-biased for candidacy: sharing a band guarantees
     ``num_hashes/bands`` equal positions, so agreement is measured over
-    the remaining positions only. With 32 hashes / 8 bands that leaves 28
-    fair samples (σ ≤ 0.095), and the default margin (0.25) keeps a true
-    at-threshold pair with P(drop) < 1e-2. At web-dedup thresholds
-    (≥ 0.7) stage 1 removes the overwhelming majority of LSH noise; at
-    low thresholds it degrades gracefully toward a no-op.
+    the remaining positions only. With the ``xxhash64`` family those 28
+    remaining positions are independent samples (σ ≤ 0.095, so the
+    default margin 0.25 keeps a true at-threshold pair with
+    P(drop) < 1e-2). The default ``md5`` family derives every position
+    from ONE md5 per shingle XOR a per-seed constant, so positions are
+    correlated across seeds and the independence bound does not apply —
+    for md5 the margin is an empirical knob, pinned by the recall
+    assertions in tests/test_operators.py rather than by the binomial
+    estimate. Both verify stages compute true Jaccard, so the family
+    choice can only affect candidate recall, never precision. At
+    web-dedup thresholds (≥ 0.7) stage 1 removes the overwhelming
+    majority of LSH noise; at low thresholds it degrades gracefully
+    toward a no-op.
     """
     from textgraphs_spark.operators.blocking import (
         _exploded_shingles, band_keys_from_signatures, minhash_signatures,

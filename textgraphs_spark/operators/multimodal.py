@@ -94,6 +94,11 @@ def decode_wav_header(payload: bytes) -> dict:
         cid, clen = struct.unpack("<4sI", payload[off:off + 8])
         body = payload[off + 8:off + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # a truncated fmt chunk is an undecodable payload, not a
+                # task crash — struct.error here would kill the executor
+                # task instead of routing to the caller's error channel
+                raise DecoderUnavailable("malformed WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
