@@ -17,15 +17,38 @@ forest in O(log n) rounds. Rounds localCheckpoint to truncate lineage —
 without this the plan doubles every iteration and the driver dies long
 before the data does.
 
-Node ids must be orderable integers; callers hash stable string keys with
-xxhash64 (collision probability at 10^9 keys ~ 2.7e-2 per *pair*... i.e.
-negligible: 64-bit space) and keep a (key, id) sidecar for the join back.
+Node ids must be ORDERABLE — plain longs or a struct of longs (Spark
+structs compare field-by-field, so every min/least/greatest/filter in the
+star rounds works unchanged). Callers hash stable string keys into a
+**128-bit two-long struct** (``key_id128``): a single 64-bit hash is NOT
+enough at the stated target scale — the corpus-wide birthday bound at
+10^9 distinct keys is ~1/37 (n²/2^65), i.e. a real chance of silently
+merging two unrelated clusters, and at the 10^10-10^11 distinct surface
+forms implied by 10^12 docs a collision is near-certain. Two independent
+64-bit hashes push the corpus-wide bound to n²/2^129 (~10^-17 at 10^11
+keys). A (key, id) sidecar joins the labels back.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# second-seed salt for the low word of the 128-bit id: xxhash64(k, _SALT)
+# is an independent draw from xxhash64(k) (different input tuple)
+_ID_SALT = 0x9E3779B9
+
+
+def key_id128(key: Column | str) -> Column:
+    """128-bit node id for a string key: struct(hi, lo) of two
+    independent xxhash64 draws. Struct comparison is lexicographic on
+    (hi, lo), so ids are totally ordered as the star rounds require."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.struct(
+        F.xxhash64(k).alias("hi"),
+        F.xxhash64(k, F.lit(_ID_SALT)).alias("lo"),
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -68,18 +91,25 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
     Size-adaptive execution: below the threshold the edge set fits the
     driver trivially and the O(log n) distributed rounds would cost more
     in stage latency than the entire computation. Same contract as the
-    distributed path (component = min node id).
+    distributed path (component = min node id). Handles long ids and
+    struct-of-long ids (arriving as per-row dicts, compared as tuples —
+    Python tuple order == Spark struct order for long fields).
     """
-    parent: dict[int, int] = {}
+    id_type = e.schema["src"].dataType
+    is_struct = isinstance(id_type, T.StructType)
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
     for a, b in e.toPandas().itertuples(index=False):
-        a, b = int(a), int(b)
+        if is_struct:
+            a, b = tuple(a.values()), tuple(b.values())
+        else:
+            a, b = int(a), int(b)
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -87,13 +117,25 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     import pandas as pd
 
-    pdf = pd.DataFrame(
-        {"node": list(parent.keys()), "component": [find(n) for n in parent]},
-        dtype="int64",
-    )
+    if is_struct:
+        fields = [f.name for f in id_type.fields]
+        as_dict = lambda t: dict(zip(fields, t))  # noqa: E731
+        pdf = pd.DataFrame({
+            "node": [as_dict(n) for n in parent],
+            "component": [as_dict(find(n)) for n in parent],
+        })
+        out_schema = T.StructType([
+            T.StructField("node", id_type), T.StructField("component", id_type),
+        ])
+    else:
+        pdf = pd.DataFrame(
+            {"node": list(parent.keys()), "component": [find(n) for n in parent]},
+            dtype="int64",
+        )
+        out_schema = "node long, component long"
     # Arrow-backed createDataFrame — py4j row serialization is 100x slower;
     # explicit schema so an empty edge set doesn't break inference
-    return spark.createDataFrame(pdf, schema="node long, component long")
+    return spark.createDataFrame(pdf, schema=out_schema)
 
 
 def connected_components(
@@ -104,12 +146,20 @@ def connected_components(
     max_iterations: int = 50,
     small_graph_threshold: int = 500_000,
 ) -> DataFrame:
-    """edges(src, dst) [long ids] → (node, component) with component =
-    min node id of the component. Driver loop with convergence check on
-    the edge-set hash (cheap: one agg per round); edge sets below
-    ``small_graph_threshold`` short-circuit to a driver-side union-find."""
+    """edges(src, dst) [long or struct-of-long ids] → (node, component)
+    with component = min node id of the component. Driver loop with
+    convergence check on the edge-set hash (cheap: one agg per round);
+    edge sets below ``small_graph_threshold`` short-circuit to a
+    driver-side union-find."""
+    if isinstance(edges.schema[src].dataType, T.StructType):
+        # struct ids (e.g. key_id128) pass through untouched: Spark
+        # orders structs field-by-field, which is all the rounds need
+        src_c, dst_c = F.col(src).alias("src"), F.col(dst).alias("dst")
+    else:
+        src_c = F.col(src).cast("long").alias("src")
+        dst_c = F.col(dst).cast("long").alias("dst")
     e = (
-        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        edges.select(src_c, dst_c)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
@@ -153,19 +203,21 @@ def components_over_keys(
 
     Returns (entity_key, cluster_id) where cluster_id is the MIN MEMBER
     KEY (string) of the component — stable across runs, engine-agnostic
-    (an ANSI-SQL oracle reproduces it; an xxhash64-based id could not be),
-    and self-describing in exports. The CC iterations themselves still run
-    on hashed longs; only the final label is the min key, via one extra
-    vocabulary-sized aggregation.
+    (an ANSI-SQL oracle reproduces it; a hash-based id could not be),
+    and self-describing in exports. The CC iterations run on 128-bit
+    ``key_id128`` struct ids — two unrelated clusters cannot silently
+    merge on a 64-bit birthday collision at 10^10+ distinct keys; only
+    the final label is the min key, via one extra vocabulary-sized
+    aggregation.
     """
     ids = (
         match_edges.select(F.col(left).alias("k"))
         .union(match_edges.select(F.col(right).alias("k")))
         .distinct()
-        .withColumn("id", F.xxhash64("k"))
+        .withColumn("id", key_id128("k"))
     )
     e = match_edges.select(
-        F.xxhash64(left).alias("src"), F.xxhash64(right).alias("dst")
+        key_id128(left).alias("src"), key_id128(right).alias("dst")
     )
     cc = connected_components(e)
     assigned = (

@@ -285,7 +285,7 @@ class ERPipeline:
         Writes refreshed ``entities``/``assignments`` stages back to the
         workdir and returns the new assignments.
         """
-        from ..operators.components import connected_components
+        from ..operators.components import connected_components, key_id128
 
         assert self.workdir, "update() needs the workdir of a prior run()"
         t0 = time.time()
@@ -340,17 +340,17 @@ class ERPipeline:
         n_score_parts = spark.sparkContext.defaultParallelism * 2
         scores = S.score_pairs(touched.repartition(n_score_parts), lean=True)
         new_edges = scores.filter(F.col("match")).select(
-            F.xxhash64("left_id").alias("src"), F.xxhash64("right_id").alias("dst")
+            key_id128("left_id").alias("src"), key_id128("right_id").alias("dst")
         )
         # cluster_id is the min member KEY; hashing it lands in the same
-        # id space as the entity-key hashes, so an old assignment row
-        # (key -> cluster_id) doubles as a CC edge
+        # 128-bit id space as the entity-key hashes, so an old assignment
+        # row (key -> cluster_id) doubles as a CC edge
         old_edges = old_assign.select(
-            F.xxhash64("entity_key").alias("src"), F.xxhash64("cluster_id").alias("dst")
+            key_id128("entity_key").alias("src"), key_id128("cluster_id").alias("dst")
         )
         cc = connected_components(old_edges.unionByName(new_edges).localCheckpoint())
         with_comp = (
-            merged.withColumn("_id", F.xxhash64("entity_key"))
+            merged.withColumn("_id", key_id128("entity_key"))
             .join(cc, F.col("_id") == F.col("node"), "left")
             .withColumn("_comp", F.coalesce("component", F.col("_id")))
         )
