@@ -84,6 +84,30 @@ def test_name_match_score_bounds(a, b):
     assert 0.0 <= s <= 1.0 + 1e-12
 
 
+@given(st.lists(st.tuples(st.text(max_size=24), st.text(max_size=24)),
+                min_size=0, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_kernels_match_scalar(pairs):
+    """The DuckDB-backed batch kernels (_jw_batch and the batched
+    name-match arithmetic inside name_match_udf) must be bit-equal to
+    the scalar reference implementations on arbitrary text."""
+    import numpy as np
+    import pandas as pd
+
+    from textgraphs_spark.operators.scoring import _jw_batch, name_match_udf
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got_jw = _jw_batch(np.array(a, dtype=object), np.array(b, dtype=object))
+    for x, y, g in zip(a, b, got_jw):
+        assert abs(g - jaro_winkler(x, y)) < 1e-12, (x, y)
+    # drive the batched name-match body directly (the pandas_udf wrapper
+    # stores the original function on .func)
+    got_nm = name_match_udf.func(pd.Series(a, dtype=object), pd.Series(b, dtype=object))
+    for x, y, g in zip(a, b, got_nm):
+        assert abs(g - name_match_score(x, y)) < 1e-12, (x, y)
+
+
 @given(
     st.floats(0.001, 10), st.floats(0.001, 10),
     st.floats(0.0001, 5), st.floats(0.0001, 5),
