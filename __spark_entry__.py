@@ -646,6 +646,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weight", F.round("weight", 6)
         )
 
+    def kg_linking_second_pass(spark, sf_dir):
+        # the reference's TWO linking channels end to end (kg.py:986-1065
+        # exact + 940-983 search-with-best-alias kg.py:530-550): the
+        # typos corpus plants capitalized transposed place names that
+        # exact linking cannot resolve, so at least one mention links
+        # ONLY through the fuzzy fallback ('search' channel)
+        from textgraphs_spark.operators.extract import extract_entities
+        from textgraphs_spark.operators.linking import (
+            kg_catalog_from_gazetteer, link_entities_with_fallback,
+        )
+        from textgraphs_spark.sources.pages import arith_pages_typos
+
+        ents = (
+            extract_entities(arith_pages_typos(spark))
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(F.min("surface").alias("surface"))
+        )
+        catalog = kg_catalog_from_gazetteer(spark)
+        return link_entities_with_fallback(ents, catalog).orderBy(
+            "entity_key", "iri"
+        )
+
     def kg_sameas_edges(spark, sf_dir):
         # J8: two catalogs (dbpedia + wikidata namespaces) linking the
         # same entity yield owl:sameAs match edges — the transitive-
@@ -740,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcloud_weights": wordcloud_weights,
         "entity_pairs": entity_pairs,
         "kg_linking": kg_linking,
+        "kg_linking_second_pass": kg_linking_second_pass,
         "kg_sameas_edges": kg_sameas_edges,
         "relation_inf_edges": relation_inf_edges,
         "ranked_phrases_pages": ranked_phrases_pages,
@@ -825,6 +848,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
+        kg_linking_second_pass_sql,
         kg_linking_sql as kg_linking_oracle_sql,
         ranked_phrases_pages_sql, relation_edges_sql, sameas_edges_sql,
     )
@@ -846,6 +870,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
+        "kg_linking_second_pass": kg_linking_second_pass_sql(),
         "kg_sameas_edges": sameas_edges_sql(),
         "relation_inf_edges": relation_edges_sql(),
         "ranked_phrases_pages": ranked_phrases_pages_sql(),

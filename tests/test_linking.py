@@ -49,3 +49,40 @@ def test_iri_match_edges(linked):
     pairs = {(r["left_id"], r["right_id"]) for r in iri_match_edges(links).collect()}
     # both keys with surface "Germany" link to the same IRI -> match edge
     assert ("deutschland.PROPN", "germany.PROPN") in pairs
+
+
+def test_second_pass_links_typos_only(spark):
+    """The search fallback (reference kg.py:940-983 + best-alias
+    kg.py:530-550): typo'd surfaces unlinked by the exact pass resolve
+    to their intended IRI; exact-linked and garbage surfaces do not
+    appear in the fallback output."""
+    from textgraphs_spark.operators.linking import (
+        link_entities_second_pass, link_entities_with_fallback,
+    )
+
+    entities = spark.createDataFrame(
+        [
+            ("germany.PROPN", "Germany"),     # exact hit -> not in pass 2
+            ("gremany.PROPN", "Gremany"),     # transposition -> fallback
+            ("tkoyo.PROPN", "Tkoyo"),         # transposition -> fallback
+            ("zqwvx.PROPN", "Zqwvx"),         # no alias above 0.8
+        ],
+        ["entity_key", "surface"],
+    )
+    catalog = kg_catalog_from_gazetteer(spark)
+    second = link_entities_second_pass(entities, catalog)
+    rows = {r["entity_key"]: r for r in second.collect()}
+    assert rows["gremany.PROPN"]["iri"].endswith("/Germany")
+    assert rows["tkoyo.PROPN"]["iri"].endswith("/Tokyo")
+    assert "germany.PROPN" not in rows      # already exact-linked
+    assert "zqwvx.PROPN" not in rows        # below min_alias
+    assert all(r["namespace"] == "dbpedia" for r in rows.values())
+    assert all(0.8 < r["prob"] <= 1.0 for r in rows.values())
+
+    both = link_entities_with_fallback(entities, catalog)
+    by_chan = {r["channel"] for r in both.collect()}
+    assert by_chan == {"exact", "search"}
+    # a fallback link flows into the closure feeds unchanged
+    from textgraphs_spark.operators.linking import iri_match_edges
+
+    assert iri_match_edges(both.drop("channel")).count() >= 1

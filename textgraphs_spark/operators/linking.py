@@ -68,6 +68,114 @@ def link_entities(
     )
 
 
+def link_entities_second_pass(
+    entities: DataFrame,
+    catalog: DataFrame,
+    *,
+    surface_col: str = "surface",
+    min_prob: float = MIN_ALIAS_PROB,
+    min_alias: float = MIN_ALIAS_PROB,
+) -> DataFrame:
+    """Fallback fuzzy linking for entities the exact pass left UNLINKED —
+    the reference's second channel: KG *search* over still-unlinked
+    mentions (kg.py:940-983) with best-alias selection by string
+    similarity (kg.py:530-550), threshold ``min_alias``
+    (defaults.py:13). Spark-first: instead of one search API call per
+    unlinked mention, candidates come from two broadcast equi-join
+    blocking channels against the catalog —
+
+    * last-token equality   (multi-word aliases with an intact surname/
+      head token, abbreviations), and
+    * first-initial equality (typo'd single tokens keep their initial);
+
+    then the best alias per entity wins by (JW similarity desc, catalog
+    prob desc, iri asc), gated STRICTLY above ``min_alias`` as the
+    reference does. JW runs through the vectorized DuckDB-backed kernel
+    (scoring.jaro_winkler_udf), so the oracle reproduces scores
+    bit-for-bit. Like the reference's search fallback, only the primary
+    ('dbpedia') namespace is searched.
+
+    At 10^12 docs the first-initial channel is the recall backstop and
+    its candidate volume is |unlinked| x |catalog|/26 — bounded because
+    the catalog is a broadcast dimension and the gate runs in the same
+    stage (no candidate materialization); swap in a q-gram/LSH channel
+    for catalogs beyond broadcast size.
+
+    Output matches ``link_entities`` plus prob = round(best JW, 6).
+    """
+    from pyspark.sql.window import Window
+
+    from .scoring import jaro_winkler_udf
+
+    linked = link_entities(
+        entities, catalog, surface_col=surface_col, min_prob=min_prob
+    ).select("entity_key").distinct()
+    norm = F.lower(F.trim(F.regexp_replace(
+        F.regexp_replace(F.col(surface_col), r"[^A-Za-z ]", ""), r" +", " "
+    )))
+    unlinked = (
+        entities.join(linked, "entity_key", "left_anti")
+        .withColumn("_norm", norm)
+        .withColumn("_toks", F.split(F.col("_norm"), " "))
+        .withColumn("_last", F.element_at("_toks", -1))
+        .withColumn("_init", F.substring(F.col("_norm"), 1, 1))
+        .select("entity_key", "_norm", "_last", "_init")
+    )
+    cat = (
+        catalog.filter(F.col("namespace") == "dbpedia")
+        .withColumn("_ctoks", F.split(F.col("surface_norm"), " "))
+        .withColumn("_clast", F.element_at("_ctoks", -1))
+        .withColumn("_cinit", F.substring(F.col("surface_norm"), 1, 1))
+        .select("surface_norm", "iri", "namespace", "kg_label", "prob",
+                "_clast", "_cinit")
+    )
+    chan_last = unlinked.join(
+        F.broadcast(cat), F.col("_last") == F.col("_clast")
+    )
+    chan_init = unlinked.join(
+        F.broadcast(cat), F.col("_init") == F.col("_cinit")
+    )
+    cands = chan_last.unionByName(chan_init).dropDuplicates(
+        ["entity_key", "iri"]
+    )
+    scored = cands.withColumn(
+        "_sim", jaro_winkler_udf(F.col("_norm"), F.col("surface_norm"))
+    )
+    w = Window.partitionBy("entity_key").orderBy(
+        F.desc(F.round("_sim", 9)), F.desc("prob"), F.asc("iri")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("_sim") > min_alias))
+        .select(
+            "entity_key", "iri", "namespace", "kg_label",
+            F.round("_sim", 6).alias("prob"),
+        )
+    )
+
+
+def link_entities_with_fallback(
+    entities: DataFrame,
+    catalog: DataFrame,
+    *,
+    surface_col: str = "surface",
+    min_prob: float = MIN_ALIAS_PROB,
+    min_alias: float = MIN_ALIAS_PROB,
+) -> DataFrame:
+    """Both linking channels unioned, tagged with ``channel``
+    ('exact' | 'search') — the full reference linking flow
+    (kg.py:986-1065 exact + 940-983 search fallback); feed this to
+    ``sameas_edges``/``iri_match_edges`` for the closure."""
+    exact = link_entities(
+        entities, catalog, surface_col=surface_col, min_prob=min_prob
+    ).withColumn("channel", F.lit("exact"))
+    search = link_entities_second_pass(
+        entities, catalog, surface_col=surface_col,
+        min_prob=min_prob, min_alias=min_alias,
+    ).withColumn("channel", F.lit("search"))
+    return exact.unionByName(search)
+
+
 def sameas_edges(links: DataFrame) -> DataFrame:
     """owl:sameAs match edges between IRIs of different namespaces linked
     to the same entity key (kg.py:1127-1134) — ready to union into the

@@ -50,6 +50,33 @@ def arith_pages_sql(n_pages: int = 150) -> str:
 )"""
 
 
+def arith_pages_typos_sql(n_pages: int = 150) -> str:
+    """CTE regenerating sources.pages.arith_pages_typos(n_pages): every
+    5th page picks its place from the SAME typo-transposed list the
+    Spark source builds (typo_surface), inlined here."""
+    from ..sources.pages import _arith_lists, typo_surface
+
+    fn, ln, gpe, org = _arith_lists()
+    gpe_t = [typo_surface(w) for w in gpe]
+
+    def pick(lst, expr):
+        return f"{_sql_list(lst)}[CAST(({expr}) % {len(lst)} + 1 AS INT)]"
+
+    return f"""pages AS (
+  SELECT CAST(r.i AS BIGINT) AS doc_id,
+         concat_ws(' ',
+           {pick(fn, 'r.i')}, {pick(ln, 'r.i')},
+           'met',
+           {pick(fn, 'r.i * 7 + 3')}, {pick(ln, 'r.i * 5 + 11')},
+           'in',
+           CASE WHEN r.i % 5 = 0 THEN {pick(gpe_t, 'r.i')}
+                ELSE {pick(gpe, 'r.i')} END,
+           'near', {pick(org, 'r.i * 3 + 1')},
+           'offices') AS text
+  FROM range(0, {n_pages}) r(i)
+)"""
+
+
 def _ner_label_case(surface_low: str) -> str:
     """_ner_label (nlp/pipeline.py:161-169): gazetteer lookup on the full
     lowercase surface, defaulting to PERSON."""
@@ -66,16 +93,20 @@ def _class_iri_case(label: str) -> str:
     return f"CASE {label}\n      {whens}\n      ELSE NULL END"
 
 
-def pages_graph_ctes(n_pages: int = 150) -> str:
+def pages_graph_ctes(n_pages: int = 150, *, corpus_sql: str | None = None) -> str:
     """arith_pages → merged-token lemma graph. Terminal CTEs:
     * ment(doc_id, node_key, surface, label, cnt) — entity nodes
     * alledges(doc_id, a, b) — undirected adjacency (dep + chu + iri)
+
+    ``corpus_sql`` overrides the corpus CTE (must be named ``pages``
+    with columns doc_id, text) — e.g. ``arith_pages_typos_sql`` for the
+    second-pass linking oracle.
     """
     stem, fix, rest = _verb_lemma_cols("low")
     stem0, _, _ = _verb_lemma_cols("lower(tok)")
     nominal = "('NOUN', 'PROPN', 'PRON', 'NUM')"
     chainable = "('DET', 'ADJ', 'NOUN', 'PROPN', 'CCONJ')"
-    return f"""{arith_pages_sql(n_pages)},
+    return f"""{corpus_sql or arith_pages_sql(n_pages)},
 rtok AS MATERIALIZED (
   SELECT doc_id, CAST(r.i AS INT) AS tpos, toks[CAST(r.i AS INT)] AS tok
   FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks FROM pages) d,
@@ -599,10 +630,9 @@ FROM phr WHERE rank_pos < {top}
 """
 
 
-def kg_linking_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
-    """Oracle for kg_linking over arith_pages: corpus entity keys linked
-    against the gazetteer catalog (linking.kg_catalog_from_gazetteer,
-    regenerated here from the same lists)."""
+def _catalog_values() -> str:
+    """The gazetteer catalog inlined as SQL VALUES rows — the same
+    construction as linking.kg_catalog_from_gazetteer."""
     rows = []
     entries = sorted(lex.GAZETTEER_GPE) + sorted(lex.GAZETTEER_ORG)
     for i, surface in enumerate(entries):
@@ -615,7 +645,84 @@ def kg_linking_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
         rows.append(
             f"('{esc}', 'http://www.wikidata.org/entity/Q{1000 + i}', 'wikidata', '{title}', 0.95)"
         )
-    catalog = ",\n   ".join(rows)
+    return ",\n   ".join(rows)
+
+
+def kg_linking_second_pass_sql(n_pages: int = 150, *, min_prob: float = 0.8,
+                               min_alias: float = 0.8) -> str:
+    """Oracle for the two-channel linking flow
+    (linking.link_entities_with_fallback) over arith_pages_typos:
+    exact-surface links ('exact') plus best-fuzzy-alias links for
+    unlinked entities ('search') via the same two blocking channels
+    (last token, first initial), the same JW kernel
+    (jaro_winkler_similarity), the same (sim, prob, iri) argmax, and
+    the same strict > min_alias gate."""
+    return f"""WITH
+{pages_graph_ctes(n_pages, corpus_sql=arith_pages_typos_sql(n_pages))},
+ents AS MATERIALIZED (
+  SELECT node_key AS entity_key, min(surface) AS surface
+  FROM ment GROUP BY node_key
+),
+catalog(surface_norm, iri, namespace, kg_label, prob) AS (VALUES
+   {_catalog_values()}
+),
+normed AS MATERIALIZED (
+  SELECT entity_key,
+         lower(trim(regexp_replace(
+           regexp_replace(surface, '[^A-Za-z ]', '', 'g'), ' +', ' ', 'g'))) AS _norm
+  FROM ents
+),
+exact AS MATERIALIZED (
+  SELECT n.entity_key, c.iri, c.namespace, c.kg_label, c.prob,
+         'exact' AS channel
+  FROM normed n JOIN catalog c ON n._norm = c.surface_norm
+  WHERE c.prob >= {min_prob}
+),
+unlinked AS MATERIALIZED (
+  SELECT n.entity_key, n._norm,
+         string_split(n._norm, ' ')[len(string_split(n._norm, ' '))] AS _last,
+         substring(n._norm, 1, 1) AS _init
+  FROM normed n
+  WHERE n.entity_key NOT IN (SELECT entity_key FROM exact)
+),
+cat AS (
+  SELECT surface_norm, iri, namespace, kg_label, prob,
+         string_split(surface_norm, ' ')[len(string_split(surface_norm, ' '))] AS _clast,
+         substring(surface_norm, 1, 1) AS _cinit
+  FROM catalog WHERE namespace = 'dbpedia'
+),
+cands AS (
+  SELECT DISTINCT u.entity_key, u._norm,
+         c.surface_norm, c.iri, c.namespace, c.kg_label, c.prob
+  FROM unlinked u JOIN cat c
+    ON u._last = c._clast OR u._init = c._cinit
+),
+scored AS (
+  SELECT entity_key, iri, namespace, kg_label, prob AS cat_prob,
+         jaro_winkler_similarity(_norm, surface_norm) AS _sim
+  FROM cands
+),
+best AS (
+  SELECT entity_key, iri, namespace, kg_label,
+         round(_sim, 6) AS prob, 'search' AS channel
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY entity_key
+    ORDER BY round(_sim, 9) DESC, cat_prob DESC, iri ASC
+  ) = 1 AND _sim > {min_alias}
+)
+SELECT * FROM exact
+UNION ALL
+SELECT * FROM best
+ORDER BY entity_key, iri
+"""
+
+
+def kg_linking_sql(n_pages: int = 150, *, min_prob: float = 0.8) -> str:
+    """Oracle for kg_linking over arith_pages: corpus entity keys linked
+    against the gazetteer catalog (linking.kg_catalog_from_gazetteer,
+    regenerated here from the same lists)."""
+    catalog = _catalog_values()
     return f"""WITH
 {pages_graph_ctes(n_pages)},
 ents AS (

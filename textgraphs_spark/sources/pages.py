@@ -256,3 +256,39 @@ def arith_pages(spark: SparkSession, n_pages: int = 150) -> DataFrame:
         F.lit("offices"),
     )
     return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def typo_surface(s: str) -> str:
+    """Deterministic character transposition: swap the 2nd and 3rd
+    characters ('Tokyo' → 'Tkoyo'). Pure string arithmetic, shared with
+    the SQL oracle builder (which inlines the transformed list)."""
+    return s[0] + s[2] + s[1] + s[3:] if len(s) >= 3 else s
+
+
+def arith_pages_typos(spark: SparkSession, n_pages: int = 150) -> DataFrame:
+    """``arith_pages`` with a deterministic TYPO channel: every 5th page
+    spells its place name with a transposed character ('in Tkoyo'), so
+    the mention is a capitalized PROPN entity that the gazetteer does NOT
+    label and exact-surface catalog linking cannot resolve — the corpus
+    for the second-pass (fuzzy alias) linking query. RNG-free like the
+    base corpus; the oracle regenerates it from the same index formulas
+    and the same typo'd list."""
+    fn, ln, gpe, org = _arith_lists()
+    gpe_t = [typo_surface(w) for w in gpe]
+
+    def pick(lst, expr):
+        arr = F.array(*[F.lit(x) for x in lst])
+        return F.element_at(arr, (expr % len(lst) + 1).cast("int"))
+
+    i = F.col("id")
+    place = F.when(i % 5 == 0, pick(gpe_t, i)).otherwise(pick(gpe, i))
+    text = F.concat_ws(
+        " ",
+        pick(fn, i), pick(ln, i),
+        F.lit("met"),
+        pick(fn, i * 7 + 3), pick(ln, i * 5 + 11),
+        F.lit("in"), place,
+        F.lit("near"), pick(org, i * 3 + 1),
+        F.lit("offices"),
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
