@@ -668,6 +668,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "entity_key", "iri"
         )
 
+    def salted_blocking_pairs(spark, sf_dir):
+        # the skew path under a VALUE oracle: a 120-member hot block
+        # (max_block_size=25) forces _salt_oversized to shard it into 5
+        # pieces — only intra-shard pairs survive (the deliberate pair
+        # budget). The DuckDB twin reproduces the shard assignment from
+        # an inlined xxhash64 sidecar (plans/salt_oracle.xxh64 is
+        # asserted bit-equal to Spark's F.xxhash64).
+        from textgraphs_spark.operators import blocking as B
+        from textgraphs_spark.plans.salt_oracle import MAX_BLOCK_SIZE, hot_entities
+
+        ents = spark.createDataFrame(hot_entities(), ["entity_key", "surface"])
+        pairs = B.candidate_pairs(
+            B.block_keys(ents), max_block_size=MAX_BLOCK_SIZE
+        )
+        return pairs.select(
+            "block_key", "left_id", "right_id", "left_surface", "right_surface"
+        ).orderBy("left_id", "right_id")
+
     def kg_sameas_edges(spark, sf_dir):
         # J8: two catalogs (dbpedia + wikidata namespaces) linking the
         # same entity yield owl:sameAs match edges — the transitive-
@@ -763,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pairs": entity_pairs,
         "kg_linking": kg_linking,
         "kg_linking_second_pass": kg_linking_second_pass,
+        "salted_blocking_pairs": salted_blocking_pairs,
         "kg_sameas_edges": kg_sameas_edges,
         "relation_inf_edges": relation_inf_edges,
         "ranked_phrases_pages": ranked_phrases_pages,
@@ -852,6 +871,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         kg_linking_sql as kg_linking_oracle_sql,
         ranked_phrases_pages_sql, relation_edges_sql, sameas_edges_sql,
     )
+    from textgraphs_spark.plans.salt_oracle import (
+        salted_blocking_pairs_sql,
+    )
 
     return {
         # the flagship, value-verified end to end: tokenize → tag →
@@ -871,6 +893,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
         "kg_linking_second_pass": kg_linking_second_pass_sql(),
+        "salted_blocking_pairs": salted_blocking_pairs_sql(),
         "kg_sameas_edges": sameas_edges_sql(),
         "relation_inf_edges": relation_edges_sql(),
         "ranked_phrases_pages": ranked_phrases_pages_sql(),

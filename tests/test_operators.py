@@ -288,3 +288,34 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     for r in out:
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_xxh64_matches_spark(spark):
+    """plans/salt_oracle.xxh64 must be bit-equal to Spark's F.xxhash64
+    (seed 42, UTF-8 bytes, signed long) — the salted-blocking oracle
+    inlines its values as the shard-assignment sidecar."""
+    from textgraphs_spark.plans.salt_oracle import xxh64_str
+
+    samples = ["", "a", "abc", "hello world", "e007", "Alfaab Omega",
+               "x" * 31, "y" * 32, "z" * 100, "üñîçødé", "New York"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for s in samples:
+        assert got[s] == xxh64_str(s), s
+
+
+def test_salted_blocking_budget(spark):
+    """The hot block's pair count stays within the per-shard budget:
+    no shard exceeds ~2x the cap (pmod imbalance), and cross-shard
+    pairs of the hot block are absent."""
+    from textgraphs_spark.operators import blocking as B
+    from textgraphs_spark.plans.salt_oracle import MAX_BLOCK_SIZE, hot_entities
+
+    ents = spark.createDataFrame(hot_entities(), ["entity_key", "surface"])
+    pairs = B.candidate_pairs(B.block_keys(ents), max_block_size=MAX_BLOCK_SIZE)
+    hot = pairs.filter(F.col("block_key") == "omega|a").count()
+    # unsalted the hot block would emit C(120,2) = 7140 pairs; 5 shards
+    # cap it near 5 * C(24,2) = 1380 (pmod imbalance gives some slack)
+    assert 0 < hot < 2500, hot
