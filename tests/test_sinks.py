@@ -183,3 +183,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "isFinalPlan=true" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_table_format_seam(spark, tmp_path, monkeypatch):
+    """The storage seam: parquet round-trips through read/write/exists;
+    requesting Iceberg without the runtime fails LOUDLY with a setup
+    message (this sandbox ships no Iceberg jar), never a ClassNotFound
+    five stages into a run."""
+    import pytest as _pytest
+
+    from textgraphs_spark.sources import tables as TBL
+
+    df = spark.range(5).withColumnRenamed("id", "x")
+    p = str(tmp_path / "t1")
+    assert not TBL.stage_exists(spark, p)
+    TBL.write_table(df, p)
+    assert TBL.stage_exists(spark, p)
+    assert TBL.read_table(spark, p).count() == 5
+    TBL.drop_stage(spark, p)
+    assert not TBL.stage_exists(spark, p)
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    if TBL.iceberg_available(spark):  # pragma: no cover - not in sandbox
+        _pytest.skip("Iceberg runtime present; seam would really write")
+    with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+        TBL.write_table(df, str(tmp_path / "t2"))
+    with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+        TBL.read_table(spark, str(tmp_path / "t2"))

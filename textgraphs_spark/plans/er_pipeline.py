@@ -32,6 +32,7 @@ from ..operators import blocking as B
 from ..operators import components as C
 from ..operators import scoring as S
 from ..operators.extract import extract_entities, extract_graphs, mentions_table
+from ..sources import tables as TBL
 
 
 class ERPipeline:
@@ -63,14 +64,17 @@ class ERPipeline:
 
     # -- checkpoint helpers ------------------------------------------------
     def _stage(self, name: str, build) -> DataFrame:
-        """Materialize a stage through a parquet checkpoint (if workdir)."""
+        """Materialize a stage through a table checkpoint (if workdir).
+
+        Storage goes through the sources.tables seam — parquet in this
+        sandbox, Iceberg on clusters with the runtime + catalog
+        configured (SPARK_GRAFT_TABLE_FORMAT=iceberg)."""
         t0 = time.time()
         if self.workdir:
             path = os.path.join(self.workdir, name)
-            marker = os.path.join(path, "_SUCCESS")
-            if not os.path.exists(marker):
-                build().write.mode("overwrite").parquet(path)
-            df = self.spark.read.parquet(path)
+            if not TBL.stage_exists(self.spark, path):
+                TBL.write_table(build(), path)
+            df = TBL.read_table(self.spark, path)
         else:
             df = build().localCheckpoint()
         # one job yields both the stage total and the per-partition row
@@ -117,13 +121,15 @@ class ERPipeline:
         then DRAIN the in-memory lists — a later phase on the same
         instance (e.g. update() after run()) must not re-append them."""
         if self.workdir and self._lineage:
-            self.lineage_df().write.mode("append").parquet(
-                os.path.join(self.workdir, "lineage")
+            TBL.write_table(
+                self.lineage_df(), os.path.join(self.workdir, "lineage"),
+                mode="append",
             )
             self._lineage = []
         if self.workdir and self._metrics:
-            self.metrics_df().write.mode("append").parquet(
-                os.path.join(self.workdir, "metrics")
+            TBL.write_table(
+                self.metrics_df(), os.path.join(self.workdir, "metrics"),
+                mode="append",
             )
             self._metrics = []
 
@@ -290,16 +296,15 @@ class ERPipeline:
         assert self.workdir, "update() needs the workdir of a prior run()"
         t0 = time.time()
         spark = self.spark
-        if "://" not in self.workdir:  # driver-local check; DFS paths get
-            for stage in ("entities", "assignments"):  # Spark's own error
-                if not os.path.exists(os.path.join(self.workdir, stage, "_SUCCESS")):
-                    raise FileNotFoundError(
-                        f"update() found no completed '{stage}' stage under "
-                        f"{self.workdir} — run() must finish once before "
-                        "incremental updates"
-                    )
-        old_entities = spark.read.parquet(os.path.join(self.workdir, "entities"))
-        old_assign = spark.read.parquet(os.path.join(self.workdir, "assignments"))
+        for stage in ("entities", "assignments"):
+            if not TBL.stage_exists(spark, os.path.join(self.workdir, stage)):
+                raise FileNotFoundError(
+                    f"update() found no completed '{stage}' stage under "
+                    f"{self.workdir} — run() must finish once before "
+                    "incremental updates"
+                )
+        old_entities = TBL.read_table(spark, os.path.join(self.workdir, "entities"))
+        old_assign = TBL.read_table(spark, os.path.join(self.workdir, "assignments"))
 
         new_ents = (
             extract_entities(new_docs, id_col, text_col,
@@ -369,18 +374,13 @@ class ERPipeline:
         # Hadoop filesystem (hdfs://, s3a://), unlike driver-local
         # rmtree/rename.
         for stage, df in (("entities", merged), ("assignments", assignments)):
-            df.write.mode("overwrite").parquet(os.path.join(self.workdir, stage))
+            TBL.write_table(df, os.path.join(self.workdir, stage))
         # drop the now-stale sibling stage checkpoints: a later run() on
         # this workdir must never resume pre-update extracted/pairs/scores/
         # clusters outputs against post-update entities. Hadoop FS API so
         # DFS workdirs (hdfs://, s3a://) are handled, not just local paths.
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
         for stage in ("extracted", "pairs", "scores", "clusters"):
-            p = jvm.org.apache.hadoop.fs.Path(os.path.join(self.workdir, stage))
-            fs = p.getFileSystem(hconf)
-            if fs.exists(p):
-                fs.delete(p, True)
+            TBL.drop_stage(spark, os.path.join(self.workdir, stage))
         part_rows = (
             assignments.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
