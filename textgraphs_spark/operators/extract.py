@@ -188,6 +188,14 @@ def _respread(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
+    try:
+        # metadata-only short-circuit: a file-backed scan with >= target
+        # files always yields >= target splits, so the common at-scale
+        # case (way more files than cores) skips the RDD-conversion probe
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

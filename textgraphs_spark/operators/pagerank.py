@@ -16,8 +16,10 @@ Scale discipline:
   every iteration's join reuses that partitioning (one shuffle per round
   for the groupBy(dst), none for the join side);
 * ranks localCheckpoint every iteration to truncate lineage;
-* convergence check is a single scalar agg (L1 delta), not a collect of
-  the rank vector.
+* ONE Spark job per iteration: the dangling mass rides along as a
+  broadcast 1-row cross join (no driver scalar round-trip), the old rank
+  is carried through the update join, and the single L1-delta agg both
+  materializes the lazily-checkpointed new ranks and decides convergence.
 """
 
 from __future__ import annotations
@@ -64,34 +66,42 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
-        dangling = (
+        # dangling mass as a broadcast 1-row frame: the scalar stays on
+        # the executors instead of a .collect() round-trip per iteration
+        dangling_df = (
             ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
             ranks.join(trans, ranks["node"] == trans["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
         )
+        # joining ranks (not nodes) carries the old rank through, so the
+        # L1 delta needs no second self-join; eager=False defers the
+        # checkpoint to the delta agg below — ONE job per iteration
         new_ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            ranks.select("node", F.col("rank").alias("old_rank"))
+            .join(contribs, F.col("node") == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
+                "old_rank",
                 (
                     F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(alpha) * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+            new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank"))))
             .collect()[0][0]
         )
-        ranks = new_ranks
+        ranks = new_ranks.select("node", "rank")
         if delta is not None and delta < n * tol:
             break
-    return ranks
+    return ranks.select("node", "rank")
