@@ -131,6 +131,7 @@ def er_scaling_run(cpus: int, n_pages: int, *, equalize_to: int = 0) -> dict:
             "docs_per_sec": round(n_pages / wall, 1), "entities": n_entities,
         }
     finally:
+        spark.sparkContext.setLogLevel("OFF")
         spark.stop()
         for p in spinners:
             p.terminate()
@@ -146,6 +147,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     t_all = time.time()
     results["queries"] = headline_queries(spark, SF_DIR)
+    # OFF, not ERROR: a stopping context's accumulator-update threads log
+    # their benign connection-refused traces at ERROR, which would open
+    # the artifact's tail with a stack fragment
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     total = round(time.time() - t_all, 3)
 
