@@ -109,6 +109,27 @@ def _jw_conn():
     return _DUCK
 
 
+def _codes(s: pd.Series):
+    """NUL-safe integer coding of a string Series.
+
+    ``pd.factorize`` keys its hash table on C strings, so values are
+    TRUNCATED at embedded NUL bytes — '\\x00' + 'x' and '' collapse to
+    one code and the wrong unique pair gets scored (caught by the
+    hypothesis property test). Real surfaces never carry NULs, so the
+    fast factorize path stays; a batch containing any NUL routes to
+    ``np.unique``, whose object-array comparisons are byte-exact.
+    """
+    import numpy as np
+
+    filled = s.fillna("")
+    arr = filled.to_numpy(dtype=object)
+    if any("\x00" in x for x in arr):
+        vocab, codes = np.unique(arr, return_inverse=True)
+        return codes, np.asarray(vocab, dtype=object)
+    codes, vocab = pd.factorize(filled)
+    return codes, np.asarray(vocab, dtype=object)
+
+
 def _jw_batch(a, b):
     """Vectorized Jaro-Winkler over two equal-length string sequences.
 
@@ -133,13 +154,11 @@ def _jw_batch(a, b):
     """
     import numpy as np
 
-    ca, ua = pd.factorize(pd.Series(a, dtype=object).fillna(""))
-    cb, ub = pd.factorize(pd.Series(b, dtype=object).fillna(""))
+    ca, ua = _codes(pd.Series(a, dtype=object))
+    cb, ub = _codes(pd.Series(b, dtype=object))
     if len(ca) == 0:
         return np.zeros(0, dtype="float64")
-    return _jw_coded(
-        ca, np.asarray(ua, dtype=object), cb, np.asarray(ub, dtype=object)
-    )
+    return _jw_coded(ca, ua, cb, ub)
 
 
 def _jw_coded(ca, va, cb, vb):
@@ -235,8 +254,8 @@ def name_match_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     unique-pair level too — everything between is numpy."""
     import numpy as np
 
-    sa, ua = pd.factorize(pd.Series(a, dtype=object).fillna(""))
-    sb, ub = pd.factorize(pd.Series(b, dtype=object).fillna(""))
+    sa, ua = _codes(pd.Series(a, dtype=object))
+    sb, ub = _codes(pd.Series(b, dtype=object))
     n = len(sa)
     if n == 0:
         return pd.Series(np.zeros(0), dtype="float64")
