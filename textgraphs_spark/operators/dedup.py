@@ -72,14 +72,19 @@ def ngram_jaccard_pairs(
     ``blocking._salt_oversized``.
     """
     toks = F.expr(_TOKENS.format(c=text_col))
-    # distinct over gram STRINGS, then hash each gram to a long before the
-    # pair join: |grams| and |intersection| — all Jaccard needs — are
-    # preserved (64-bit collisions are ~1e-13 per pair), while the arrays
-    # shipped through the block join shrink from ~n-word strings to 8 B
-    # per element and array_intersect compares longs, not strings
+    # each gram position hashes its n tokens DIRECTLY with one n-ary
+    # xxhash64 call — no per-gram slice() array or concat_ws string is
+    # ever allocated, which matters because this whole expression runs
+    # interpreted (higher-order functions sit outside codegen). |grams|
+    # and |intersection| — all Jaccard needs — are preserved under any
+    # injective-enough gram encoding (64-bit collisions ~1e-13 per
+    # pair; multi-arg xxhash64 seeds each argument with the previous
+    # digest, so token-boundary shifts hash differently), and the
+    # arrays shipped through the pair join are 8 B/element longs
+    gram_args = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
     grams = F.expr(
-        f"transform(array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))), g -> xxhash64(g))"
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+        f" i -> xxhash64({gram_args})))"
     )
     d = (
         docs.select(
@@ -96,18 +101,52 @@ def ngram_jaccard_pairs(
         join_key = ["salted_key"]
     else:
         join_key = [block_col] if block_col else []
-    a = d.select(*join_key, F.col(id_col).alias("left_id"), F.col("grams").alias("lg"))
-    b = d.select(*join_key, F.col(id_col).alias("right_id"), F.col("grams").alias("rg"))
-    pairs = (
-        (a.join(b, join_key) if join_key else a.crossJoin(b))
-        .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("inter", F.size(F.array_intersect("lg", "rg")))
-        .withColumn("uni", F.size("lg") + F.size("rg") - F.col("inter"))
-        .withColumn(
-            "jaccard",
-            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+    if threshold > 0:
+        # Inverted-index intersection: explode grams, equi-join docs on
+        # (block, gram), count co-occurrences per pair — that count IS
+        # |A ∩ B|, so no per-pair array_intersect (which re-hashes both
+        # full gram arrays for every one of the C(block,2) pairs). Any
+        # pair passing threshold > 0 shares ≥ 1 gram, so the gram join
+        # loses nothing vs the all-pairs form; zero-intersection pairs
+        # were filtered out below anyway. Cost is Σ C(df,2) join rows
+        # over per-(block, gram) doc frequencies df — worst case (every
+        # doc sharing every gram) identical to the all-pairs intersect's
+        # element ops, typical sparse-overlap corpora ~30x fewer; df is
+        # bounded by the salting cap, and map-side partial aggregation
+        # collapses the pair counts before the shuffle.
+        ex = d.select(
+            *join_key, F.col(id_col), F.size("grams").alias("sz"),
+            F.explode("grams").alias("g"),
         )
-    )
+        a = ex.select(
+            *join_key, F.col(id_col).alias("left_id"), F.col("sz").alias("lsz"), "g"
+        )
+        b = ex.select(
+            *join_key, F.col(id_col).alias("right_id"), F.col("sz").alias("rsz"), "g"
+        )
+        pairs = (
+            a.join(b, join_key + ["g"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .groupBy("left_id", "right_id", "lsz", "rsz")
+            .agg(F.count("*").alias("inter"))
+            .withColumn("uni", F.col("lsz") + F.col("rsz") - F.col("inter"))
+            .withColumn("jaccard", F.col("inter") / F.col("uni"))  # uni >= inter >= 1
+        )
+    else:
+        # threshold <= 0 must emit zero-overlap (even both-empty) pairs,
+        # which only the block-local all-pairs form produces
+        a = d.select(*join_key, F.col(id_col).alias("left_id"), F.col("grams").alias("lg"))
+        b = d.select(*join_key, F.col(id_col).alias("right_id"), F.col("grams").alias("rg"))
+        pairs = (
+            (a.join(b, join_key) if join_key else a.crossJoin(b))
+            .filter(F.col("left_id") < F.col("right_id"))
+            .withColumn("inter", F.size(F.array_intersect("lg", "rg")))
+            .withColumn("uni", F.size("lg") + F.size("rg") - F.col("inter"))
+            .withColumn(
+                "jaccard",
+                F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+            )
+        )
     return pairs.filter(F.col("jaccard") >= threshold).select(
         "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
     )
