@@ -55,6 +55,33 @@ def test_ngram_jaccard_hot_block_bounded(spark):
     assert 0 < n_pairs < 3 * n * 50 / 2, n_pairs  # uncapped would be C(400,2)=79800
 
 
+def test_ngram_jaccard_inverted_index_matches_all_pairs(spark):
+    """The threshold > 0 inverted-index branch must be value-identical
+    to the all-pairs array_intersect branch (threshold <= 0 form,
+    re-filtered) — same pairs, same 6-decimal jaccard."""
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, f"s{i % 3}", " ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    inv = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, block_col="source", n=2, threshold=0.25
+        ).collect()
+    }
+    allp = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, block_col="source", n=2, threshold=0.0
+        ).collect()
+        if r["jaccard"] >= 0.25
+    }
+    assert inv == allp and len(inv) > 0
+
+
 def test_minhash_dedup_finds_near_dups(docs):
     pairs = {
         (r["left_id"], r["right_id"])
