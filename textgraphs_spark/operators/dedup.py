@@ -112,8 +112,12 @@ def ngram_jaccard_pairs(
         # over per-(block, gram) doc frequencies df — worst case (every
         # doc sharing every gram) identical to the all-pairs intersect's
         # element ops, typical sparse-overlap corpora ~30x fewer; df is
-        # bounded by the salting cap, and map-side partial aggregation
-        # collapses the pair counts before the shuffle.
+        # bounded by the salting cap. The pair-count shuffle moves at
+        # most those same rows: partial aggregation collapses a pair's
+        # rows only where its grams hash to the same join partition, so
+        # the collapse is real for high-overlap pairs (many shared grams
+        # per partition) and ~nil for low-overlap ones — the bound is
+        # Σ C(df,2), not the post-collapse count.
         ex = d.select(
             *join_key, F.col(id_col), F.size("grams").alias("sz"),
             F.explode("grams").alias("g"),
