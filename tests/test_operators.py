@@ -82,6 +82,49 @@ def test_ngram_jaccard_inverted_index_matches_all_pairs(spark):
     assert inv == allp and len(inv) > 0
 
 
+def test_ngram_jaccard_matches_python_reference(spark):
+    """Pin the whole operator — tokenizer, gram build, inverted-index
+    count — against an independent pure-Python set reference on a corpus
+    of edge cases (unicode separators, empties, punctuation-only,
+    repeated grams, exact dups)."""
+    import re
+
+    texts = [
+        "the quick brown fox",                     # plain
+        "the quick  brown\tfox",                   # whitespace runs
+        "THE QUICK BROWN FOX",                     # case folding
+        "the-quick;brown_fox",                     # ascii separators
+        "thé qüick brøwn føx",                     # non-ascii = separators
+        "",                                        # empty
+        "!!! ??? ...",                             # punctuation only
+        "fox fox fox fox",                         # repeated gram
+        "the quick brown fox",                     # exact dup of doc 0
+        "a b a b a b",                             # alternating repeats
+    ]
+    rows = [(i, "blk", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def grams(t):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = grams(texts[i]), grams(texts[j])
+            uni = len(gi | gj)
+            jac = len(gi & gj) / uni if uni else 0.0
+            if jac >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, block_col="source", n=2, threshold=0.3
+        ).collect()
+    }
+    assert got == want and len(want) >= 2, (got, want)
+
+
 def test_minhash_dedup_finds_near_dups(docs):
     pairs = {
         (r["left_id"], r["right_id"])

@@ -81,10 +81,18 @@ def ngram_jaccard_pairs(
     # pair; multi-arg xxhash64 seeds each argument with the previous
     # digest, so token-boundary shifts hash differently), and the
     # arrays shipped through the pair join are 8 B/element longs
+    # IF-guard for docs with < n tokens: sequence(1, 0) counts DOWN to
+    # [1, 0] (its default step is sign-inferred), which with element_at
+    # is an ANSI index error — and with the old slice/concat_ws form
+    # silently produced one phantom "" gram, scoring two <n-token docs
+    # at jaccard 1.0 where the SQL oracle's range() (exclusive end,
+    # genuinely empty) scores 0. Short docs now have empty gram sets.
     gram_args = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-        f" i -> xxhash64({gram_args})))"
+        f"IF(size(_toks) >= {n},"
+        f" array_distinct(transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> xxhash64({gram_args}))),"
+        f" cast(array() as array<bigint>))"
     )
     d = (
         docs.select(
