@@ -125,6 +125,29 @@ def test_ngram_jaccard_matches_python_reference(spark):
     assert got == want and len(want) >= 2, (got, want)
 
 
+def test_dedup_family_null_and_empty_texts(spark):
+    """Web corpora carry NULL and empty text rows; every dedup channel
+    must stay crash-free with pinned semantics: NULL-text docs never
+    pair (no signal != same), empty docs pair only where exact-dup
+    semantics apply (minhash's phantom shingle / exact's hash — both
+    oracle-mirrored), and real duplicate pairs still surface."""
+    rows = [
+        (0, "blk", "the quick brown fox"),
+        (1, "blk", None),
+        (2, "blk", ""),
+        (3, "blk", None),
+        (4, "blk", ""),
+        (5, "blk", "the quick brown fox"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pair = lambda df: {(r["left_id"], r["right_id"]) for r in df.collect()}
+    assert pair(D.ngram_jaccard_pairs(d, block_col="source", threshold=0.2)) == {(0, 5)}
+    assert pair(D.minhash_dedup_pairs(d, threshold=0.5)) == {(0, 5), (2, 4)}
+    assert pair(D.simhash_near_dup_pairs(d, max_hamming=8)) == {(0, 5)}
+    groups = {g["keep_id"]: g["doc_ids"] for g in D.exact_duplicates(d).collect()}
+    assert groups == {0: [0, 5], 1: [1, 3], 2: [2, 4]}
+
+
 def test_minhash_dedup_finds_near_dups(docs):
     pairs = {
         (r["left_id"], r["right_id"])
