@@ -206,6 +206,31 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_topk_ignores_nan_null_and_zero_vectors(spark):
+    """Spark's descending sort puts NaN above every real value, so one
+    corrupt embedding would rank 1 in every query's top-k; zero-norm
+    and NULL vectors yield NULL cosine (try_divide). All three must be
+    excluded from neighbor lists in every query path."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, None),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [float("nan"), 1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").selectExpr("vec_id as q_id", "embedding as q_vec")
+    for got in (
+        SIM.brute_force_topk(q, emb, k=6),
+        SIM.ann_topk(q, emb, k=6, dim=4),
+        SIM.ivf_topk(q, emb, k=6, n_cells=2, nprobe=2),
+    ):
+        ids = {r["vec_id"] for r in got.collect()}
+        assert ids and ids.isdisjoint({2, 3, 4}), ids
+        assert all(r["cosine"] == r["cosine"] for r in got.collect())
+
+
 def test_lang_id(docs):
     langs = {r["doc_id"]: r["pred_lang"] for r in TQ.lang_id(docs).collect()}
     assert langs[0] == "en"

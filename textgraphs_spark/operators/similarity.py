@@ -25,6 +25,16 @@ from pyspark.sql import types as T
 from .scoring import cosine_expr
 
 
+def _finite(col: str) -> F.Column:
+    """Keep only rows with a usable similarity: Spark's descending sort
+    places NaN ABOVE every real value, so one corrupt embedding (NaN
+    element) would otherwise sit at rank 1 of every query's top-k —
+    and in IVF, a NaN assignment poisons the centroid average for its
+    whole cell. NULL cosine (zero-norm or NULL vector, via try_divide)
+    is "no signal", not a neighbor."""
+    return F.col(col).isNotNull() & ~F.isnan(F.col(col))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -40,7 +50,9 @@ def brute_force_topk(
     Tie-break: (cosine desc, corpus id asc) — total order, reproducible.
     """
     joined = queries.crossJoin(corpus)
-    scored = joined.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    scored = joined.withColumn("cosine", cosine_expr(q_vec, c_vec)).filter(
+        _finite("cosine")
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(q_id).orderBy(F.desc(F.round("cosine", 9)), F.asc(c_id))
@@ -172,7 +184,9 @@ def ann_topk(
         .join(cb.select("table_id", "bucket", c_id, c_vec), ["table_id", "bucket"])
         .dropDuplicates([q_id, c_id])
     )
-    scored = cand.withColumn("cosine", cosine_expr("_qv", c_vec))
+    scored = cand.withColumn("cosine", cosine_expr("_qv", c_vec)).filter(
+        _finite("cosine")
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(q_id).orderBy(F.desc(F.round("cosine", 9)), F.asc(c_id))
@@ -421,7 +435,7 @@ def ivf_topk(
                keep: int) -> DataFrame:
         scored = vectors.join(F.broadcast(cents), how="cross").withColumn(
             "_cs", cosine_expr(vec_col, "_cvec")
-        )
+        ).filter(_finite("_cs"))
         w = Window.partitionBy(id_col).orderBy(
             F.desc(F.round("_cs", 9)), F.asc("_cell")
         )
@@ -455,7 +469,7 @@ def ivf_topk(
 
     scored = query_cells.join(corpus_cells, "_cell").withColumn(
         "cosine", cosine_expr(q_vec, c_vec)
-    )
+    ).filter(_finite("cosine"))
     w = Window.partitionBy(q_id).orderBy(F.desc(F.round("cosine", 9)), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
