@@ -151,13 +151,22 @@ def connected_components(
     convergence check on the edge-set hash (cheap: one agg per round);
     edge sets below ``small_graph_threshold`` short-circuit to a
     driver-side union-find."""
-    if isinstance(edges.schema[src].dataType, T.StructType):
+    id_type = edges.schema[src].dataType
+    if isinstance(id_type, T.StructType):
         # struct ids (e.g. key_id128) pass through untouched: Spark
         # orders structs field-by-field, which is all the rounds need
         src_c, dst_c = F.col(src).alias("src"), F.col(dst).alias("dst")
-    else:
+    elif isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         src_c = F.col(src).cast("long").alias("src")
         dst_c = F.col(dst).cast("long").alias("dst")
+    else:
+        # fail at plan time with a pointer, not at execution with an
+        # ANSI cast error from deep inside the first star round
+        raise TypeError(
+            f"connected_components needs integral or struct node ids; got "
+            f"{id_type.simpleString()} — for string keys use "
+            "components_over_keys (hashes keys to collision-safe 128-bit ids)"
+        )
     e = (
         edges.select(src_c, dst_c)
         .filter(F.col("src") != F.col("dst"))
