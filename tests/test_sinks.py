@@ -62,6 +62,35 @@ def test_rdf_export(graph, spark, tmp_path):
     assert files
 
 
+def test_rdf_export_escapes_hostile_surfaces(spark):
+    """Surfaces carrying IRI-breaking or literal-breaking characters
+    (angle brackets, quotes, backslashes, newlines) must serialize to
+    valid single-line N3: IRIs contain no forbidden chars, literals no
+    raw newlines or unescaped backslashes, and an inf edge's subject
+    IRI matches the label triple's subject for the same surface."""
+    nodes = spark.createDataFrame(
+        [
+            ("k1", "ent", 'Dr. "Evil" <boss>', "NOUN", "http://example.org/T", 3, 1, True, 1),
+            ("k2", "ent", "line\nbreak\\end", "NOUN", "unlinked", 2, 1, True, 1),
+        ],
+        "node_key string, kind string, surface string, pos string, "
+        "label string, length int, count int, sub_obj boolean, doc_freq int",
+    )
+    edges = spark.createDataFrame(
+        [("k1", "k2", "inf", "http://example.org/rel", 1, 0.9)],
+        "src_key string, dst_key string, kind string, rel string, count int, prob double",
+    )
+    rows = export_rdf_triples(nodes, edges).collect()
+    label_subj = {r["subj"] for r in rows if "prefLabel" in r["pred"]}
+    for r in rows:
+        for term in (r["subj"], r["pred"], r["obj"]):
+            assert "\n" not in term and "\r" not in term, r
+            if term.startswith("<"):
+                assert not any(c in term[1:-1] for c in '<>"{}|`\\ '), r
+    edge = next(r for r in rows if r["pred"] == "<http://example.org/rel>")
+    assert edge["subj"] in label_subj and edge["obj"] in label_subj
+
+
 def test_prefix_normalization(spark):
     df = spark.createDataFrame(
         [("http://dbpedia.org/ontology/Person",), ("http://dbpedia.org/resource/Money",), ("http://example.com/x",)],

@@ -34,21 +34,43 @@ def normalize_prefix_col(col: F.Column) -> F.Column:
     return out
 
 
+def _entity_iri(surface) -> F.Column:
+    """Surface form → entity IRI ref. Reference naming (space/dot → _)
+    plus neutralization of every char that is illegal inside an IRI ref
+    (angle brackets, quotes, braces, pipe, caret, backtick, backslash,
+    whitespace/control) — without this, one surface containing ``<`` or
+    a newline corrupts the serialized triple line."""
+    return F.concat(
+        F.lit("<https://github.com/DerwenAI/textgraphs/ns/entity/"),
+        F.regexp_replace(surface, r'[ .\x00-\x20<>"{}|^`\\]', "_"),
+        F.lit(">"),
+    )
+
+
+def _literal(surface, lang: str) -> F.Column:
+    """Surface form → single-line N3 string literal. Backslashes are
+    escaped first, double quotes become apostrophes (the reference's
+    lossy choice, kept for parity), and newline/CR/tab — which would
+    break the one-triple-per-line serialization — become \\n/\\r/\\t."""
+    s = F.regexp_replace(surface, r"\\", r"\\\\")
+    s = F.regexp_replace(s, '"', "'")
+    s = F.regexp_replace(s, "\n", r"\\n")
+    s = F.regexp_replace(s, "\r", r"\\r")
+    s = F.regexp_replace(s, "\t", r"\\t")
+    return F.concat(F.lit('"'), s, F.lit(f'"@{lang}'))
+
+
 def export_rdf_triples(nodes: DataFrame, edges: DataFrame, *, lang: str = "en") -> DataFrame:
     """Corpus nodes/edges → (subj, pred, obj) triples DataFrame."""
     # entity/lemma nodes, verbs redacted (doc.py:1011-1013)
     ent_lem = nodes.filter(
         F.col("kind").isin("ent", "lem") & (F.col("pos") != "VERB")
     )
-    slug = F.concat(
-        F.lit("<https://github.com/DerwenAI/textgraphs/ns/entity/"),
-        F.regexp_replace(F.regexp_replace("surface", " ", "_"), r"\.", "_"),
-        F.lit(">"),
-    )
+    slug = _entity_iri(F.col("surface"))
     label_triples = ent_lem.select(
         slug.alias("subj"),
         F.lit(f"<{SKOS_PREF}>").alias("pred"),
-        F.concat(F.lit('"'), F.regexp_replace("surface", '"', "'"), F.lit(f'"@{lang}')).alias("obj"),
+        _literal(F.col("surface"), lang).alias("obj"),
     )
     type_triples = ent_lem.select(
         slug.alias("subj"),
@@ -65,11 +87,12 @@ def export_rdf_triples(nodes: DataFrame, edges: DataFrame, *, lang: str = "en") 
         .join(nodes.select(F.col("node_key").alias("src_key"), F.col("surface").alias("s_sur")), "src_key")
         .join(nodes.select(F.col("node_key").alias("dst_key"), F.col("surface").alias("d_sur")), "dst_key")
         .select(
-            F.concat(F.lit("<https://github.com/DerwenAI/textgraphs/ns/entity/"),
-                     F.regexp_replace("s_sur", " ", "_"), F.lit(">")).alias("subj"),
+            # SAME slug recipe as the label triples — the old space-only
+            # replacement gave "Dr. Who" a different IRI here (Dr._Who)
+            # than its own prefLabel subject (Dr__Who), dangling the edge
+            _entity_iri(F.col("s_sur")).alias("subj"),
             F.concat(F.lit("<"), F.col("rel"), F.lit(">")).alias("pred"),
-            F.concat(F.lit("<https://github.com/DerwenAI/textgraphs/ns/entity/"),
-                     F.regexp_replace("d_sur", " ", "_"), F.lit(">")).alias("obj"),
+            _entity_iri(F.col("d_sur")).alias("obj"),
         )
     )
     return label_triples.unionByName(type_triples).unionByName(inf_edges).distinct()
