@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textgraphs_spark.operators import gor as G
     from textgraphs_spark.operators import similarity as SIM
     from textgraphs_spark.operators import textquality as TQ
+    from textgraphs_spark.operators import webdata as WD
     from textgraphs_spark.operators.extract import (
         corpus_edges, corpus_nodes, extract_graphs, mentions_table, phrases_table,
     )
@@ -225,6 +226,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_fingerprints(spark, sf_dir):
         return D.simhash(_docs(spark, sf_dir))
+
+    def dedup_minhash_clusters(spark, sf_dir):
+        # the dedup ACTION: transitive closure over the same verified
+        # pairs as dedup_minhash, one canonical keeper per cluster
+        return WD.minhash_dedup_clusters(_docs(spark, sf_dir), threshold=0.7)
+
+    # ---- corpus curation (training-data pipeline) ------------------------
+
+    def doc_repetition_signals(spark, sf_dir):
+        return WD.repetition_signals(_docs(spark, sf_dir))
+
+    def boilerplate_ngrams(spark, sf_dir):
+        return WD.boilerplate_ngrams(_docs(spark, sf_dir), n=3, min_df=5)
+
+    def decontaminate_overlap(spark, sf_dir):
+        # eval set = every 50th doc (deterministic, corpus-derived); the
+        # remaining corpus is audited for 4-gram overlap against it
+        docs = _docs(spark, sf_dir)
+        return WD.contaminated_docs(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=4,
+        )
+
+    def corpus_curation(spark, sf_dir):
+        # end-to-end keep/drop verdict: near-dup closure + lang +
+        # quality + repetition gates in one first-failing-reason ladder
+        return WD.curation_decisions(_docs(spark, sf_dir), threshold=0.7)
 
     # ---- similarity search ----------------------------------------------
 
@@ -749,6 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "simhash_fingerprints": simhash_fingerprints,
+        "dedup_minhash_clusters": dedup_minhash_clusters,
+        "doc_repetition_signals": doc_repetition_signals,
+        "boilerplate_ngrams": boilerplate_ngrams,
+        "decontaminate_overlap": decontaminate_overlap,
+        "corpus_curation": corpus_curation,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
@@ -795,9 +829,133 @@ _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')
 
 
 def oracle_sql() -> dict[str, str]:
+    from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
+    from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
 
     toks = _TOKS.format(c="text")
+
+    # reusable per-document-signal SQL: standalone oracle entries AND
+    # subquery components of the corpus_curation composite
+    lang_sql = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({toks}) AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(toks, ['the','and','of','to','is','in','that','with','from','for'])) AS h_en,
+    len(list_intersect(toks, ['der','die','das','und','ist','von','mit','ein','nicht','auf'])) AS h_de,
+    len(list_intersect(toks, ['el','la','los','las','es','en','que','con','una','por'])) AS h_es,
+    len(list_intersect(toks, ['le','la','les','et','est','dans','que','avec','une','pour'])) AS h_fr
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS pred_lang,
+  greatest(h_en, h_de, h_es, h_fr) AS stopword_hits
+FROM hits
+"""
+
+    quality_sql = f"""
+WITH d AS (
+  SELECT doc_id, text, {toks} AS toks,
+         length(text) AS n_chars,
+         len({toks}) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         len(list_intersect(list_distinct({toks}),
+             ['the','and','of','to','is','in','that','with','from','for'])) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS upper_ratio,
+         CASE WHEN n_words > 0 THEN n_stop * 1.0 / least(n_words, 10) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_words > 0 THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_words ELSE 0.0 END AS mean_word_len
+  FROM d
+)
+SELECT doc_id, n_words,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(upper_ratio, 6) AS upper_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END
+            + CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END
+            + CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+            + stop_ratio) / 4.0, 6) AS quality
+FROM m
+"""
+
+    repetition_sql = f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (
+  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+  FROM d
+),
+g AS (
+  SELECT doc_id, 2 AS n, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS gram
+  FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, 3, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
+                 || ' ' || toks[CAST(t.i AS INT) + 2]
+  FROM d, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+s AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c END) AS top2,
+         CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS tot2,
+         max(CASE WHEN n = 3 THEN c END) AS top3,
+         CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS tot3
+  FROM c GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words,
+       round(CASE WHEN w.n_words > 0
+                  THEN 1.0 - n_distinct * 1.0 / n_words ELSE 0.0 END, 6) AS dup_word_frac,
+       round(coalesce(CASE WHEN tot2 > 0 THEN top2 * 1.0 / tot2 END, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(CASE WHEN tot3 > 0 THEN top3 * 1.0 / tot3 END, 0.0), 6) AS top_trigram_frac
+FROM w LEFT JOIN s ON w.doc_id = s.doc_id
+"""
+
+    # the composite curation verdict: minhash-pair closure (non-keepers)
+    # + the three per-doc signal subqueries, joined on doc_id under the
+    # same first-failing-gate CASE ladder as webdata.curation_decisions
+    corpus_curation_sql = f"""WITH RECURSIVE
+pairs AS MATERIALIZED ({_mh_sql(threshold=0.7)}),
+edgesu AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION SELECT right_id, left_id FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edgesu),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
+),
+comp AS MATERIALIZED (SELECT node, min(r) AS keep_id FROM reach GROUP BY node),
+dupes AS MATERIALIZED (SELECT node AS doc_id FROM comp WHERE node <> keep_id),
+lng AS MATERIALIZED ({lang_sql}),
+q AS MATERIALIZED ({quality_sql}),
+rep AS MATERIALIZED ({repetition_sql}),
+verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN lng.pred_lang <> 'en' THEN 'lang'
+              WHEN q.quality < 0.76 THEN 'low_quality'
+              WHEN rep.dup_word_frac > 0.65 OR rep.top_bigram_frac > 0.2 THEN 'repetitive'
+              ELSE 'keep' END AS reason
+  FROM documents d
+  LEFT JOIN dupes dup ON d.doc_id = dup.doc_id
+  JOIN lng ON d.doc_id = lng.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN rep ON d.doc_id = rep.doc_id
+)
+SELECT doc_id, reason, (reason = 'keep') AS keep FROM verdict
+"""
 
     gor_triples = """
 SELECT c_name AS src, 'customer_in' AS rel, n_name AS dst
@@ -898,6 +1056,46 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "relation_inf_edges": relation_edges_sql(),
         "ranked_phrases_pages": ranked_phrases_pages_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
+        "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
+        "corpus_curation": corpus_curation_sql,
+        "doc_repetition_signals": repetition_sql,
+        "boilerplate_ngrams": f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
+              || ' ' || toks[CAST(t.i AS INT) + 2] AS gram
+  FROM d, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+),
+per_doc AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id)
+SELECT gram, count(*) AS df, CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY gram HAVING count(*) >= 5
+""",
+        "decontaminate_overlap": f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 1),
+           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+             || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]
+         )) AS grams
+  FROM d
+),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0
+),
+agg AS (
+  SELECT c.doc_id, count(*) AS n_grams,
+         count(e.gram) AS n_matched
+  FROM corpus c LEFT JOIN ev e ON c.gram = e.gram
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       round(n_matched * 1.0 / n_grams, 6) AS overlap_frac
+FROM agg WHERE n_matched > 0
+""",
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
@@ -967,57 +1165,8 @@ JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings) b
 WHERE list_dot_product(a.embedding, b.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
 """,
-        "lang_id": f"""
-WITH d AS (
-  SELECT doc_id, list_distinct({toks}) AS toks FROM documents
-),
-hits AS (
-  SELECT doc_id,
-    len(list_intersect(toks, ['the','and','of','to','is','in','that','with','from','for'])) AS h_en,
-    len(list_intersect(toks, ['der','die','das','und','ist','von','mit','ein','nicht','auf'])) AS h_de,
-    len(list_intersect(toks, ['el','la','los','las','es','en','que','con','una','por'])) AS h_es,
-    len(list_intersect(toks, ['le','la','les','et','est','dans','que','avec','une','pour'])) AS h_fr
-  FROM d
-)
-SELECT doc_id,
-  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
-       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
-       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-       ELSE 'de' END AS pred_lang,
-  greatest(h_en, h_de, h_es, h_fr) AS stopword_hits
-FROM hits
-""",
-        "quality_score": f"""
-WITH d AS (
-  SELECT doc_id, text, {toks} AS toks,
-         length(text) AS n_chars,
-         len({toks}) AS n_words,
-         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-         len(list_intersect(list_distinct({toks}),
-             ['the','and','of','to','is','in','that','with','from','for'])) AS n_stop
-  FROM documents
-),
-m AS (
-  SELECT doc_id, n_words,
-         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
-         CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS upper_ratio,
-         CASE WHEN n_words > 0 THEN n_stop * 1.0 / least(n_words, 10) ELSE 0.0 END AS stop_ratio,
-         CASE WHEN n_words > 0 THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_words ELSE 0.0 END AS mean_word_len
-  FROM d
-)
-SELECT doc_id, n_words,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(upper_ratio, 6) AS upper_ratio,
-       round(stop_ratio, 6) AS stop_ratio,
-       round(mean_word_len, 6) AS mean_word_len,
-       round((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END
-            + CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END
-            + CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
-            + stop_ratio) / 4.0, 6) AS quality
-FROM m
-""",
+        "lang_id": lang_sql,
+        "quality_score": quality_sql,
         "token_count": f"""
 SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9]+'), t -> t <> '')) AS n_words,

@@ -244,3 +244,40 @@ def test_stream_near_dup_candidates(spark, tmp_path):
     }
     assert want, "fixture must contain near-dups"
     assert got == want
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Streaming decontamination (inlined eval grams, stateless) must
+    emit exactly the batch operator's rows over the same corpus."""
+    import pandas as pd
+
+    from textgraphs_spark.operators.webdata import contaminated_docs
+    from textgraphs_spark.streaming.events import stream_contamination
+
+    eval_rows = [(100, "the exact benchmark answer string here")]
+    corpus_rows = [
+        (0, "prefix words the exact benchmark answer string here suffix"),
+        (1, "entirely unrelated corpus document with different words"),
+        (2, "answer string here exact benchmark the"),
+        (3, "more filler the exact benchmark answer string here again"),
+    ]
+    src = tmp_path / "contam_src"
+    src.mkdir()
+    pd.DataFrame(corpus_rows, columns=["doc_id", "text"]).to_parquet(
+        src / "part0.parquet"
+    )
+    eval_docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = stream_contamination(stream, eval_docs, n=4)
+    assert out.isStreaming
+    run_available_now(out, checkpoint=str(tmp_path / "cck"), table_name="contam_out")
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT doc_id, n_grams, n_matched, overlap_frac FROM contam_out"
+        ).collect()
+    }
+    batch_docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    want = {tuple(r) for r in contaminated_docs(batch_docs, eval_docs, n=4).collect()}
+    assert want, "fixture must contain contaminated docs"
+    assert got == want

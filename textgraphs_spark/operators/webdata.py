@@ -1,0 +1,349 @@
+"""Corpus-curation operators for web-scale training-data pipelines.
+
+Four operations a 100 TB pretraining-data pipeline runs between crawl
+and tokenizer, complementing the per-document signals in textquality.py
+and the pair generators in dedup.py:
+
+* repetition_signals — Gopher-style within-document repetition stats
+  (duplicate-word fraction, top-bigram / top-trigram mass fraction);
+  the standard filter for degenerate machine-generated pages.
+* boilerplate_ngrams — corpus-level n-gram document frequency; grams
+  appearing in many distinct documents are navigation/footer
+  boilerplate (the CCNet line-dedup idea lifted to token n-grams,
+  which stays meaningful when documents are single-line).
+* contaminated_docs — benchmark decontamination: flag corpus documents
+  sharing ≥ 1 token n-gram with a (small, broadcast) eval set, the
+  n-gram-overlap protocol used by GPT-3/PaLM-style dataset audits.
+* minhash_dedup_clusters — the dedup *action*: transitive closure over
+  MinHash-verified near-dup pairs (dedup.minhash_dedup_pairs →
+  components.connected_components) and one canonical keeper per
+  cluster — what a pipeline actually executes to drop near-dups.
+
+Scale notes (100 TB / 10^12 docs):
+
+* Everything is explode → hash-aggregate with map-side partial
+  aggregation; no operator materializes a per-document pair list and
+  none collects to the driver (minhash_dedup_clusters inherits the
+  size-adaptive CC, which only short-circuits below 500 k edges).
+* repetition_signals keys every shuffle by doc_id (or (doc_id, gram));
+  both aggregations partial-combine, so the shuffle volume is the
+  distinct-gram count, not the token count.
+* boilerplate_ngrams' second aggregate is keyed by gram — a Zipfian
+  key set, but the partial agg collapses each partition to one row per
+  distinct gram before the shuffle, so the hot gram costs one row per
+  upstream partition (the classic word-count skew argument).
+* contaminated_docs broadcasts the eval-set gram table (eval suites
+  are ~10^3-10^6 grams — MB-scale) so the corpus side is map-only.
+
+Tokenization is dedup.py's ``_TOKENS`` (lowercase, split on
+non-alphanumeric runs) so every gram here is byte-reproducible by the
+DuckDB oracle's ``string_split_regex`` twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .dedup import _TOKENS, minhash_dedup_pairs
+
+__all__ = [
+    "repetition_signals",
+    "boilerplate_ngrams",
+    "contaminated_docs",
+    "minhash_dedup_clusters",
+    "curation_decisions",
+]
+
+
+def _gram_col(n: int, toks: str = "_toks") -> Column:
+    """Token n-grams of an array column as strings joined by one space.
+
+    Grams stay STRINGS (not hashes): downstream per-gram counts feed
+    value-level oracles, and a 64-bit hash collision would silently
+    change a count here (unlike Jaccard in dedup.py, where set sizes
+    are collision-robust and hashing keeps the pair join narrow).
+    Docs with < n tokens get an empty array — the IF guard prevents
+    sequence(1, 0) from counting DOWN (see dedup.ngram_jaccard_pairs).
+    """
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    return F.expr(
+        f"IF(size({toks}) >= {n},"
+        f" transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})),"
+        f" cast(array() as array<string>))"
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics (Gopher-style filters):
+
+    * ``dup_word_frac``     — 1 − distinct/total words; the fraction of
+      word occurrences that repeat an earlier word.
+    * ``top_bigram_frac``   — occurrences of the most frequent bigram
+      over all bigram occurrences.
+    * ``top_trigram_frac``  — same for trigrams.
+
+    Degenerate generated text (keyword stuffing, template spam) scores
+    high on all three; Gopher drops docs with top-2-gram mass > 0.20.
+
+    One exploded pass carries both gram sizes (tagged by ``n``) through
+    a single (doc, n, gram) count and a single per-doc aggregate; word
+    stats are computed map-side and left-joined so sub-bigram docs
+    still appear (fractions 0.0).
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    word = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_words"),
+        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+    )
+    ex = None
+    for n in (2, 3):
+        part = base.select(
+            F.col(id_col), F.lit(n).alias("_n"),
+            F.explode(_gram_col(n)).alias("_gram"),
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    counts = ex.groupBy(id_col, "_n", "_gram").agg(F.count("*").alias("_c"))
+    stats = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("_n") == 2, F.col("_c"))).alias("_top2"),
+        F.sum(F.when(F.col("_n") == 2, F.col("_c"))).alias("_tot2"),
+        F.max(F.when(F.col("_n") == 3, F.col("_c"))).alias("_top3"),
+        F.sum(F.when(F.col("_n") == 3, F.col("_c"))).alias("_tot3"),
+    )
+
+    def frac(top: str, tot: str) -> Column:
+        return F.round(
+            F.when(F.col(tot) > 0, F.col(top) / F.col(tot)).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return word.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                1.0 - F.col("_n_distinct") / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.coalesce(frac("_top2", "_tot2"), F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(frac("_top3", "_tot3"), F.lit(0.0)).alias("top_trigram_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token n-grams occurring in ≥ ``min_df`` distinct documents:
+    (gram, df, n_occurrences). Grams this widespread are boilerplate
+    (headers, footers, cookie banners) — pipelines strip or down-weight
+    them before training.
+
+    Two hash aggregates: (gram, doc) collapses within-doc repeats and
+    yields df by construction; (gram) sums to corpus level. Partial
+    aggregation makes the hot-gram skew a per-partition constant.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    per_doc = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(_gram_col(n)).alias("gram"))
+        .groupBy("gram", id_col)
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("df"), F.sum("_c").alias("n_occurrences"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    token ``n``-gram with ``eval_docs``; returns (doc_id, n_grams,
+    n_matched, overlap_frac).
+
+    The eval side collapses to its DISTINCT gram set and is broadcast —
+    eval suites are tiny next to the corpus, so the corpus side is ONE
+    scan: explode distinct per-doc grams, broadcast left-join the eval
+    grams, and count total + matched grams in a single per-doc
+    aggregate. Matching is over distinct grams per doc, so
+    ``overlap_frac`` is a set-overlap fraction in [0, 1].
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    eval_grams = (
+        eval_docs.select(toks.alias("_toks"))
+        .select(F.explode(_gram_col(n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(_gram_col(n))).alias("gram"))
+    )
+    agg = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_matched"),
+        )
+    )
+    return agg.filter(F.col("n_matched") > 0).select(
+        F.col(id_col),
+        "n_grams",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("overlap_frac"),
+    )
+
+
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dup clusters: transitive closure over MinHash-verified
+    pairs, one row per cluster — (keep_id, n_docs, doc_ids).
+
+    This is the operation a dedup pipeline actually runs: everything
+    except ``keep_id`` (the minimum doc id of the cluster — the
+    deterministic canonical keeper) is dropped from the corpus.
+    Composes ``dedup.minhash_dedup_pairs`` (banded LSH, bucket-capped,
+    exact-Jaccard-verified) with ``components.connected_components``
+    (large-star/small-star; driver union-find only below 500 k edges).
+    Match edges are vocabulary-of-near-dups sized — orders of magnitude
+    below the corpus — so the closure is cheap relative to the pair
+    generation. Singleton documents (no verified pair) are not
+    clusters and do not appear.
+    """
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    cc = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws("|", F.sort_array(F.collect_list("node"))).alias("doc_ids"),
+        )
+        .select(F.col("component").alias("keep_id"), "n_docs", "doc_ids")
+    )
+
+
+def curation_decisions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple = ("en",),
+    quality_min: float = 0.76,
+    max_dup_word_frac: float = 0.65,
+    max_top_bigram_frac: float = 0.2,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The end-to-end curation verdict per document — what a
+    training-data pipeline actually emits before tokenization:
+    (doc_id, reason, keep), with ``reason`` the FIRST failing gate of a
+    deterministic ladder (near_dup → lang → low_quality → repetitive)
+    or 'keep'.
+
+    * near_dup     — the document is a non-canonical member of a
+      MinHash near-dup cluster (``minhash_dedup_pairs`` →
+      ``connected_components``; the minimum doc id survives).
+    * lang         — heuristic language ID outside ``langs``.
+    * low_quality  — composite quality score below ``quality_min``.
+    * repetitive   — Gopher-style repetition gates (dup-word fraction /
+      top-bigram mass) exceeded.
+
+    Plan shape at scale: the language/quality signals are map-only
+    column expressions, repetition is its own doc_id-keyed aggregation
+    branch, the dup flag is the (vocabulary-of-near-dups sized) CC
+    assignment broadcast-joinable against the corpus; everything meets
+    on doc_id. Every document appears exactly once in the output.
+    """
+    from .textquality import lang_id, quality_score
+
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    cc = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col), F.lit(1).alias("_dup")
+    )
+    l_ = lang_id(docs, text_col=text_col, id_col=id_col).select(id_col, "pred_lang")
+    q = quality_score(docs, text_col=text_col, id_col=id_col).select(id_col, "quality")
+    r = repetition_signals(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "dup_word_frac", "top_bigram_frac"
+    )
+    base = (
+        docs.select(id_col)
+        .join(dupes, id_col, "left")
+        .join(l_, id_col)
+        .join(q, id_col)
+        .join(r, id_col)
+    )
+    reason = (
+        F.when(F.col("_dup").isNotNull(), F.lit("near_dup"))
+        .when(~F.col("pred_lang").isin(*langs), F.lit("lang"))
+        .when(F.col("quality") < quality_min, F.lit("low_quality"))
+        .when(
+            (F.col("dup_word_frac") > max_dup_word_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac),
+            F.lit("repetitive"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return base.select(
+        F.col(id_col), reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
+def minhash_clusters_oracle_sql(**minhash_kwargs) -> str:
+    """DuckDB twin of ``minhash_dedup_clusters``: the bit-reproducing
+    MinHash pair SQL (dedup.minhash_oracle_sql) closed transitively by
+    a recursive reach CTE (same pattern as the flagship ER oracle,
+    plans/er_oracle.py), then grouped to (keep_id, n_docs, doc_ids)."""
+    from .dedup import minhash_oracle_sql
+
+    inner = minhash_oracle_sql(**minhash_kwargs)
+    return f"""WITH RECURSIVE
+pairs AS MATERIALIZED ({inner}),
+edgesu AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION SELECT right_id, left_id FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edgesu),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
+),
+comp AS MATERIALIZED (SELECT node, min(r) AS keep_id FROM reach GROUP BY node)
+SELECT keep_id, count(*) AS n_docs,
+       array_to_string(list_sort(list(node)), '|') AS doc_ids
+FROM comp GROUP BY keep_id
+"""

@@ -109,6 +109,59 @@ def stream_dedup(
     )
 
 
+def stream_contamination(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``webdata.contaminated_docs``: flag arriving
+    documents sharing ≥ 1 token n-gram with a (batch) eval set.
+
+    STATELESS by construction — the only way the per-doc aggregate
+    stays out of Spark's state store: the eval gram set is collected
+    once at plan-build time and inlined as a literal array (the same
+    inlining discipline as similarity.py's LSH hyperplanes), so each
+    document is scored with one ``array_intersect`` against its own
+    distinct-gram array, no explode, no groupBy, no join. Bounded by
+    the eval-suite size (10^3–10^6 grams — the batch operator already
+    assumes broadcastability); a corpus-sized "eval" set belongs in the
+    batch operator, not here. Emits the batch operator's exact schema
+    (doc_id, n_grams, n_matched, overlap_frac), contaminated rows only.
+    """
+    from ..operators.dedup import _TOKENS
+    from ..operators.webdata import _gram_col
+
+    toks = F.expr(_TOKENS.format(c=text_col))
+    eval_grams = sorted(
+        r["gram"]
+        for r in eval_docs.select(toks.alias("_toks"))
+        .select(F.explode(_gram_col(n)).alias("gram"))
+        .distinct()
+        .collect()
+    )
+    if eval_grams:
+        lit_grams = F.array(*[F.lit(g) for g in eval_grams])
+    else:
+        lit_grams = F.expr("cast(array() as array<string>)")
+    d = docs_stream.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(F.col(id_col), F.array_distinct(_gram_col(n)).alias("_grams"))
+    return (
+        d.select(
+            F.col(id_col),
+            F.size("_grams").alias("n_grams"),
+            F.size(F.array_intersect("_grams", lit_grams)).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") > 0)
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_matched") / F.col("n_grams"), 6)
+        )
+    )
+
+
 def stream_near_dup_candidates(
     docs_stream: DataFrame,
     *,
