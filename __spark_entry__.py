@@ -255,6 +255,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality + repetition gates in one first-failing-reason ladder
         return WD.curation_decisions(_docs(spark, sf_dir), threshold=0.7)
 
+    def source_rollup(spark, sf_dir):
+        # per-source keep rates + per-reason drop counts — the domain
+        # blocklist aggregate over the curation verdicts
+        return WD.source_curation_rollup(_docs(spark, sf_dir), threshold=0.7)
+
+    def url_dedup(spark, sf_dir):
+        # canonicalize-then-dedup over the deterministic URL corpus
+        # (sources/pages.url_pages — RNG-free, regenerated by the oracle)
+        from textgraphs_spark.sources.pages import url_pages
+
+        return WD.url_dedup_clusters(url_pages(spark))
+
     # ---- similarity search ----------------------------------------------
 
     def knn_cosine(spark, sf_dir):
@@ -783,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": boilerplate_ngrams,
         "decontaminate_overlap": decontaminate_overlap,
         "corpus_curation": corpus_curation,
+        "source_curation_rollup": source_rollup,
+        "url_dedup": url_dedup,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
@@ -957,6 +971,54 @@ verdict AS (
 SELECT doc_id, reason, (reason = 'keep') AS keep FROM verdict
 """
 
+    # per-source rollup of the curation verdicts: same composite SQL,
+    # joined back to documents and grouped by source. keep_rate uses the
+    # same op order as the Spark side (sum * 1.0 / count, then round) so
+    # the IEEE doubles agree bit-for-bit.
+    source_rollup_sql = f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS keep_rate,
+       CAST(sum(CASE WHEN cur.reason = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN cur.reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN cur.reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(sum(CASE WHEN cur.reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM documents d JOIN ({corpus_curation_sql}) cur ON d.doc_id = cur.doc_id
+GROUP BY d.source
+"""
+
+    # URL canonicalize-then-dedup: regenerate the RNG-free URL corpus
+    # (sources/pages.url_pages_sql) and byte-reproduce
+    # webdata.canonical_url_col's regex/param-sort steps in DuckDB
+    from textgraphs_spark.sources.pages import url_pages_sql as _url_sql
+
+    url_dedup_sql = f"""
+WITH raw AS ({_url_sql()}),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '#.*$', ''), '^https?://', ''), '^www\\.', '') AS u
+  FROM raw
+),
+p AS (
+  SELECT doc_id,
+         regexp_replace(split_part(u, '?', 1), '/$', '') AS path,
+         list_sort(list_filter(string_split(split_part(u, '?', 2), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|ref|fbclid|gclid)='))) AS params
+  FROM c
+),
+canon AS (
+  SELECT doc_id,
+         path || CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+  FROM p
+)
+SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS keep_id,
+       array_to_string(list_sort(list(doc_id)), '|') AS doc_ids
+FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+"""
+
     gor_triples = """
 SELECT c_name AS src, 'customer_in' AS rel, n_name AS dst
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -1058,6 +1120,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
         "corpus_curation": corpus_curation_sql,
+        "source_curation_rollup": source_rollup_sql,
+        "url_dedup": url_dedup_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),

@@ -156,3 +156,104 @@ def test_minhash_clusters_match_pairs_closure(spark):
     # the pair generator silently finding nothing)
     assert clusters[0]["n_docs"] == 3
     assert 20 not in {m for ms in expected.values() for m in ms}
+
+
+def test_canonical_url_cases(spark):
+    """Hand-picked canonicalization cases: fragment, scheme, www,
+    trailing slash, tracking params, kept-param sorting, bare domain."""
+    from textgraphs_spark.operators.webdata import canonical_url_col
+
+    cases = [
+        ("https://www.example.com/a/b/?utm_source=x&b=2&a=1#frag",
+         "example.com/a/b?a=1&b=2"),
+        ("http://example.com/a/b?a=1&b=2", "example.com/a/b?a=1&b=2"),
+        ("https://example.com/", "example.com"),
+        ("example.com/path", "example.com/path"),          # already bare
+        ("https://example.com/p?utm_campaign=z&ref=home&gclid=1&fbclid=2",
+         "example.com/p"),                                  # tracking-only
+        ("https://sub.www.example.com/p", "sub.www.example.com/p"),  # only LEADING www.
+        ("https://example.com/refuge?reference=1", "example.com/refuge?reference=1"),
+        # ^ 'ref' must match the whole param NAME, not a prefix
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    out = df.select("url", "want", canonical_url_col().alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], f"{r['url']}: {r['got']} != {r['want']}"
+
+
+def test_url_dedup_clusters_collapse(spark):
+    """Every url_pages group's 3 surface variants collapse to one
+    canonical cluster; keep_id is the earliest crawl."""
+    from textgraphs_spark.operators.webdata import url_dedup_clusters
+    from textgraphs_spark.sources.pages import url_pages
+
+    out = {r["canonical_url"]: r for r in url_dedup_clusters(url_pages(spark)).collect()}
+    assert len(out) == 120
+    assert all(r["n_urls"] == 3 for r in out.values())
+    r = out["example1.com/articles/1?a=1&b=2"]
+    assert r["keep_id"] == 1 and r["doc_ids"] == "1|121|241"
+    r0 = out["example0.com/articles/0"]
+    assert r0["keep_id"] == 0 and r0["doc_ids"] == "0|120|240"
+
+
+def test_webdata_null_and_empty_text_pinned(spark):
+    """Dirty web rows must not crash and their semantics are pinned:
+    NULL text is NO SIGNAL (n_words NULL, zero fractions, no grams);
+    empty text measures zero. Both are dropped by the curation ladder
+    at the lang gate ('und' is outside langs)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "the real document with plenty of english "
+                                 "words to pass every quality gate for sure")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in W.repetition_signals(docs).collect()}
+    assert rep[0]["n_words"] is None and rep[0]["dup_word_frac"] == 0.0
+    assert rep[1]["n_words"] == 0 and rep[1]["top_bigram_frac"] == 0.0
+    assert W.boilerplate_ngrams(docs, n=3, min_df=2).count() == 0
+    ev = spark.createDataFrame([(9, "plenty of english words")], ["doc_id", "text"])
+    contam = W.contaminated_docs(docs, ev, n=4).collect()
+    assert [r["doc_id"] for r in contam] == [2]
+    cur = {r["doc_id"]: r for r in W.curation_decisions(docs, threshold=0.5).collect()}
+    assert len(cur) == 3  # NULL/empty rows still get exactly one verdict
+    assert cur[0]["reason"] == "lang" and not cur[0]["keep"]
+    assert cur[1]["reason"] == "lang" and not cur[1]["keep"]
+    assert cur[2]["reason"] == "keep" and cur[2]["keep"]
+
+
+def test_contaminated_docs_broadcasts_eval_side(spark):
+    """The eval-gram side must broadcast (BHJ) — a sort-merge join here
+    would shuffle the full corpus gram stream at 100 TB."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words here") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(0, "some shared words here")], ["doc_id", "text"])
+    out = W.contaminated_docs(docs, ev, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_curation_rollup_counts(spark):
+    """Per-source counts must reconcile exactly with the per-doc
+    verdicts, and keep_rate is n_keep/n_docs."""
+    texts = {
+        "keep": "the quiet analyst wrote careful notes about spark plans with time for review",
+        "lang": "der schnelle braune fuchs springt und ist nicht mit auf dem feld",
+        "rep": "the spam spam spam spam spam spam spam spam spam spam spam",
+    }
+    rows = [
+        (0, texts["keep"], "good.example"),
+        (1, texts["keep"] + " again today", "good.example"),
+        (2, texts["lang"], "good.example"),
+        (3, texts["rep"], "spammy.example"),
+        (4, texts["rep"] + " more", "spammy.example"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in W.source_curation_rollup(docs, threshold=0.99).collect()}
+    g = out["good.example"]
+    assert g["n_docs"] == 3 and g["n_keep"] == 2 and g["n_lang"] == 1
+    assert g["keep_rate"] == round(2 / 3, 6)
+    s = out["spammy.example"]
+    assert s["n_docs"] == 2 and s["n_keep"] == 0 and s["n_repetitive"] == 2
+    assert s["keep_rate"] == 0.0

@@ -347,3 +347,97 @@ SELECT keep_id, count(*) AS n_docs,
        array_to_string(list_sort(list(node)), '|') AS doc_ids
 FROM comp GROUP BY keep_id
 """
+
+
+_TRACKING_RE = "^(utm_[a-z]+|ref|fbclid|gclid)="
+
+
+def canonical_url_col(url_col: str = "url") -> Column:
+    """Canonical form of a URL as a pure codegen column (map-only, no
+    UDF): drop the fragment, scheme, and a leading ``www.``; strip one
+    trailing slash from the path; drop tracking query params
+    (``utm_*``, ``ref``, ``fbclid``, ``gclid``) and SORT the survivors
+    so param order never splits a dedup group. The regex steps are
+    byte-reproduced by the DuckDB twin inside
+    ``__spark_entry__.oracle_sql`` — keep them in lockstep.
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    path = F.regexp_replace(F.split_part(u, F.lit("?"), F.lit(1)), "/$", "")
+    query = F.split_part(u, F.lit("?"), F.lit(2))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    return F.concat(
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_clusters(
+    pages: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup after canonicalization: one row per
+    canonical URL fetched more than once — (canonical_url, n_urls,
+    keep_id, doc_ids). The first crawl (minimum doc id) survives.
+
+    At 100 TB this is the cheapest dedup channel and always runs
+    before content dedup: canonicalization is map-only codegen and
+    the group-by is one partial-aggregated hash shuffle keyed by
+    canonical_url (head-domain skew lands on DISTINCT paths, so the
+    key space stays fine-grained — no salting needed).
+    """
+    c = pages.select(F.col(id_col), canonical_url_col(url_col).alias("canonical_url"))
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min(id_col).alias("keep_id"),
+            F.concat_ws("|", F.sort_array(F.collect_list(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_urls") >= 2)
+    )
+
+
+def source_curation_rollup(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    **curation_kwargs,
+) -> DataFrame:
+    """Per-source (domain) curation scoreboard: document counts, keeps,
+    keep rate, and per-reason drop counts — the aggregate a pipeline
+    uses to build domain blocklists (a source whose keep_rate collapses
+    is spam/boilerplate and gets cut at the crawl frontier instead of
+    being re-filtered document by document forever).
+
+    One extra doc_id-keyed join + one source-keyed aggregate on top of
+    ``curation_decisions``; source cardinality is tiny next to the
+    corpus, so the final aggregate is a near-free shuffle.
+    """
+    cur = curation_decisions(docs, id_col=id_col, **curation_kwargs)
+    joined = docs.select(F.col(id_col), F.col(source_col)).join(cur, id_col)
+    agg = joined.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.sum((F.col("reason") == "near_dup").cast("int")).alias("n_near_dup"),
+        F.sum((F.col("reason") == "lang").cast("int")).alias("n_lang"),
+        F.sum((F.col("reason") == "low_quality").cast("int")).alias("n_low_quality"),
+        F.sum((F.col("reason") == "repetitive").cast("int")).alias("n_repetitive"),
+    )
+    return agg.select(
+        F.col(source_col),
+        "n_docs",
+        "n_keep",
+        F.round(F.col("n_keep") * 1.0 / F.col("n_docs"), 6).alias("keep_rate"),
+        "n_near_dup",
+        "n_lang",
+        "n_low_quality",
+        "n_repetitive",
+    )

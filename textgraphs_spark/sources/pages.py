@@ -292,3 +292,68 @@ def arith_pages_typos(spark: SparkSession, n_pages: int = 150) -> DataFrame:
         F.lit("offices"),
     )
     return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def url_pages(spark: SparkSession, n_pages: int = 360, n_groups: int = 120) -> DataFrame:
+    """Deterministic URL corpus for canonicalization/dedup queries —
+    pure index arithmetic like ``arith_pages``, so a DuckDB oracle
+    regenerates it bit-identically (``url_pages_sql`` below).
+
+    Page ``i`` renders group ``g = i % n_groups`` through variant
+    ``v = i // n_groups`` (three variants per group):
+
+    * v=0 — plain https URL; odd groups carry kept params in the
+      WRONG order (``?b=2&a=1``) so param sorting is exercised.
+    * v=1 — http + ``www.`` prefix + a ``utm_source`` tracking param
+      spliced BETWEEN the kept params.
+    * v=2 — trailing slash on the path, a ``ref`` tracking param
+      before the kept params, and a ``#sec`` fragment.
+
+    All three variants of a group canonicalize to the same URL:
+    ``example{g%5}.com/articles/{g}`` (+ ``?a=1&b=2`` for odd groups).
+    """
+    i = F.col("id")
+    g = i % n_groups
+    v = F.floor(i / n_groups)
+    dom = F.format_string("example%d.com", (g % 5).cast("int"))
+    path = F.format_string("/articles/%d", g.cast("int"))
+    kept = (g % 2 == 1)
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), dom, path,
+            F.when(kept, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        ))
+        .when(v == 1, F.concat(
+            F.lit("http://www."), dom, path,
+            F.when(kept, F.lit("?a=1&utm_source=feed&b=2"))
+             .otherwise(F.lit("?utm_source=feed")),
+        ))
+        .otherwise(F.concat(
+            F.lit("https://"), dom, path, F.lit("/"),
+            F.when(kept, F.lit("?ref=home&a=1&b=2")).otherwise(F.lit("?ref=home")),
+            F.lit("#sec"),
+        ))
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), url.alias("url"))
+
+
+def url_pages_sql(n_pages: int = 360, n_groups: int = 120) -> str:
+    """DuckDB twin of ``url_pages``: regenerates (doc_id, url) from the
+    same index formulas — keep the two in lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  CASE WHEN v = 0 THEN 'https://' || dom || path ||
+         CASE WHEN kept THEN '?b=2&a=1' ELSE '' END
+       WHEN v = 1 THEN 'http://www.' || dom || path ||
+         CASE WHEN kept THEN '?a=1&utm_source=feed&b=2' ELSE '?utm_source=feed' END
+       ELSE 'https://' || dom || path || '/' ||
+         CASE WHEN kept THEN '?ref=home&a=1&b=2' ELSE '?ref=home' END || '#sec'
+  END AS url
+FROM (
+  SELECT t.i, (t.i % {n_groups}) // 1 AS g, t.i // {n_groups} AS v,
+         'example' || ((t.i % {n_groups}) % 5) || '.com' AS dom,
+         '/articles/' || (t.i % {n_groups}) AS path,
+         (t.i % {n_groups}) % 2 = 1 AS kept
+  FROM range(0, {n_pages}) t(i)
+)
+"""
