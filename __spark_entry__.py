@@ -267,6 +267,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return WD.url_dedup_clusters(url_pages(spark))
 
+    def corpus_sample(spark, sf_dir):
+        # reproducible 20% training shard: pure function of doc_id, so
+        # the sample is identical across cluster sizes and re-runs
+        return WD.deterministic_sample(_docs(spark, sf_dir), 0.2)
+
+    def per_source_cap(spark, sf_dir):
+        # exact head-domain cap (windowed rank; scale twin below)
+        return WD.per_source_cap(_docs(spark, sf_dir), 20).withColumn(
+            "rk", F.col("rk").cast("long")
+        )
+
+    def per_source_cap_scalable(spark, sf_dir):
+        # the no-window scale twin: hash-threshold cap, approximate
+        return WD.per_source_cap_threshold(_docs(spark, sf_dir), 20)
+
     # ---- similarity search ----------------------------------------------
 
     def knn_cosine(spark, sf_dir):
@@ -797,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": corpus_curation,
         "source_curation_rollup": source_rollup,
         "url_dedup": url_dedup,
+        "corpus_sample": corpus_sample,
+        "per_source_cap": per_source_cap,
+        "per_source_cap_scalable": per_source_cap_scalable,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
@@ -1019,6 +1037,37 @@ SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS keep_id,
 FROM canon GROUP BY canonical_url HAVING count(*) >= 2
 """
 
+    # deterministic sampling / per-source caps: the Lehmer mixer is
+    # plain integer arithmetic, reproduced exactly by DuckDB
+    from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
+
+    _h_doc = det_hash_sql("doc_id")
+    _sample_threshold = int(0.2 * _LEHMER_P)
+    corpus_sample_sql = f"""
+SELECT doc_id, {_h_doc} AS sample_key FROM documents
+WHERE {_h_doc} < {_sample_threshold}
+"""
+
+    per_source_cap_sql = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {_h_doc}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 20
+"""
+
+    per_source_cap_threshold_sql = f"""
+WITH t AS (
+  SELECT source,
+         CAST(floor(least(1.0, 20.0 / count(*)) * {_LEHMER_P}) AS BIGINT) AS thresh
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE {_h_doc.replace('doc_id', 'd.doc_id')} < t.thresh
+"""
+
     gor_triples = """
 SELECT c_name AS src, 'customer_in' AS rel, n_name AS dst
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -1122,6 +1171,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "corpus_curation": corpus_curation_sql,
         "source_curation_rollup": source_rollup_sql,
         "url_dedup": url_dedup_sql,
+        "corpus_sample": corpus_sample_sql,
+        "per_source_cap": per_source_cap_sql,
+        "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),

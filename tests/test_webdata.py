@@ -257,3 +257,68 @@ def test_source_curation_rollup_counts(spark):
     s = out["spammy.example"]
     assert s["n_docs"] == 2 and s["n_keep"] == 0 and s["n_repetitive"] == 2
     assert s["keep_rate"] == 0.0
+
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    """The sample is a pure function of the id: identical member set
+    under different partition layouts (DataFrame.sample is not), and
+    the rate lands near the requested fraction."""
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in W.deterministic_sample(docs.repartition(1), 0.2).collect()}
+    b = {r["doc_id"] for r in W.deterministic_sample(docs.repartition(13), 0.2).collect()}
+    assert a == b
+    assert 0.15 < len(a) / 2000 < 0.25
+    with pytest.raises(ValueError):
+        W.deterministic_sample(docs, 1.5)
+
+
+def test_lehmer_hash_matches_duckdb(spark):
+    """The Spark mixer and its SQL twin must agree value-for-value —
+    the contract every sampling/cap oracle rests on."""
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import _det_hash, det_hash_sql
+
+    ids = [0, 1, 2, 48271, 2147483646, 123_456_789_012, 10**12]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", _det_hash(F.col("doc_id")).alias("h")).collect()
+    }
+    vals = ", ".join(f"({i})" for i in ids)
+    want = dict(duckdb.sql(
+        f"SELECT doc_id, {det_hash_sql('doc_id')} AS h FROM (VALUES {vals}) t(doc_id)"
+    ).fetchall())
+    assert got == want
+
+
+def test_per_source_cap_exact(spark):
+    """Exact cap: min(cap, n) rows per source, deterministic keeps,
+    and WindowGroupLimit pushes the rank below the shuffle."""
+    rows = [(i, "hot" if i < 100 else "cold", "t") for i in range(110)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = W.per_source_cap(docs, 15).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(per["hot"]) == 15      # capped
+    assert len(per["cold"]) == 10     # below cap: all kept
+    again = {r["doc_id"] for r in W.per_source_cap(docs, 15).collect()}
+    assert again == per["hot"] | per["cold"]
+    plan = W.per_source_cap(docs, 15)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_per_source_cap_threshold_approximates(spark):
+    """Threshold twin: sources at-or-under the cap keep everything;
+    hot sources land near the cap (binomial jitter, no window)."""
+    rows = [(i, "hot" if i < 1000 else "cold", "t") for i in range(1040)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = W.per_source_cap_threshold(docs, 50).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(per["cold"]) == 40                 # n <= cap: frac = 1
+    assert 25 <= len(per["hot"]) <= 85            # ~50 expected
+    plan = W.per_source_cap_threshold(docs, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan                   # that's the point

@@ -441,3 +441,108 @@ def source_curation_rollup(
         "n_low_quality",
         "n_repetitive",
     )
+
+
+# Engine-neutral deterministic mixer: two Lehmer (MINSTD) rounds,
+# h = ((k*48271 % p) * 48271) % p with p = 2^31 - 1. Chosen over
+# xxhash64 ONLY because the DuckDB oracle must reproduce it with plain
+# integer arithmetic; two rounds equidistribute sequential ids well
+# enough for threshold sampling. Overflow-safe in int64 (ANSI mode)
+# for nonnegative ids < 1.9e14 — beyond 10^12-doc scale. Negative ids
+# are rejected by callers (Spark pmod and SQL % disagree on sign).
+_LEHMER_P = 2147483647
+_LEHMER_A = 48271
+
+
+def _det_hash(col: Column) -> Column:
+    h = F.pmod(col * _LEHMER_A, F.lit(_LEHMER_P))
+    return F.pmod(h * _LEHMER_A, F.lit(_LEHMER_P))
+
+
+def det_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``_det_hash`` — keep in lockstep."""
+    return f"((({expr}) * {_LEHMER_A}) % {_LEHMER_P} * {_LEHMER_A}) % {_LEHMER_P}"
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible Bernoulli-style sample: keep rows whose id-hash
+    falls under ``fraction`` of the hash space — (id, sample_key).
+
+    Unlike ``DataFrame.sample`` (seeded RNG over a PARTITIONING — the
+    sample changes when the partition layout does), this is a pure
+    function of the id: stable across cluster sizes, retries, and
+    resumed runs, so a 10% training shard drawn today is byte-identical
+    when the job re-runs tomorrow on different hardware. Map-only
+    codegen, no shuffle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _LEHMER_P)
+    return (
+        docs.select(F.col(id_col), _det_hash(F.col(id_col)).alias("sample_key"))
+        .filter(F.col("sample_key") < threshold)
+    )
+
+
+def per_source_cap(
+    docs: DataFrame,
+    cap: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-source document cap: keep at most ``cap`` docs per
+    source, chosen by deterministic hash order (a stable shuffle, so
+    the kept set is reproducible) — (id, source, rk).
+
+    Head-domain mitigation: without a cap, the top domains dominate a
+    crawl-ordered corpus. This exact form ranks within each source via
+    a window — which funnels the HOT source through one task, the same
+    scale ceiling as ``events_ntile``'s global sort. Its scale twin is
+    ``per_source_cap_threshold`` (no window, approximate); ship both,
+    pick by corpus (the ntile / value_stripes pairing discipline).
+    ``WindowGroupLimit`` pushes the rank filter below the shuffle, so
+    only ~cap rows per source per map partition reach the exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        _det_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def per_source_cap_threshold(
+    docs: DataFrame,
+    cap: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale twin of ``per_source_cap``: approximately cap each source
+    by hash THRESHOLD instead of rank — (id, source). Two passes, no
+    window: per-source counts (one tiny aggregate, broadcast back)
+    set each source's keep-fraction ``cap/count``, then a map-only
+    hash-threshold filter keeps ~cap docs. The hot source never
+    funnels into one task; the cap is approximate (binomial jitter
+    around ``cap``), which head-domain mitigation tolerates — the
+    point is 10^4±100 docs from the hot domain, not exactly 10^4.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    frac = F.least(F.lit(1.0), F.lit(cap) / F.col("_n"))
+    thresholds = counts.select(
+        F.col(source_col),
+        F.floor(frac * _LEHMER_P).cast("long").alias("_thresh"),
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(F.broadcast(thresholds), source_col)
+        .filter(_det_hash(F.col(id_col)) < F.col("_thresh"))
+        .select(F.col(id_col), F.col(source_col))
+    )
