@@ -139,6 +139,23 @@ def er_scaling_run(cpus: int, n_pages: int, *, equalize_to: int = 0) -> dict:
             p.join(timeout=5)
 
 
+def curation_queries(spark, sf_dir):
+    """Measured walls for the corpus-curation family — recorded in the
+    artifact under their own key, NOT in the headline metric (the
+    headline query set is held fixed across rounds for comparability)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in ("corpus_curation", "url_dedup", "corpus_sample",
+                 "per_source_cap_scalable"):
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
 def main():
     results = {}
     sf = _sf_from_dir(SF_DIR)
@@ -147,18 +164,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     t_all = time.time()
     results["queries"] = headline_queries(spark, SF_DIR)
+    total = round(time.time() - t_all, 3)
+    results["curation"] = curation_queries(spark, SF_DIR)
     # OFF, not ERROR: a stopping context's accumulator-update threads log
     # their benign connection-refused traces at ERROR, which would open
     # the artifact's tail with a stack fragment
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    total = round(time.time() - t_all, 3)
 
     payload = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": results["queries"],
+        "curation": results["curation"],
         "sf": sf,
     }
 

@@ -46,21 +46,57 @@ def token_count(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID by stopword hit counts."""
+def lang_struct_col(text_col: str = "text") -> Column:
+    """(hits, lang) struct of the winning language — a reusable column
+    so composite operators (webdata.curation_decisions) can take the
+    language signal in the SAME projection as other signals instead of
+    re-scanning the corpus and joining. Ties break to the
+    lexicographically greatest lang (struct max), matching the oracle's
+    CASE order fr > es > en > de."""
     toks = tokens_col(text_col)
-    d = docs.select(F.col(id_col), toks.alias("_toks"))
     hit_cols = []
     for lang, words in sorted(LANG_STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), arr))
+        hits = F.size(F.array_intersect(F.array_distinct(toks), arr))
         hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*hit_cols))
-    return d.select(
+    return F.array_max(F.array(*hit_cols))
+
+
+def pred_lang_col(text_col: str = "text") -> Column:
+    best = lang_struct_col(text_col)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID by stopword hit counts."""
+    best = lang_struct_col(text_col)
+    return docs.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].alias("stopword_hits"),
     )
+
+
+def quality_col(text_col: str = "text") -> Column:
+    """The composite quality score alone, as a reusable column (see
+    ``lang_struct_col`` for why) — MUST stay value-identical to
+    ``quality_score``'s ``quality`` output."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / F.least(n_words, F.lit(10))).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words,
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+    return F.round((length_ok + punct_ok + wlen_ok + stop_ratio) / 4.0, 6)
 
 
 def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -83,11 +119,6 @@ def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words,
     ).otherwise(F.lit(0.0))
 
-    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.3)
-    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
-    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
-    score = F.round((length_ok + punct_ok + wlen_ok + stop_ratio) / 4.0, 6)
-
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -95,7 +126,7 @@ def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc
         F.round(upper_ratio, 6).alias("upper_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
-        score.alias("quality"),
+        quality_col(text_col).alias("quality"),
     )
 
 

@@ -277,13 +277,15 @@ def curation_decisions(
     * repetitive   — Gopher-style repetition gates (dup-word fraction /
       top-bigram mass) exceeded.
 
-    Plan shape at scale: the language/quality signals are map-only
-    column expressions, repetition is its own doc_id-keyed aggregation
-    branch, the dup flag is the (vocabulary-of-near-dups sized) CC
-    assignment broadcast-joinable against the corpus; everything meets
-    on doc_id. Every document appears exactly once in the output.
+    Plan shape at scale: the language AND quality signals are map-only
+    column expressions computed in ONE projection over one corpus scan
+    (not one scan + one join each — `textquality.pred_lang_col` /
+    `quality_col` exist exactly for this composition); repetition is
+    its own doc_id-keyed aggregation branch; the dup flag is the
+    (vocabulary-of-near-dups sized) CC assignment; everything meets on
+    doc_id. Every document appears exactly once in the output.
     """
-    from .textquality import lang_id, quality_score
+    from .textquality import pred_lang_col, quality_col
 
     pairs = minhash_dedup_pairs(
         docs, text_col=text_col, id_col=id_col, **minhash_kwargs
@@ -294,16 +296,17 @@ def curation_decisions(
     dupes = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col), F.lit(1).alias("_dup")
     )
-    l_ = lang_id(docs, text_col=text_col, id_col=id_col).select(id_col, "pred_lang")
-    q = quality_score(docs, text_col=text_col, id_col=id_col).select(id_col, "quality")
+    signals = docs.select(
+        F.col(id_col),
+        pred_lang_col(text_col).alias("pred_lang"),
+        quality_col(text_col).alias("quality"),
+    )
     r = repetition_signals(docs, text_col=text_col, id_col=id_col).select(
         id_col, "dup_word_frac", "top_bigram_frac"
     )
     base = (
-        docs.select(id_col)
+        signals
         .join(dupes, id_col, "left")
-        .join(l_, id_col)
-        .join(q, id_col)
         .join(r, id_col)
     )
     reason = (
