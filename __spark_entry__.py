@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the no-window scale twin: hash-threshold cap, approximate
         return WD.per_source_cap_threshold(_docs(spark, sf_dir), 20)
 
+    def doc_lm_xent(spark, sf_dir):
+        # CCNet-style perplexity filter, unigram form: per-doc cross-
+        # entropy against the corpus token distribution
+        return WD.unigram_cross_entropy(_docs(spark, sf_dir))
+
     # ---- similarity search ----------------------------------------------
 
     def knn_cosine(spark, sf_dir):
@@ -815,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": corpus_sample,
         "per_source_cap": per_source_cap,
         "per_source_cap_scalable": per_source_cap_scalable,
+        "doc_lm_xent": doc_lm_xent,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
@@ -1037,6 +1043,28 @@ SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS keep_id,
 FROM canon GROUP BY canonical_url HAVING count(*) >= 2
 """
 
+    # unigram LM cross-entropy: corpus token counts, occurrences joined
+    # back, per-doc mean surprisal; empty/NULL-text rows restored with a
+    # no-signal row exactly like the Spark operator
+    doc_lm_xent_sql = f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+freq AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT occ.doc_id, count(*) AS n_tokens,
+         round(avg(-ln(occ_c.c / tot.total)), 6) AS xent
+  FROM occ
+  JOIN freq occ_c ON occ.tok = occ_c.tok
+  CROSS JOIN tot
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       coalesce(scored.n_tokens, len(d.toks)) AS n_tokens,
+       scored.xent AS xent
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
@@ -1174,6 +1202,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "corpus_sample": corpus_sample_sql,
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
+        "doc_lm_xent": doc_lm_xent_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),

@@ -322,3 +322,25 @@ def test_per_source_cap_threshold_approximates(spark):
     assert 25 <= len(per["hot"]) <= 85            # ~50 expected
     plan = W.per_source_cap_threshold(docs, 50)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan                   # that's the point
+
+
+def test_unigram_cross_entropy_known_values(spark):
+    """Hand-computed xent on a 3-doc corpus + no-signal rows for
+    NULL/empty text (same discipline as repetition_signals)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=2, c=1, total=6
+    out = {r["doc_id"]: r for r in W.unigram_cross_entropy(docs).collect()}
+    assert len(out) == 4
+    pa, pb, pc = 3 / 6, 2 / 6, 1 / 6
+    want0 = round(-(2 * math.log(pa) + math.log(pb)) / 3, 6)
+    want1 = round(-(math.log(pa) + math.log(pb) + math.log(pc)) / 3, 6)
+    assert out[0]["n_tokens"] == 3 and abs(out[0]["xent"] - want0) < 1e-9
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["xent"] - want1) < 1e-9
+    assert out[1]["xent"] > out[0]["xent"]  # rarer tokens -> higher surprisal
+    assert out[2]["n_tokens"] is None and out[2]["xent"] is None
+    assert out[3]["n_tokens"] == 0 and out[3]["xent"] is None

@@ -549,3 +549,47 @@ def per_source_cap_threshold(
         .filter(_det_hash(F.col(id_col)) < F.col("_thresh"))
         .select(F.col(id_col), F.col(source_col))
     )
+
+
+def unigram_cross_entropy(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM —
+    (id, n_tokens, xent): mean surprisal −ln(count(t)/total) over the
+    document's token OCCURRENCES, in nats. The pure-DataFrame analog of
+    the CCNet/KenLM perplexity filter: natural prose tracks the corpus
+    distribution (low xent); rare-token gibberish, encoding mojibake,
+    and keyword-stuffed spam score high. Filter tails on BOTH ends —
+    implausibly low means boilerplate/templated text.
+
+    Plan: one explode feeding a token-count aggregate (vocabulary-sized
+    output), a token-keyed join of occurrences back onto those counts,
+    and a per-doc aggregate. The frequency side is vocabulary-sized —
+    often broadcastable, but NOT assumed so (web-scale vocabularies
+    with no df floor run 10^9+ tokens); AQE picks broadcast when the
+    vocab is small enough. Token-key skew ("the" everywhere) does not
+    funnel: joins only fan out rows, and both aggregates partial-combine.
+    Docs with zero tokens (empty or NULL text) carry n_tokens 0/NULL
+    and NULL xent — no signal, same discipline as repetition_signals.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    occ = docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    freq = occ.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_total"))
+    scored = (
+        occ.join(freq, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("_c") / F.col("_total"))), 6).alias("xent"),
+        )
+    )
+    # empty/NULL-text docs vanish in the explode; restore them with the
+    # no-signal row so every input doc appears exactly once
+    base = docs.select(F.col(id_col), F.size(toks).alias("_n"))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.col("_n").cast("long")).alias("n_tokens"),
+        F.col("xent"),
+    )
