@@ -1014,30 +1014,12 @@ GROUP BY d.source
 
     # URL canonicalize-then-dedup: regenerate the RNG-free URL corpus
     # (sources/pages.url_pages_sql) and byte-reproduce
-    # webdata.canonical_url_col's regex/param-sort steps in DuckDB
+    # webdata.canonical_url_col via the shared SQL twin
+    from textgraphs_spark.operators.webdata import canonical_url_select
     from textgraphs_spark.sources.pages import url_pages_sql as _url_sql
 
     url_dedup_sql = f"""
-WITH raw AS ({_url_sql()}),
-c AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(url,
-           '#.*$', ''), '^https?://', ''), '^www\\.', '') AS u
-  FROM raw
-),
-p AS (
-  SELECT doc_id,
-         regexp_replace(split_part(u, '?', 1), '/$', '') AS path,
-         list_sort(list_filter(string_split(split_part(u, '?', 2), '&'),
-           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|ref|fbclid|gclid)='))) AS params
-  FROM c
-),
-canon AS (
-  SELECT doc_id,
-         path || CASE WHEN len(params) > 0
-                      THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
-  FROM p
-)
+WITH canon AS ({canonical_url_select(_url_sql())})
 SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS keep_id,
        array_to_string(list_sort(list(doc_id)), '|') AS doc_ids
 FROM canon GROUP BY canonical_url HAVING count(*) >= 2

@@ -344,3 +344,45 @@ def test_unigram_cross_entropy_known_values(spark):
     assert out[1]["xent"] > out[0]["xent"]  # rarer tokens -> higher surprisal
     assert out[2]["n_tokens"] is None and out[2]["xent"] is None
     assert out[3]["n_tokens"] == 0 and out[3]["xent"] is None
+
+
+def test_canonical_url_spark_duckdb_fuzz_parity(spark):
+    """Engine-parity fuzz over a much wider URL space than url_pages:
+    the Spark column and the shared DuckDB SQL twin must canonicalize
+    every generated URL identically (the contract the url_dedup oracle
+    rests on). Seeded generator — deterministic corpus."""
+    import random
+
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import (
+        canonical_url_col, canonical_url_select,
+    )
+
+    rng = random.Random(20260817)
+    hosts = ["example.com", "www.example.com", "a.b.co", "www.w.org", "x.io"]
+    paths = ["", "/", "/p", "/p/", "/a/b/c", "/a//b/", "/p.html", "/%7Euser"]
+    params = ["a=1", "b=2", "z=", "utm_source=x", "utm_campaign=longvalue",
+              "ref=home", "reference=1", "fbclid=abc", "gclid=", "q=a+b",
+              "utm_x=1", "refx=2", "a=1"]  # dup param on purpose
+    frags = ["", "#", "#frag", "#a#b", "#?notquery"]
+    schemes = ["https://", "http://", "", "HTTPS://"]  # case NOT stripped — pinned
+
+    urls = []
+    for i in range(500):
+        u = (rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths))
+        ps = rng.sample(params, rng.randint(0, 5))
+        if ps or rng.random() < 0.2:
+            u += "?" + "&".join(ps)        # possibly a bare trailing '?'
+        u += rng.choice(frags)
+        urls.append((i, u))
+
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", canonical_url_col().alias("c")).collect()}
+    vals = ", ".join(
+        "(%d, '%s')" % (i, u.replace("'", "''")) for i, u in urls
+    )
+    sql = canonical_url_select(f"SELECT * FROM (VALUES {vals}) t(doc_id, url)")
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want

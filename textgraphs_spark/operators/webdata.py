@@ -1,7 +1,6 @@
-"""Corpus-curation operators for web-scale training-data pipelines.
-
-Four operations a 100 TB pretraining-data pipeline runs between crawl
-and tokenizer, complementing the per-document signals in textquality.py
+"""Corpus-curation operators for web-scale training-data pipelines —
+the operations a 100 TB pretraining pipeline runs between crawl and
+tokenizer, complementing the per-document signals in textquality.py
 and the pair generators in dedup.py:
 
 * repetition_signals — Gopher-style within-document repetition stats
@@ -18,6 +17,15 @@ and the pair generators in dedup.py:
   MinHash-verified near-dup pairs (dedup.minhash_dedup_pairs →
   components.connected_components) and one canonical keeper per
   cluster — what a pipeline actually executes to drop near-dups.
+* curation_decisions / source_curation_rollup — the per-doc keep/drop
+  verdict ladder (near_dup → lang → low_quality → repetitive) and its
+  per-source scoreboard (domain blocklists).
+* canonical_url_col / url_dedup_clusters — URL canonicalization (pure
+  codegen) + exact re-crawl dedup, the cheapest dedup channel.
+* deterministic_sample / per_source_cap / per_source_cap_threshold —
+  reproducible sharding and head-domain caps (exact + scale twin).
+* unigram_cross_entropy — CCNet/KenLM-style perplexity filter against
+  the corpus unigram distribution.
 
 Scale notes (100 TB / 10^12 docs):
 
@@ -54,6 +62,13 @@ __all__ = [
     "contaminated_docs",
     "minhash_dedup_clusters",
     "curation_decisions",
+    "source_curation_rollup",
+    "canonical_url_col",
+    "url_dedup_clusters",
+    "deterministic_sample",
+    "per_source_cap",
+    "per_source_cap_threshold",
+    "unigram_cross_entropy",
 ]
 
 
@@ -593,3 +608,31 @@ def unigram_cross_entropy(
         F.coalesce(F.col("n_tokens"), F.col("_n").cast("long")).alias("n_tokens"),
         F.col("xent"),
     )
+
+
+def canonical_url_select(source_sql: str, *, id_col: str = "doc_id",
+                         url_col: str = "url") -> str:
+    """DuckDB twin of ``canonical_url_col`` as a (id, canonical_url)
+    SELECT over any (id, url) relation — keep the regex/param-sort
+    steps in lockstep with the Column version above. Shared by the
+    url_dedup oracle and the engine-parity fuzz test."""
+    return f"""
+WITH _raw AS ({source_sql}),
+_c AS (
+  SELECT {id_col},
+         regexp_replace(regexp_replace(regexp_replace({url_col},
+           '#.*$', ''), '^https?://', ''), '^www\\.', '') AS u
+  FROM _raw
+),
+_p AS (
+  SELECT {id_col},
+         regexp_replace(split_part(u, '?', 1), '/$', '') AS path,
+         list_sort(list_filter(string_split(split_part(u, '?', 2), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))) AS params
+  FROM _c
+)
+SELECT {id_col},
+       path || CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+FROM _p
+"""
