@@ -386,3 +386,63 @@ def test_canonical_url_spark_duckdb_fuzz_parity(spark):
     sql = canonical_url_select(f"SELECT * FROM (VALUES {vals}) t(doc_id, url)")
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_curation_pipeline_staged_and_resumable(spark, tmp_path):
+    """The staged curation job must (a) agree row-for-row with the
+    one-shot operator, (b) resume from stage checkpoints (empty input on
+    the second run proves the parquet is the source of truth), and
+    (c) keep lineage/metrics reconciled."""
+    import os
+
+    from textgraphs_spark.plans.curation_pipeline import CurationPipeline
+
+    dup_base = (
+        "the quick brown fox jumps over the lazy dog with many more words "
+        "to comfortably pass every single quality gate in the ladder"
+    )
+    rows = [
+        (0, dup_base + " first"),
+        (1, dup_base + " second"),   # near_dup
+        (2, "der schnelle braune fuchs springt und ist nicht mit auf dem feld"),
+        (3, "the x y z!!!!!!!!!!!!!!!!"),
+        (4, "the spam spam spam spam spam spam spam spam spam spam spam"),
+    ] + [
+        (10 + i, f"the quiet analyst number {i} wrote careful notes about "
+                 "spark plans with plenty of time for review")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    wd = str(tmp_path / "cur")
+
+    p1 = CurationPipeline(spark, workdir=wd, sample_fraction=0.5, threshold=0.5)
+    out1 = p1.run(docs)
+    verdicts1 = {tuple(r) for r in out1["verdicts"].collect()}
+    # (a) staged == one-shot operator
+    want = {tuple(r) for r in W.curation_decisions(docs, threshold=0.5).collect()}
+    assert verdicts1 == want
+    kept_ids = {r["doc_id"] for r in out1["kept_docs"].collect()}
+    assert kept_ids == {d for d, reason, keep in verdicts1 if keep}
+    assert 0 in kept_ids and 1 not in kept_ids
+    shard_ids = {r["doc_id"] for r in out1["shard"].collect()}
+    assert shard_ids < kept_ids  # strict subset at fraction 0.5 on 11 keeps
+    # kept rows carry the input columns
+    assert set(out1["kept_docs"].columns) == {"doc_id", "text"}
+
+    # (c) lineage/metrics reconcile per stage
+    from pyspark.sql import functions as SF
+    lineage = {r["stage"]: r for r in spark.read.parquet(os.path.join(wd, "lineage")).collect()}
+    metrics = spark.read.parquet(os.path.join(wd, "metrics"))
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in metrics.groupBy("stage").agg(SF.sum("rows").alias("total")).collect()
+    }
+    assert set(lineage) == {"near_dups", "verdicts", "kept_docs", "shard"}
+    for stage, row in lineage.items():
+        assert per_stage[stage] == row["rows"], stage
+
+    # (b) resume: a fresh instance over EMPTY input returns run-1 rows
+    p2 = CurationPipeline(spark, workdir=wd, sample_fraction=0.5, threshold=0.5)
+    out2 = p2.run(docs.limit(0))
+    assert {tuple(r) for r in out2["verdicts"].collect()} == verdicts1
+    assert {r["doc_id"] for r in out2["kept_docs"].collect()} == kept_ids

@@ -61,6 +61,7 @@ __all__ = [
     "boilerplate_ngrams",
     "contaminated_docs",
     "minhash_dedup_clusters",
+    "near_dup_members",
     "curation_decisions",
     "source_curation_rollup",
     "canonical_url_col",
@@ -267,6 +268,28 @@ def minhash_dedup_clusters(
     )
 
 
+def near_dup_members(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Ids of NON-CANONICAL near-dup cluster members — the rows a dedup
+    pass drops (the minimum id of each cluster survives). One column
+    (``id_col``); the staged input to ``curation_decisions(dupes=...)``.
+    """
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    cc = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+
+
 def curation_decisions(
     docs: DataFrame,
     *,
@@ -276,6 +299,7 @@ def curation_decisions(
     quality_min: float = 0.76,
     max_dup_word_frac: float = 0.65,
     max_top_bigram_frac: float = 0.2,
+    dupes: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """The end-to-end curation verdict per document — what a
@@ -302,15 +326,14 @@ def curation_decisions(
     """
     from .textquality import pred_lang_col, quality_col
 
-    pairs = minhash_dedup_pairs(
-        docs, text_col=text_col, id_col=id_col, **minhash_kwargs
-    )
-    cc = connected_components(
-        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    )
-    dupes = cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col), F.lit(1).alias("_dup")
-    )
+    if dupes is None:
+        # the MinHash closure is the expensive branch — staged callers
+        # (plans.curation_pipeline) checkpoint near_dup_members and pass
+        # it in so a resumed run never recomputes the pair generation
+        dupes = near_dup_members(
+            docs, text_col=text_col, id_col=id_col, **minhash_kwargs
+        )
+    dupes = dupes.select(F.col(id_col), F.lit(1).alias("_dup"))
     signals = docs.select(
         F.col(id_col),
         pred_lang_col(text_col).alias("pred_lang"),

@@ -1,0 +1,69 @@
+"""Checkpoint-resumable corpus-curation job: documents → curated
+training shard, with per-stage lineage + metrics like the flagship ER
+pipeline (plans.staged.StagedPipeline).
+
+    near_dups (MinHash pairs → CC non-canonical members — the expensive
+               branch, checkpointed so a resume never re-pairs)
+      → verdicts (first-failing-gate ladder over one signal projection
+                  + the repetition aggregate + the staged dup flag)
+      → kept_docs (the curated corpus: input rows whose verdict is keep)
+      → shard (optional: reproducible deterministic_sample of the keeps)
+
+Re-running with the same workdir resumes from the last completed stage;
+the verdict/keep semantics are exactly ``webdata.curation_decisions``
+(driver-verified by the ``corpus_curation`` oracle), so a staged run and
+a one-shot operator call agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import webdata as W
+from .staged import StagedPipeline
+
+
+class CurationPipeline(StagedPipeline):
+    def __init__(self, spark: SparkSession, workdir: str | None = None, *,
+                 langs: tuple = ("en",),
+                 quality_min: float = 0.76,
+                 max_dup_word_frac: float = 0.65,
+                 max_top_bigram_frac: float = 0.2,
+                 sample_fraction: float | None = None,
+                 **minhash_kwargs):
+        super().__init__(spark, workdir)
+        self.langs = langs
+        self.quality_min = quality_min
+        self.max_dup_word_frac = max_dup_word_frac
+        self.max_top_bigram_frac = max_top_bigram_frac
+        self.sample_fraction = sample_fraction
+        self.minhash_kwargs = minhash_kwargs
+
+    def run(self, docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> dict[str, DataFrame]:
+        near_dups = self._stage("near_dups", lambda: W.near_dup_members(
+            docs, text_col=text_col, id_col=id_col, **self.minhash_kwargs
+        ))
+        verdicts = self._stage("verdicts", lambda: W.curation_decisions(
+            docs, id_col=id_col, text_col=text_col,
+            langs=self.langs, quality_min=self.quality_min,
+            max_dup_word_frac=self.max_dup_word_frac,
+            max_top_bigram_frac=self.max_top_bigram_frac,
+            dupes=near_dups,
+        ))
+        keep_ids = verdicts.filter(F.col("keep")).select(id_col)
+        # the curated corpus keeps the INPUT columns (text and any
+        # passthrough metadata) — a doc_id-keyed join, AQE-broadcastable
+        # when the keep set is small
+        kept = self._stage("kept_docs", lambda: docs.join(keep_ids, id_col))
+        out = {"near_dups": near_dups, "verdicts": verdicts, "kept_docs": kept}
+        if self.sample_fraction is not None:
+            shard_ids = W.deterministic_sample(
+                kept, self.sample_fraction, id_col=id_col
+            ).select(id_col)
+            out["shard"] = self._stage(
+                "shard", lambda: kept.join(shard_ids, id_col)
+            )
+        self.write_lineage()
+        return out
