@@ -281,3 +281,39 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in contaminated_docs(batch_docs, eval_docs, n=4).collect()}
     assert want, "fixture must contain contaminated docs"
     assert got == want
+
+
+def test_stream_quality_signals_match_batch(spark, tmp_path):
+    """Stateless streaming quality/lang signals must emit exactly the
+    batch operators' values over the same corpus."""
+    import pandas as pd
+
+    from textgraphs_spark.operators.textquality import lang_id, quality_score
+    from textgraphs_spark.streaming.events import stream_quality_signals
+
+    rows = [
+        (0, "the quiet analyst wrote careful notes about spark plans"),
+        (1, "der schnelle braune fuchs springt und ist nicht mit auf dem feld"),
+        (2, "el rapido zorro es en la casa con una pluma por las tardes"),
+        (3, "x!!!"),
+        (4, ""),
+    ]
+    src = tmp_path / "q_src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / "p.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = stream_quality_signals(stream)
+    assert out.isStreaming
+    run_available_now(out, checkpoint=str(tmp_path / "qck"), table_name="quality_out")
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["quality"], r["n_words"])
+        for r in spark.sql("SELECT * FROM quality_out").collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    lang = {r["doc_id"]: r["pred_lang"] for r in lang_id(batch).collect()}
+    qual = {r["doc_id"]: (r["quality"], r["n_words"]) for r in quality_score(batch).collect()}
+    assert len(got) == 5
+    for d, (pl, q, n) in got.items():
+        assert pl == lang[d] and (q, n) == qual[d]
+    assert got[1][0] == "de" and got[2][0] == "es"  # fixture exercises non-en

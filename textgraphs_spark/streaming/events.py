@@ -250,3 +250,26 @@ def stream_near_dup_candidates(
             F.col("lband").alias("band"), "hamming",
         )
     )
+
+
+def stream_quality_signals(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the map-only curation signals: per-arriving-doc
+    language ID, composite quality, and token count — STATELESS (pure
+    column expressions from textquality; no watermark, no state store),
+    so it composes with any downstream streaming gate. Batch twins are
+    ``textquality.lang_id`` / ``quality_score``; stream == batch is
+    asserted in tests/test_stream_sessions.py.
+    """
+    from ..operators.textquality import pred_lang_col, quality_col, tokens_col
+
+    return docs_stream.select(
+        F.col(id_col),
+        pred_lang_col(text_col).alias("pred_lang"),
+        quality_col(text_col).alias("quality"),
+        F.size(tokens_col(text_col)).alias("n_words"),
+    )
