@@ -279,7 +279,10 @@ def test_lehmer_hash_matches_duckdb(spark):
 
     from textgraphs_spark.operators.webdata import _det_hash, det_hash_sql
 
-    ids = [0, 1, 2, 48271, 2147483646, 123_456_789_012, 10**12]
+    # full signed-64 range incl. xxhash64-style huge/negative ids (the
+    # submit tool hashes urls) — the mixer must not ANSI-overflow
+    ids = [0, 1, 2, 48271, 2147483646, 123_456_789_012, 10**12,
+           2**63 - 1, -(2**63), -1, -2147483648]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     got = {
         r["doc_id"]: r["h"]

@@ -484,25 +484,31 @@ def source_curation_rollup(
     )
 
 
-# Engine-neutral deterministic mixer: two Lehmer (MINSTD) rounds,
-# h = ((k*48271 % p) * 48271) % p with p = 2^31 - 1. Chosen over
-# xxhash64 ONLY because the DuckDB oracle must reproduce it with plain
-# integer arithmetic; two rounds equidistribute sequential ids well
-# enough for threshold sampling. Overflow-safe in int64 (ANSI mode)
-# for nonnegative ids < 1.9e14 — beyond 10^12-doc scale. Negative ids
-# are rejected by callers (Spark pmod and SQL % disagree on sign).
+# Engine-neutral deterministic mixer: reduce the id into the Lehmer
+# field, then two MINSTD rounds — h = pmod(k, p) followed twice by
+# h = (h*48271) % p, with p = 2^31 - 1. Chosen over xxhash64 ONLY
+# because the DuckDB oracle must reproduce it with plain integer
+# arithmetic; two rounds equidistribute sequential ids well enough for
+# threshold sampling. The leading pmod makes it overflow-safe under
+# ANSI mode for the FULL signed int64 range (ids are often xxhash64
+# values — e.g. tools/submit_curation.py hashes urls): after reduction
+# h < 2^31, so h*48271 < 1.5e14 stays far inside int64. Values are
+# unchanged vs the unreduced form for ids in [0, p).
 _LEHMER_P = 2147483647
 _LEHMER_A = 48271
 
 
 def _det_hash(col: Column) -> Column:
-    h = F.pmod(col * _LEHMER_A, F.lit(_LEHMER_P))
+    h = F.pmod(col, F.lit(_LEHMER_P))
+    h = F.pmod(h * _LEHMER_A, F.lit(_LEHMER_P))
     return F.pmod(h * _LEHMER_A, F.lit(_LEHMER_P))
 
 
 def det_hash_sql(expr: str) -> str:
-    """DuckDB twin of ``_det_hash`` — keep in lockstep."""
-    return f"((({expr}) * {_LEHMER_A}) % {_LEHMER_P} * {_LEHMER_A}) % {_LEHMER_P}"
+    """DuckDB twin of ``_det_hash`` — keep in lockstep. The double-%
+    idiom reproduces Spark's pmod (nonnegative) for negative inputs."""
+    k = f"((({expr}) % {_LEHMER_P} + {_LEHMER_P}) % {_LEHMER_P})"
+    return f"(({k} * {_LEHMER_A}) % {_LEHMER_P} * {_LEHMER_A}) % {_LEHMER_P}"
 
 
 def deterministic_sample(
