@@ -449,3 +449,55 @@ def test_curation_pipeline_staged_and_resumable(spark, tmp_path):
     out2 = p2.run(docs.limit(0))
     assert {tuple(r) for r in out2["verdicts"].collect()} == verdicts1
     assert {r["doc_id"] for r in out2["kept_docs"].collect()} == kept_ids
+
+
+def test_text_signals_fuzz_parity(spark):
+    """Engine-parity fuzz for the per-doc signal family: run the SAME
+    oracle SQL the driver uses (repetition / lang / quality) over a
+    seeded random corpus registered as the documents view, and compare
+    against the Spark operators value-for-value. Broadens coverage far
+    beyond the fixed testdata distribution (stopword mixes from all four
+    languages, punctuation runs, digits, case, empty docs)."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from textgraphs_spark.operators.textquality import lang_id, quality_score
+
+    rng = random.Random(20260818)
+    vocab = (
+        ["the", "and", "of", "to", "is", "der", "die", "und", "el", "la",
+         "que", "le", "les", "est", "spam", "data", "x1", "42", "a", "b"]
+        + [f"w{i}" for i in range(30)]
+    )
+    punct = ["", "!", "...", "!!", ". Next Sentence.", ", comma;", "???"]
+    rows = []
+    for i in range(300):
+        words = rng.choices(vocab, k=rng.randint(0, 40))
+        if rng.random() < 0.3:
+            words = [w.upper() if rng.random() < 0.5 else w.title() for w in words]
+        rows.append((i, " ".join(words) + rng.choice(punct)))
+    rows.append((300, ""))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    vals = ", ".join("(%d, '%s')" % (i, t.replace("'", "''")) for i, t in rows)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    oracles = em.oracle_sql()
+
+    checks = [
+        (W.repetition_signals(docs), "doc_repetition_signals"),
+        (lang_id(docs), "lang_id"),
+        (quality_score(docs), "quality_score"),
+    ]
+    for sdf, oname in checks:
+        cols = sdf.columns
+        got = {r["doc_id"]: tuple(r[c] for c in cols if c != "doc_id")
+               for r in sdf.collect()}
+        odf = con.execute(oracles[oname]).df()
+        want = {int(r["doc_id"]): tuple(r[c] for c in cols if c != "doc_id")
+                for _, r in odf.iterrows()}
+        assert len(got) == len(rows)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], abs=1e-9), (oname, d, got[d], want[d])
