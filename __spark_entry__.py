@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entropy against the corpus token distribution
         return WD.unigram_cross_entropy(_docs(spark, sf_dir))
 
+    def pack_sequences(spark, sf_dir):
+        # pretraining sequence-packing plan: token spans in fixed-length
+        # training sequences, 4 shard-parallel windows
+        return WD.pack_sequences(_docs(spark, sf_dir), 512, n_shards=4)
+
     # ---- similarity search ----------------------------------------------
 
     def knn_cosine(spark, sf_dir):
@@ -821,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": per_source_cap,
         "per_source_cap_scalable": per_source_cap_scalable,
         "doc_lm_xent": doc_lm_xent,
+        "pack_sequences": pack_sequences,
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
@@ -1051,6 +1057,27 @@ FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
 
+    # sequence packing: same mixer for shard assignment; the running
+    # token total is an identical per-shard ordered window (HUGEINT sum
+    # cast back to BIGINT before the div/mod)
+    pack_sequences_sql = f"""
+WITH d AS (
+  SELECT doc_id,
+         {det_hash_sql('doc_id')} % 4 AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS start
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start // 512 AS seq_id, start % 512 AS offset
+FROM s
+"""
+
     _h_doc = det_hash_sql("doc_id")
     _sample_threshold = int(0.2 * _LEHMER_P)
     corpus_sample_sql = f"""
@@ -1185,6 +1212,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_lm_xent": doc_lm_xent_sql,
+        "pack_sequences": pack_sequences_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),

@@ -501,3 +501,60 @@ def test_text_signals_fuzz_parity(spark):
         assert len(got) == len(rows)
         for d in got:
             assert got[d] == pytest.approx(want[d], abs=1e-9), (oname, d, got[d], want[d])
+
+
+def test_url_dedup_null_urls_never_pair(spark):
+    """NULL urls carry no signal and must not form a dedup cluster
+    (dedup-family contract)."""
+    from textgraphs_spark.operators.webdata import url_dedup_clusters
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "https://a.io/x"), (3, "http://a.io/x")],
+        "doc_id long, url string",
+    )
+    out = {r["canonical_url"]: r for r in url_dedup_clusters(df).collect()}
+    assert set(out) == {"a.io/x"}
+    assert out["a.io/x"]["doc_ids"] == "2|3"
+
+
+def test_pack_sequences_known_spans(spark):
+    """Hand-computed concat-and-chunk spans in one shard, including a
+    doc straddling a sequence boundary; NULL text carries no signal and
+    does not shift its neighbors."""
+    rows = [
+        (0, "a b c"),          # start 0  -> seq 0, offset 0
+        (1, None),             # no signal; start of doc 2 unaffected
+        (2, " ".join(["w"] * 4)),  # start 3 -> seq 0 offset 3, spans into seq 1
+        (3, ""),               # zero tokens: start 7 -> seq 1 offset 2
+        (4, "x y"),            # start 7 -> seq 1, offset 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in W.pack_sequences(docs, 5, n_shards=1).collect()}
+    assert (out[0]["seq_id"], out[0]["offset"], out[0]["n_tokens"]) == (0, 0, 3)
+    assert out[1]["n_tokens"] is None and out[1]["seq_id"] is None
+    assert (out[2]["seq_id"], out[2]["offset"]) == (0, 3)
+    assert (out[3]["seq_id"], out[3]["offset"]) == (1, 2)
+    assert (out[4]["seq_id"], out[4]["offset"]) == (1, 2)
+    with pytest.raises(ValueError, match="seq_len"):
+        W.pack_sequences(docs, 0)
+
+
+def test_pack_sequences_contiguity_and_shard_stability(spark):
+    """Within each shard (ordered by id) every doc starts exactly where
+    the previous one ended — no gaps, no overlaps — and the packing is
+    identical under a different partition layout."""
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+    out = W.pack_sequences(docs, 16, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        start = r["seq_id"] * 16 + r["offset"]
+        prev = by_shard.get(r["shard"], 0)
+        assert start == prev, (r["shard"], r["doc_id"])
+        by_shard[r["shard"]] = prev + r["n_tokens"]
+    assert len(by_shard) == 4
+    again = {(r["doc_id"], r["seq_id"], r["offset"])
+             for r in W.pack_sequences(docs.repartition(13), 16, n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["seq_id"], r["offset"]) for r in out}

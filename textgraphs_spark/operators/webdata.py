@@ -70,6 +70,7 @@ __all__ = [
     "per_source_cap",
     "per_source_cap_threshold",
     "unigram_cross_entropy",
+    "pack_sequences",
 ]
 
 
@@ -432,8 +433,14 @@ def url_dedup_clusters(
     the group-by is one partial-aggregated hash shuffle keyed by
     canonical_url (head-domain skew lands on DISTINCT paths, so the
     key space stays fine-grained — no salting needed).
+
+    NULL urls never pair (no signal is not sameness — the dedup-family
+    contract, see dedup.py): rows with a NULL url are dropped, not
+    grouped into a bogus NULL-key cluster.
     """
-    c = pages.select(F.col(id_col), canonical_url_col(url_col).alias("canonical_url"))
+    c = pages.filter(F.col(url_col).isNotNull()).select(
+        F.col(id_col), canonical_url_col(url_col).alias("canonical_url")
+    )
     return (
         c.groupBy("canonical_url")
         .agg(
@@ -665,3 +672,53 @@ SELECT {id_col},
                     THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
 FROM _p
 """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    n_shards: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pretraining sequence-packing PLAN (GPT-style concat-and-chunk):
+    assign every document its token span in fixed-length training
+    sequences — (id, shard, n_tokens, seq_id, offset), where the doc's
+    tokens start at ``offset`` inside sequence ``seq_id`` of its shard
+    and spans may straddle sequence boundaries (concat-then-chunk
+    semantics; the tokenizer writer consumes this plan).
+
+    Documents concatenate in deterministic (shard, id) order, so the
+    packing is reproducible across cluster sizes and re-runs — the same
+    property as ``deterministic_sample``. The running token total needs
+    an ordered window; ``n_shards`` bounds each window's partition (one
+    shard = one global sort — fine for a single writer; at 10^12 docs
+    use ~#output-file shards so every window sorts only its shard, the
+    same parallelism unit the writer wants anyway). Shard assignment is
+    the Lehmer mixer, so the DuckDB oracle reproduces it exactly.
+    NULL-text docs carry NULL n_tokens/seq_id/offset (no signal) and do
+    not shift their neighbors' spans.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    toks = F.expr(_TOKENS.format(c=text_col))
+    shard = F.pmod(_det_hash(F.col(id_col)), F.lit(n_shards))
+    base = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.floor(start / seq_len).alias("seq_id"),
+        F.pmod(start, F.lit(seq_len)).alias("offset"),
+    )
