@@ -878,12 +878,21 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
 
     toks = _TOKS.format(c="text")
+    # Unicode-aware twin of _TOKS for the textquality family: the Spark
+    # side (textquality._TOKENS) splits on [^\\p{L}0-9]+, so the oracle
+    # must too or they diverge on any non-ASCII letter ('café' -> 1 vs 2
+    # tokens); DuckDB's RE2 supports \\p{L} (proven by the fingerprint
+    # and token_count oracles)
+    toks_u = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}0-9]+'),"
+        " t -> t <> '')"
+    )
 
     # reusable per-document-signal SQL: standalone oracle entries AND
     # subquery components of the corpus_curation composite
     lang_sql = f"""
 WITH d AS (
-  SELECT doc_id, list_distinct({toks}) AS toks FROM documents
+  SELECT doc_id, list_distinct({toks_u}) AS toks FROM documents
 ),
 hits AS (
   SELECT doc_id,
@@ -905,12 +914,12 @@ FROM hits
 
     quality_sql = f"""
 WITH d AS (
-  SELECT doc_id, text, {toks} AS toks,
+  SELECT doc_id, text, {toks_u} AS toks,
          length(text) AS n_chars,
-         len({toks}) AS n_words,
+         len({toks_u}) AS n_words,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-         len(list_intersect(list_distinct({toks}),
+         len(list_intersect(list_distinct({toks_u}),
              ['the','and','of','to','is','in','that','with','from','for'])) AS n_stop
   FROM documents
 ),
@@ -1101,7 +1110,7 @@ WITH t AS (
   FROM documents GROUP BY source
 )
 SELECT d.doc_id, d.source
-FROM documents d JOIN t USING (source)
+FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.source
 WHERE {_h_doc.replace('doc_id', 'd.doc_id')} < t.thresh
 """
 

@@ -51,6 +51,43 @@ def test_graph_html_size_gate(spark, tmp_path):
         write_graph_html(nodes, edges, str(tmp_path / "x.html"), max_nodes=10)
 
 
+def test_graph_html_hostile_content_escaped(spark, tmp_path):
+    """Corpus-derived strings must not break out of the <script> block
+    or inject markup: '</' is escaped inside the JSON payload and the
+    title is HTML-escaped, while json round-trip preserves the bytes."""
+    evil = "</script><script>alert(1)</script>"
+    nodes = spark.createDataFrame(
+        [("k0", evil, "ent", 3)], ["node_key", "surface", "kind", "count"]
+    )
+    edges = spark.createDataFrame(
+        [], "src_key string, dst_key string, kind string, rel string"
+    )
+    out = write_graph_html(
+        nodes, edges, str(tmp_path / "evil.html"), title="<t>&x"
+    )
+    html = open(out, encoding="utf-8").read()
+    # exactly one literal '</script>' — the template's own closing tag
+    assert html.count("</script>") == 1
+    assert "&lt;t&gt;&amp;x" in html
+    payload = json.loads(re.search(r"const DATA = (.*?);\n", html).group(1))
+    assert payload["nodes"][0]["label"] == evil    # data intact after escape
+
+
+def test_wordcloud_html_escaping_and_term_collisions(spark, tmp_path):
+    """Distinct terms 'a b' and 'a_b' must both render (keyed by the
+    original term, not the underscored render form), and markup in
+    terms is HTML-escaped."""
+    weights = spark.createDataFrame(
+        [("a b", 0.08), ("a_b", 0.04), ("<img src=x>", 0.02)],
+        ["surface", "weight"],
+    )
+    out = write_wordcloud_html(weights, str(tmp_path / "wc2.html"))
+    html = open(out, encoding="utf-8").read()
+    assert 'title="1000">a_b</span>' in html    # 'a b' rendered underscored
+    assert 'title="500">a_b</span>' in html     # literal 'a_b' kept separately
+    assert "<img" not in html and "&lt;img_src=x&gt;" in html
+
+
 def test_wordcloud_html_reference_scaling(spark, tmp_path):
     """Frequencies must reproduce vis.py:262-266: round(w/max*1000),
     spaces -> underscores, positive weights only."""

@@ -327,6 +327,24 @@ def test_per_source_cap_threshold_approximates(spark):
     assert "Window" not in plan                   # that's the point
 
 
+def test_per_source_cap_twins_agree_on_null_source(spark):
+    """Dirty-data contract: both twins treat NULL sources as ONE group
+    (the exact form via window partitioning, the threshold form via a
+    null-safe join), so swapping twins never drops NULL-source rows."""
+    rows = [(i, None if i % 3 == 0 else "s", "t") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    exact = W.per_source_cap(docs, 5).collect()
+    null_exact = [r for r in exact if r["source"] is None]
+    assert len(null_exact) == 5            # NULLs capped, not dropped
+    # threshold twin with frac=1 (cap >= group size) keeps EVERY row,
+    # NULL sources included — identical keep-set to the exact twin there
+    thr = W.per_source_cap_threshold(docs, 100).collect()
+    assert {r["doc_id"] for r in thr} == set(range(60))
+    # and with a binding cap, NULL-source rows still survive as a group
+    thr_capped = W.per_source_cap_threshold(docs, 5).collect()
+    assert any(r["source"] is None for r in thr_capped)
+
+
 def test_unigram_cross_entropy_known_values(spark):
     """Hand-computed xent on a 3-doc corpus + no-signal rows for
     NULL/empty text (same discipline as repetition_signals)."""

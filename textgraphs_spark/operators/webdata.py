@@ -587,16 +587,24 @@ def per_source_cap_threshold(
     funnels into one task; the cap is approximate (binomial jitter
     around ``cap``), which head-domain mitigation tolerates — the
     point is 10^4±100 docs from the hot domain, not exactly 10^4.
+
+    NULL sources are capped as ONE group via a null-safe join —
+    the same convention as the exact twin, whose window partitioning
+    groups NULLs together — so swapping twins on dirty data does not
+    change which rows survive.
     """
     counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
     frac = F.least(F.lit(1.0), F.lit(cap) / F.col("_n"))
     thresholds = counts.select(
-        F.col(source_col),
+        F.col(source_col).alias("_src"),
         F.floor(frac * _LEHMER_P).cast("long").alias("_thresh"),
     )
     return (
         docs.select(F.col(id_col), F.col(source_col))
-        .join(F.broadcast(thresholds), source_col)
+        .join(
+            F.broadcast(thresholds),
+            F.col(source_col).eqNullSafe(F.col("_src")),
+        )
         .filter(_det_hash(F.col(id_col)) < F.col("_thresh"))
         .select(F.col(id_col), F.col(source_col))
     )

@@ -24,6 +24,7 @@ error rather than a silent OOM. Corpus-scale callers aggregate first
 
 from __future__ import annotations
 
+import html as _html
 import json
 
 from pyspark.sql import DataFrame
@@ -156,10 +157,13 @@ def write_graph_html(
             "source": r["src_key"], "target": r["dst_key"],
             "title": r["rel"], **style,
         })
+    # corpus-derived strings ride inside a <script> block: '</' would let a
+    # crawled surface like '</script><script>...' terminate the block early,
+    # so escape it inside the JSON payload ('<\/' is identical JSON text)
     payload = json.dumps(
         {"nodes": node_rows, "links": edge_rows}, sort_keys=True
-    )
-    html = _GRAPH_TEMPLATE.format(title=title, payload=payload)
+    ).replace("</", "<\\/")
+    html = _GRAPH_TEMPLATE.format(title=_html.escape(title), payload=payload)
     with open(path, "w", encoding="utf-8") as f:
         f.write(html)
     return path
@@ -189,16 +193,20 @@ def write_wordcloud_html(
             f"more than max_terms={max_terms} positive-weight terms: "
             "pre-aggregate (e.g. top-k) before rendering"
         )
+    freq: dict = {}
     if rows:
         max_w = max(r[weight_col] for r in rows)
-        freq = {
-            r[term_col].replace(" ", "_"): round(r[weight_col] / max_w * 1000.0)
-            for r in rows
-        }
-    else:
-        freq = {}
+        # key by the ORIGINAL term (space->underscore happens at render
+        # time only) so distinct terms like 'a b' and 'a_b' cannot collide;
+        # duplicate terms keep the max frequency
+        for r in rows:
+            f_ = round(r[weight_col] / max_w * 1000.0)
+            t_ = r[term_col]
+            if t_ not in freq or f_ > freq[t_]:
+                freq[t_] = f_
     spans = "\n".join(
-        f'<span style="font-size:{10 + f * 50 // 1000}px" title="{f}">{t}</span>'
+        f'<span style="font-size:{10 + f * 50 // 1000}px" title="{f}">'
+        f'{_html.escape(t.replace(" ", "_"))}</span>'
         for t, f in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
     )
     html = _CLOUD_TEMPLATE.format(background=background, spans=spans)

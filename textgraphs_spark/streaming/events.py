@@ -126,14 +126,17 @@ def stream_contamination(
     inlining discipline as similarity.py's LSH hyperplanes), so each
     document is scored with one ``array_intersect`` against its own
     distinct-gram array, no explode, no groupBy, no join. Bounded by
-    the eval-suite size (10^3–10^6 grams — the batch operator already
-    assumes broadcastability); a corpus-sized "eval" set belongs in the
-    batch operator, not here. Emits the batch operator's exact schema
+    the eval-suite size (the whole gram set becomes ONE typed array
+    literal — a single expression-tree node, so plan size stays O(1)
+    in gram count; the hard bound below guards codegen/serialized-plan
+    limits); a corpus-sized "eval" set belongs in the batch operator,
+    not here. Emits the batch operator's exact schema
     (doc_id, n_grams, n_matched, overlap_frac), contaminated rows only.
     """
     from ..operators.dedup import _TOKENS
     from ..operators.webdata import _gram_col
 
+    _MAX_EVAL_GRAMS = 1_000_000
     toks = F.expr(_TOKENS.format(c=text_col))
     eval_grams = sorted(
         r["gram"]
@@ -142,10 +145,15 @@ def stream_contamination(
         .distinct()
         .collect()
     )
-    if eval_grams:
-        lit_grams = F.array(*[F.lit(g) for g in eval_grams])
-    else:
-        lit_grams = F.expr("cast(array() as array<string>)")
+    if len(eval_grams) > _MAX_EVAL_GRAMS:
+        raise ValueError(
+            f"{len(eval_grams)} eval grams > {_MAX_EVAL_GRAMS}: an eval set "
+            "this large is not inlineable — use the batch operator "
+            "(webdata.contaminated_docs, broadcast-joined) instead"
+        )
+    # one typed literal for the WHOLE list (not one F.lit node per gram —
+    # 10^5+ Column nodes blow plan construction long before the data does)
+    lit_grams = F.lit(eval_grams).cast("array<string>")
     d = docs_stream.select(
         F.col(id_col), toks.alias("_toks")
     ).select(F.col(id_col), F.array_distinct(_gram_col(n)).alias("_grams"))
