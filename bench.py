@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -26,6 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from textgraphs_spark.session import get_spark  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# artifact hygiene: the recorded bench tail must start at clean progress
+# lines + the JSON, not at JVM shutdown stack fragments (accumulator
+# threads of a stopping context) or console progress bars. The JVM writes
+# to the INHERITED fd 2 directly — Python-level sys.stderr games cannot
+# silence it after launch — so before the first JVM spawns we point fd 2
+# at a log file and keep a private dup of the real stderr for our own
+# progress lines. Disable with SPARK_GRAFT_QUIET_JVM=0.
+_JVM_LOG = os.environ.get("SPARK_GRAFT_JVM_LOG", "/tmp/bench_jvm_stderr.log")
+if os.environ.get("SPARK_GRAFT_QUIET_JVM", "1") != "0":
+    _real_err_fd = os.dup(2)
+    _sink_fd = os.open(_JVM_LOG, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    os.dup2(_sink_fd, 2)
+    os.close(_sink_fd)
+    _ERR = os.fdopen(_real_err_fd, "w", buffering=1)
+else:
+    _ERR = sys.stderr
+
+
+def _log(msg: str) -> None:
+    print(msg, file=_ERR)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,7 +86,7 @@ def headline_queries(spark, sf_dir):
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        _log(f"  {name}: {out[name]}s ({n} rows)")
     return out
 
 
@@ -152,8 +175,80 @@ def curation_queries(spark, sf_dir):
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        _log(f"  {name}: {out[name]}s ({n} rows)")
     return out
+
+
+def distributed_engage(n_pages: int) -> dict:
+    """Measured proof of the distributed machinery the 100 TB story
+    rests on: ONE end-to-end lean-ER run where BOTH scale paths
+    genuinely engage — block salting fires organically (at 500k pages
+    the hot minhash band blocks exceed the default max_block_size=200)
+    and the large-star/small-star CC rounds are forced on
+    (small_graph_threshold=0) — compared against the identical job on
+    the driver union-find fast path. Records wall, docs/sec, star-round
+    count, match-edge count, engaged salted-block count, and whether the
+    two clusterings are hash-identical (they must be: same pair set,
+    equivalent closure algorithms).
+    """
+    import warnings
+
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+    from textgraphs_spark.sources.pages import synth_pages
+
+    spark = get_spark("er_engage", master=f"local[{CPUS}]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        warm = synth_pages(spark, 2000, partitions=8).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        ERPipeline(spark).run_lean(warm).count()
+        docs = synth_pages(spark, n_pages, partitions=128).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+
+        def one(threshold: int) -> dict:
+            pipe = ERPipeline(spark, small_graph_threshold=threshold)
+            with warnings.catch_warnings(record=True) as wrec:
+                warnings.simplefilter("always")
+                t0 = time.time()
+                row = pipe.run_lean(docs).agg(
+                    F.expr("bit_xor(xxhash64(entity_key, cluster_id))").alias("h"),
+                    F.count("*").alias("n"),
+                ).collect()[0]
+                wall = time.time() - t0
+            salted = sum(
+                int(m.group(1))
+                for x in wrec
+                if (m := re.search(r"salted blocking engaged: (\d+)", str(x.message)))
+            )
+            out = {
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_pages / wall, 1),
+                "entities": row["n"],
+                "cluster_hash": int(row["h"]),
+                "salted_blocks": salted,
+            }
+            out.update({f"cc_{k}": v for k, v in pipe.cc_stats.items()})
+            return out
+
+        fast = one(500_000)
+        _log(f"  engage fast-path: {fast}")
+        dist = one(0)
+        _log(f"  engage star-rounds: {dist}")
+        return {
+            "pages": n_pages,
+            "max_block_size": 200,
+            "fast_path": fast,
+            "star_rounds": dist,
+            "clusters_identical": (
+                fast["cluster_hash"] == dist["cluster_hash"]
+                and fast["entities"] == dist["entities"]
+            ),
+        }
+    finally:
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
 
 
 def main():
@@ -180,6 +275,12 @@ def main():
         "curation": results["curation"],
         "sf": sf,
     }
+
+    if (os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1"
+            and os.environ.get("SPARK_GRAFT_SKIP_ENGAGE") != "1"):
+        payload["distributed"] = distributed_engage(
+            int(os.environ.get("SPARK_GRAFT_ENGAGE_PAGES", str(SCALING_PAGES)))
+        )
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # best-of-N on BOTH levels: hypervisor steal on this VM slows any
@@ -223,4 +324,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        # with fd 2 redirected, a crash would otherwise vanish into the
+        # JVM log: surface the traceback + the sink's tail on the real
+        # stderr so failures stay debuggable
+        import traceback
+
+        traceback.print_exc(file=_ERR)
+        if _ERR is not sys.stderr and os.path.exists(_JVM_LOG):
+            with open(_JVM_LOG, errors="replace") as f:
+                tail = f.readlines()[-30:]
+            _ERR.write("--- jvm stderr tail ---\n" + "".join(tail))
+        raise SystemExit(1)

@@ -141,6 +141,40 @@ def test_salting_bounds_hot_block_pairs(spark):
     assert cold == 5 * 4 / 2
 
 
+def test_engaged_distributed_paths_match_fast_path(spark):
+    """Engage-scale equivalence, end to end: the SAME ER job run with
+    (a) the driver union-find CC fast path and (b) the distributed
+    large-star/small-star rounds forced on (small_graph_threshold=0),
+    both under a max_block_size small enough that block salting
+    genuinely engages, must emit identical cluster assignments.
+
+    This is the sandbox form of the at-100TB proof: the star rounds and
+    the salting shards are exactly the code a 1000-executor run would
+    exercise, and here they reproduce the fast path bit-for-bit on the
+    identical pair set."""
+    pages = synth_pages(spark, 400)
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    mbs = 10    # organic max block at 400 pages is ~25 -> salting engages
+
+    with pytest.warns(UserWarning, match="salted blocking engaged"):
+        fast = ERPipeline(spark, max_block_size=mbs)
+        fast_rows = {tuple(r) for r in fast.run_lean(docs).collect()}
+    assert fast.cc_stats["path"] == "union_find"
+    assert fast.cc_stats["edges"] > 0
+
+    with pytest.warns(UserWarning, match="salted blocking engaged"):
+        dist = ERPipeline(spark, max_block_size=mbs, small_graph_threshold=0)
+        dist_rows = {tuple(r) for r in dist.run_lean(docs).collect()}
+    assert dist.cc_stats["path"] == "stars"
+    assert dist.cc_stats["rounds"] >= 1
+    assert dist.cc_stats["edges"] == fast.cc_stats["edges"]
+
+    assert dist_rows == fast_rows
+    # and the clustering is non-trivial: at least one multi-form cluster
+    multi = [r for r in fast_rows if r[0] != r[1]]
+    assert multi
+
+
 def test_incremental_update_matches_batch(spark, tmp_path):
     """ERPipeline.update(new batch) == full batch run on A ∪ B.
 

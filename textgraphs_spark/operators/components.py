@@ -145,12 +145,19 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     small_graph_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) [long or struct-of-long ids] → (node, component)
     with component = min node id of the component. Driver loop with
     convergence check on the edge-set hash (cheap: one agg per round);
     edge sets below ``small_graph_threshold`` short-circuit to a
-    driver-side union-find."""
+    driver-side union-find.
+
+    Pass ``stats`` (an empty dict) to receive execution evidence:
+    ``path`` ("union_find" | "stars"), ``edges`` (distinct input edge
+    count), and for the distributed path ``rounds`` (star rounds until
+    the edge-set fixpoint) — the measurable proof that the star rounds,
+    not the driver fast path, produced a given clustering."""
     id_type = edges.schema[src].dataType
     if isinstance(id_type, T.StructType):
         # struct ids (e.g. key_id128) pass through untouched: Spark
@@ -173,12 +180,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if small_graph_threshold and e.count() <= small_graph_threshold:
+    n_edges = e.count()
+    if stats is not None:
+        stats["edges"] = n_edges
+    if small_graph_threshold and n_edges <= small_graph_threshold:
+        if stats is not None:
+            stats["path"] = "union_find"
         return _driver_union_find(e.sparkSession, e)
+    if stats is not None:
+        stats["path"] = "stars"
     prev_sig = None
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.sum(F.hash("src", "dst").cast("long")).alias("h"),
@@ -188,6 +204,8 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # the star-forest extraction below is only valid at the fixpoint;
         # returning anyway could silently assign one node to two components
@@ -207,6 +225,8 @@ def components_over_keys(
     *,
     left: str = "left_id",
     right: str = "right_id",
+    small_graph_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """String-keyed convenience wrapper: hash keys → run CC → join back.
 
@@ -228,7 +248,9 @@ def components_over_keys(
     e = match_edges.select(
         key_id128(left).alias("src"), key_id128(right).alias("dst")
     )
-    cc = connected_components(e)
+    cc = connected_components(
+        e, small_graph_threshold=small_graph_threshold, stats=stats
+    )
     assigned = (
         ids.join(cc, ids["id"] == cc["node"], "left")
         .select("k", F.coalesce("component", "id").alias("comp"))
