@@ -176,6 +176,19 @@ def curation_queries(spark, sf_dir):
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
         _log(f"  {name}: {out[name]}s ({n} rows)")
+    # staged-path twin of corpus_curation: with the near-dup closure
+    # precomputed (exactly what plans.curation_pipeline checkpoints as
+    # its near_dups stage), the verdict ladder is signals-only — the
+    # delta vs the one-shot wall above is the closure's share, i.e. what
+    # a resumed/staged 100 TB run saves per downstream consumer
+    from textgraphs_spark.operators import webdata as WD
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dupes = WD.near_dup_members(docs, threshold=0.7).localCheckpoint()
+    t0 = time.time()
+    n = WD.curation_decisions(docs, threshold=0.7, dupes=dupes).count()
+    out["corpus_curation_staged"] = round(time.time() - t0, 3)
+    _log(f"  corpus_curation_staged: {out['corpus_curation_staged']}s ({n} rows)")
     return out
 
 
