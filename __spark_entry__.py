@@ -92,22 +92,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def er_ranked_clusters(spark, sf_dir):
         # north star: "TextRank-style ranking of linked entities within
         # each cluster ... as iterative-join PageRank over the aggregated
-        # lemma graph". Measured tradeoff: running the cheap flat
-        # extraction (clustering) and the full graph extraction (edges)
-        # as two lazy passes beats materializing the nested graph rows
-        # once and sharing them (2x cheaper at sf0.1).
-        from textgraphs_spark.plans.er_pipeline import ERPipeline, ranked_cluster_members
+        # lemma graph". One-shot (no workdir) = two lazy passes: cheap
+        # flat extraction for clustering + edges-only extraction for
+        # ranking — measured 2x cheaper than materializing nested rows
+        # at sf0.1. With a workdir, plans.er_pipeline.ranked_clusters
+        # scans the corpus ONCE off the staged extraction checkpoint
+        # (the 10^12-doc shape); both paths are value-identical
+        # (tests/test_er_pipeline.py pins it against this oracle).
+        from textgraphs_spark.plans.er_pipeline import ranked_clusters
 
-        docs = _docs(spark, sf_dir)
-        assignments = ERPipeline(spark, include_lemmas=True).run_lean(docs)
-        ex = extract_graphs(docs, parts=("edges",))
-        edges = corpus_edges(ex).select(
-            F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
-            F.col("count").alias("weight"),
-        )
-        return ranked_cluster_members(assignments, edges).orderBy(
-            "cluster_id", "rank_in_cluster"
-        )
+        return ranked_clusters(
+            spark, _docs(spark, sf_dir), include_lemmas=True
+        ).orderBy("cluster_id", "rank_in_cluster")
 
     def er_incremental(spark, sf_dir):
         # continuously-crawled-corpus path: cluster two thirds of the

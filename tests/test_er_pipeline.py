@@ -175,6 +175,40 @@ def test_engaged_distributed_paths_match_fast_path(spark):
     assert multi
 
 
+def test_ranked_clusters_staged_single_pass_matches_oneshot(spark, tmp_path):
+    """ranked_clusters(workdir=...) must (a) emit values identical to
+    the one-shot two-pass form — it shares the er_ranked_clusters
+    oracle — and (b) feed BOTH consumers (clustering + PageRank edges)
+    from the materialized extraction checkpoint, so the corpus is
+    scanned once."""
+    from textgraphs_spark.plans.er_pipeline import ranked_clusters
+
+    pages = synth_pages(spark, 120)
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+
+    oneshot = ranked_clusters(spark, docs, include_lemmas=True)
+    wd = str(tmp_path / "rc_wd")
+    staged = ranked_clusters(spark, docs, workdir=wd, include_lemmas=True)
+
+    key = lambda r: (r["cluster_id"], r["rank_in_cluster"])  # noqa: E731
+    a = sorted((tuple(r) for r in oneshot.collect()), key=lambda t: (t[0], t[1]))
+    b = sorted((tuple(r) for r in staged.collect()), key=lambda t: (t[0], t[1]))
+    assert a == b
+    # single-pass evidence: the extraction checkpoint exists, and a
+    # RESUMED staged call given an EMPTY docs frame still reproduces the
+    # full result — possible only if neither consumer (clustering nor
+    # PageRank edges) ever scans the corpus again; both read the
+    # 'extracted' parquet back
+    import os
+
+    assert os.path.isdir(os.path.join(wd, "extracted"))
+    again = ranked_clusters(
+        spark, docs.limit(0), workdir=wd, include_lemmas=True
+    )
+    c = sorted((tuple(r) for r in again.collect()), key=lambda t: (t[0], t[1]))
+    assert c == b
+
+
 def test_incremental_update_matches_batch(spark, tmp_path):
     """ERPipeline.update(new batch) == full batch run on A ∪ B.
 

@@ -108,6 +108,25 @@ def test_vectorized_kernels_match_scalar(pairs):
         assert abs(g - name_match_score(x, y)) < 1e-12, (x, y)
 
 
+def test_jw_batch_without_duckdb(monkeypatch):
+    """Worker-image contract (README): when duckdb is absent on an
+    executor, the batch kernel must fall back to the memoized
+    pure-Python JW per worker — bit-equal output, no exception."""
+    import numpy as np
+
+    from textgraphs_spark.operators import scoring
+
+    def _no_duckdb():
+        raise ImportError("No module named 'duckdb' (simulated)")
+
+    monkeypatch.setattr(scoring, "_jw_conn", _no_duckdb)
+    a = np.array(["werner herzog", "anna klein", "café", ""], dtype=object)
+    b = np.array(["werner herzg", "anna kline", "cafe", "x"], dtype=object)
+    got = scoring._jw_batch(a, b)
+    for x, y, g in zip(a, b, got):
+        assert abs(g - jaro_winkler(x, y)) < 1e-12, (x, y)
+
+
 @given(
     st.floats(0.001, 10), st.floats(0.001, 10),
     st.floats(0.0001, 5), st.floats(0.0001, 5),

@@ -355,6 +355,76 @@ class ERPipeline(StagedPipeline):
         return assignments
 
 
+def ranked_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    workdir: str | None = None,
+    include_lemmas: bool = True,
+    max_iter: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clusters + per-cluster PageRank ranking, extraction-shape chosen
+    by whether a ``workdir`` exists:
+
+    * **staged** (``workdir`` set) — the corpus is scanned ONCE: the full
+      graph extraction materializes as the pipeline's ``extracted``
+      checkpoint, and BOTH consumers (the entity aggregate feeding
+      blocking→scoring→CC, and the lemma-edge table feeding PageRank)
+      read that parquet back. The right shape at 10^12 docs, where
+      re-reading the corpus is the dominant cost — and a resumed run
+      re-reads the stage instead of re-extracting.
+    * **one-shot** (no workdir) — two lazy passes: the cheap flat entity
+      extraction for clustering plus an edges-only graph extraction for
+      ranking. Measured ~2x cheaper than materializing the nested graph
+      rows in memory at sf0.1, where extraction is compute-, not
+      IO-bound (see the er_ranked_clusters query note).
+
+    Both paths emit identical values (same oracle hash): the entity
+    aggregate from per-doc graph nodes equals ``extract_entities``'s —
+    one row per (doc, key) with the same surface/label/count fields.
+    """
+    from ..operators.extract import extract_graphs, nodes_table
+
+    pipe = ERPipeline(spark, workdir, include_lemmas=include_lemmas)
+    if workdir:
+        extracted = pipe._stage(
+            "extracted",
+            lambda: extract_graphs(docs, id_col, text_col, parts=("nodes", "edges")),
+        )
+        kind_pred = (
+            (F.col("kind") == "ent")
+            | (F.lit(include_lemmas) & (F.col("kind") == "lem")
+               & F.col("pos").isin("NOUN", "PROPN"))
+        )
+        entities = (
+            nodes_table(extracted)
+            .filter(kind_pred)
+            .groupBy(F.col("node_key").alias("entity_key"))
+            .agg(
+                F.min("surface").alias("surface"),
+                F.min("label").alias("label"),
+                F.sum("count").alias("mention_count"),
+                F.count("*").alias("doc_freq"),
+            )
+            .localCheckpoint()
+        )
+        assignments = pipe.run_lean(docs, entities=entities)
+        edges_src = extracted
+        pipe.write_lineage()
+    else:
+        assignments = pipe.run_lean(docs)
+        edges_src = extract_graphs(docs, id_col, text_col, parts=("edges",))
+    from ..operators.extract import corpus_edges
+
+    edges = corpus_edges(edges_src).select(
+        F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
+        F.col("count").alias("weight"),
+    )
+    return ranked_cluster_members(assignments, edges, max_iter=max_iter)
+
+
 def ranked_cluster_members(
     assignments: DataFrame, lemma_edges: DataFrame, *, max_iter: int = 20
 ) -> DataFrame:
