@@ -237,6 +237,8 @@ def minhash_dedup_clusters(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    small_graph_threshold: int = 500_000,
+    cc_stats: dict | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """Near-dup clusters: transitive closure over MinHash-verified
@@ -257,7 +259,9 @@ def minhash_dedup_clusters(
         docs, text_col=text_col, id_col=id_col, **minhash_kwargs
     )
     cc = connected_components(
-        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst")),
+        small_graph_threshold=small_graph_threshold,
+        stats=cc_stats,
     )
     return (
         cc.groupBy("component")
@@ -274,6 +278,8 @@ def near_dup_members(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    small_graph_threshold: int = 500_000,
+    cc_stats: dict | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """Ids of NON-CANONICAL near-dup cluster members — the rows a dedup
@@ -284,7 +290,9 @@ def near_dup_members(
         docs, text_col=text_col, id_col=id_col, **minhash_kwargs
     )
     cc = connected_components(
-        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst")),
+        small_graph_threshold=small_graph_threshold,
+        stats=cc_stats,
     )
     return cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
