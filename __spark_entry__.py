@@ -268,6 +268,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sample is identical across cluster sizes and re-runs
         return WD.deterministic_sample(_docs(spark, sf_dir), 0.2)
 
+    def boilerplate_removal(spark, sf_dir):
+        # the ACTION for the boilerplate family: strip every exact line
+        # shared by >= min_df docs (C4-style), order-preserving, over the
+        # RNG-free multi-line corpus its oracle regenerates in SQL
+        from textgraphs_spark.sources.pages import boiler_pages
+
+        return WD.remove_boilerplate_lines(boiler_pages(spark))
+
+    def stratified_sample(spark, sf_dir):
+        # per-language training-mix rebalance: pure function of
+        # (doc_id, lang) — stable across cluster sizes and resumes;
+        # 'zh' is absent from the fraction map -> default 0, dropped
+        return WD.stratified_sample(
+            _docs(spark, sf_dir),
+            {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1},
+            stratum_col="lang",
+        )
+
     def per_source_cap(spark, sf_dir):
         # exact head-domain cap (windowed rank; scale twin below)
         return WD.per_source_cap(_docs(spark, sf_dir), 20).withColumn(
@@ -820,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": events_session_window,
         "events_asof_attribution": events_asof_attribution,
         "events_value_buckets": events_value_buckets,
+        # new in round 4 (never driver-verified yet)
+        "boilerplate_removal": boilerplate_removal,
+        "stratified_sample": stratified_sample,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -859,9 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         # text-signal family
         "lang_id": lang_id,
+        # tail: r3-green generics, redundant with the families above
         "quality_score": quality_score,
         "token_count": token_count,
-        # tail: r3-green generics, redundant with the families above
         "multimodal_features": multimodal_features,
         "events_ntile": events_ntile,
         "events_value_stripes": events_value_stripes,
@@ -1075,6 +1096,29 @@ SELECT d.doc_id,
 FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
+    # boilerplate-line removal over the RNG-free multi-line corpus:
+    # the oracle regenerates the corpus (boiler_pages_sql), computes the
+    # same >= min_df distinct-doc line frequency, and filters each doc's
+    # line LIST in place (order-preserving, like the Spark reassembly)
+    from textgraphs_spark.sources.pages import boiler_pages_sql
+
+    boilerplate_removal_sql = f"""
+WITH src AS ({boiler_pages_sql()}),
+d AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src),
+l AS (SELECT doc_id, unnest(ls) AS line FROM d),
+bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS c FROM l WHERE line <> '' GROUP BY line
+  ) t WHERE c >= 3
+),
+bl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS blist FROM bp)
+SELECT d.doc_id,
+  array_to_string(list_filter(d.ls, x -> NOT list_contains(bl.blist, x)), chr(10)) AS clean_text,
+  CAST(len(d.ls) AS BIGINT) AS n_lines,
+  CAST(len(d.ls) - len(list_filter(d.ls, x -> NOT list_contains(bl.blist, x))) AS BIGINT) AS n_removed
+FROM d CROSS JOIN bl
+"""
+
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
@@ -1105,6 +1149,18 @@ FROM s
     corpus_sample_sql = f"""
 SELECT doc_id, {_h_doc} AS sample_key FROM documents
 WHERE {_h_doc} < {_sample_threshold}
+"""
+
+    # stratified sample: same mixer, per-stratum thresholds as a CASE
+    # chain (strata absent from the map -> default 0 -> dropped)
+    _strata = {"de": 0.2, "en": 0.5, "es": 0.1, "fr": 0.1}
+    _strata_case = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * _LEHMER_P)}"
+        for s, f in sorted(_strata.items())
+    )
+    stratified_sample_sql = f"""
+SELECT doc_id, lang, {_h_doc} AS sample_key FROM documents
+WHERE {_h_doc} < (CASE {_strata_case} ELSE 0 END)
 """
 
     per_source_cap_sql = f"""
@@ -1231,6 +1287,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "source_curation_rollup": source_rollup_sql,
         "url_dedup": url_dedup_sql,
         "corpus_sample": corpus_sample_sql,
+        "boilerplate_removal": boilerplate_removal_sql,
+        "stratified_sample": stratified_sample_sql,
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_lm_xent": doc_lm_xent_sql,

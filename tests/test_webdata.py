@@ -327,6 +327,59 @@ def test_per_source_cap_threshold_approximates(spark):
     assert "Window" not in plan                   # that's the point
 
 
+def test_remove_boilerplate_lines_planted(spark):
+    """Known corpus: the >= min_df threshold is exact, order is
+    preserved, empty lines and NULL text survive untouched."""
+    boiler = "all rights reserved"
+    rows = [
+        (0, f"{boiler}\nunique zero\nfooter a"),
+        (1, f"unique one\n{boiler}\nfooter a"),
+        (2, f"{boiler}\n\nunique two\nfooter a"),
+        (3, "unique three\nfooter b"),          # 'footer b' df=1: kept
+        (4, None),                               # NULL text -> ''
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in W.remove_boilerplate_lines(docs, min_df=3).collect()}
+    assert len(out) == 5                         # every doc appears once
+    # boiler df=3 (removed), 'footer a' df=3 (removed), 'footer b' df=1
+    assert out[0]["clean_text"] == "unique zero"
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "\nunique two"     # empty line survives
+    assert out[3]["clean_text"] == "unique three\nfooter b"
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    assert out[2]["n_removed"] == 2
+    # order preservation with an interior removal
+    docs2 = spark.createDataFrame(
+        [(i, f"first {i}\n{boiler}\nlast {i}") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in W.remove_boilerplate_lines(docs2, min_df=3).collect()}
+    assert got == {i: f"first {i}\nlast {i}" for i in range(3)}
+
+
+def test_stratified_sample_deterministic_and_defaulted(spark):
+    """Pure function of (id, stratum): stable under repartitioning;
+    strata outside the map (incl. NULL) take the default fraction."""
+    rows = [(i, ["en", "de", "zh", None][i % 4]) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    frac = {"en": 1.0, "de": 0.3}
+    a = {tuple(r) for r in W.stratified_sample(docs, frac).collect()}
+    b = {tuple(r) for r in W.stratified_sample(docs.repartition(13), frac).collect()}
+    assert a == b and a                          # partitioning-invariant
+    langs = {}
+    for _, lang, _ in a:
+        langs[lang] = langs.get(lang, 0) + 1
+    assert langs.get("en") == 100                # fraction 1.0 keeps all
+    assert 10 <= langs.get("de", 0) <= 55        # ~30 of 100
+    assert "zh" not in langs and None not in langs   # default 0 drops
+    # non-zero default keeps unmapped strata
+    c = W.stratified_sample(docs, frac, default_fraction=1.0).collect()
+    got_langs = {r["lang"] for r in c}
+    assert "zh" in got_langs and None in got_langs
+
+
 def test_per_source_cap_twins_agree_on_null_source(spark):
     """Dirty-data contract: both twins treat NULL sources as ONE group
     (the exact form via window partitioning, the threshold form via a

@@ -399,6 +399,106 @@ FROM comp GROUP BY keep_id
 """
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate-line REMOVAL — the action for the
+    boilerplate-mining family (``boilerplate_ngrams`` finds the
+    templates; this strips them): any exact line appearing in at least
+    ``min_df`` DISTINCT documents is dropped from every document —
+    (id, clean_text, n_lines, n_removed). Line order is preserved;
+    empty lines are never boilerplate candidates (no signal is not
+    sameness) and always survive; NULL text is treated as ''.
+
+    Plan shape at scale (the reason this is NOT a broadcast of the
+    boilerplate set): the line-df table is corpus-vocabulary sized and
+    at web scale can hold 10^8+ lines over the threshold, so membership
+    is a line-keyed equi-join of exploded lines against it — partial
+    aggregation absorbs the hot templates on the df side, AQE picks
+    broadcast when the set is genuinely small — followed by one
+    doc-keyed reassembly aggregation ordered by line position. Two
+    shuffles, both on keys whose cardinality grows with the data.
+
+    ``delim`` must be regex-safe as a split pattern (it is also the
+    rejoin separator); the default newline is the C4 convention.
+    """
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    lines = base.select(
+        F.col(id_col), F.posexplode(F.split("_t", delim)).alias("pos", "line")
+    )
+    bp = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("line", F.lit(1).alias("_bp"))
+    )
+    flagged = lines.join(bp, "line", "left")
+    kept_struct = F.when(
+        F.col("_bp").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )  # collect_list skips NULLs, so removed lines vanish here
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("_bp").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                delim,
+            ).alias("clean_text"),
+        )
+        .select(F.col(id_col), "clean_text", "n_lines", "n_removed")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Reproducible PER-STRATUM sample: keep a row iff its id-hash
+    falls under its stratum's fraction of the hash space —
+    (id, stratum, sample_key). The stratified twin of
+    ``deterministic_sample`` for rebalancing a training mix (e.g. keep
+    50 % of English, 10 % of each long-tail language): a pure function
+    of (id, stratum), so the shard is identical across cluster sizes,
+    retries, and resumed runs. Strata absent from ``fractions``
+    (including NULL) use ``default_fraction``. Map-only codegen: the
+    fraction table is a handful of literals folded into one CASE chain,
+    never a join.
+    """
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    thresh = F.lit(int(default_fraction * _LEHMER_P))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * _LEHMER_P))
+        ).otherwise(thresh)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            _det_hash(F.col(id_col)).alias("sample_key"),
+        )
+        .filter(F.col("sample_key") < thresh)
+    )
+
+
 _TRACKING_RE = "^(utm_[a-z]+|ref|fbclid|gclid)="
 
 

@@ -337,6 +337,63 @@ def url_pages(spark: SparkSession, n_pages: int = 360, n_groups: int = 120) -> D
     return spark.range(0, n_pages).select(i.alias("doc_id"), url.alias("url"))
 
 
+_BOILER_LINES = [
+    "subscribe to our newsletter for weekly updates",
+    "all rights reserved unauthorized reproduction prohibited",
+    "this site uses cookies to improve your experience",
+    "click here to read the full article",
+    "share this story on social media",
+    "sign in to leave a comment",
+    "advertisement continue reading below",
+    "back to top of page",
+]
+
+
+def boiler_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic multi-line page corpus for boilerplate-REMOVAL
+    queries — pure index arithmetic (RNG-free), regenerated
+    bit-identically by ``boiler_pages_sql``.
+
+    Page ``i`` is five newline-joined lines:
+
+    * two TEMPLATE lines from the 8-entry ``_BOILER_LINES`` pool
+      (``i % 8`` and ``(i*3 + 1) % 8``) — corpus-wide df ≈ n_pages/8,
+      always removed at any sane ``min_df``;
+    * two UNIQUE content lines (index formulas) — never removed;
+    * one GROUP footer ``footer group {i % 150}`` whose df straddles
+      the default ``min_df=3``: residues with 3 occurrences are
+      removed, residues with 2 survive — the boundary a correct
+      >=-threshold must respect.
+    """
+    i = F.col("id")
+    boiler = F.array(*[F.lit(x) for x in _BOILER_LINES])
+    l0 = F.element_at(boiler, (i % 8 + 1).cast("int"))
+    l1 = F.format_string(
+        "item %d value %d note %d",
+        i.cast("int"), (i * 7 % 97).cast("int"), (i * 13 % 53).cast("int"),
+    )
+    l2 = F.element_at(boiler, ((i * 3 + 1) % 8 + 1).cast("int"))
+    l3 = F.format_string("report %d entry %d", (i * 5 % 89).cast("int"), i.cast("int"))
+    l4 = F.format_string("footer group %d", (i % 150).cast("int"))
+    text = F.concat_ws("\n", l0, l1, l2, l3, l4)
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def boiler_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``boiler_pages`` — keep the index formulas and the
+    template pool in lockstep."""
+    pool = ", ".join("'" + x + "'" for x in _BOILER_LINES)
+    return f"""
+SELECT i AS doc_id,
+  b[CAST(i % 8 + 1 AS INT)] || chr(10) ||
+  'item ' || i || ' value ' || (i * 7 % 97) || ' note ' || (i * 13 % 53) || chr(10) ||
+  b[CAST((i * 3 + 1) % 8 + 1 AS INT)] || chr(10) ||
+  'report ' || (i * 5 % 89) || ' entry ' || i || chr(10) ||
+  'footer group ' || (i % 150) AS text
+FROM (SELECT t.i, [{pool}] AS b FROM range(0, {n_pages}) t(i))
+"""
+
+
 def url_pages_sql(n_pages: int = 360, n_groups: int = 120) -> str:
     """DuckDB twin of ``url_pages``: regenerates (doc_id, url) from the
     same index formulas — keep the two in lockstep."""
