@@ -1096,28 +1096,14 @@ SELECT d.doc_id,
 FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
-    # boilerplate-line removal over the RNG-free multi-line corpus:
-    # the oracle regenerates the corpus (boiler_pages_sql), computes the
-    # same >= min_df distinct-doc line frequency, and filters each doc's
-    # line LIST in place (order-preserving, like the Spark reassembly)
+    # boilerplate-line removal over the RNG-free multi-line corpus: the
+    # oracle regenerates the corpus (boiler_pages_sql) and applies the
+    # shared SQL twin (webdata.boilerplate_removal_select — same >= min_df
+    # distinct-doc line frequency, same order-preserving list filter)
+    from textgraphs_spark.operators.webdata import boilerplate_removal_select
     from textgraphs_spark.sources.pages import boiler_pages_sql
 
-    boilerplate_removal_sql = f"""
-WITH src AS ({boiler_pages_sql()}),
-d AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM src),
-l AS (SELECT doc_id, unnest(ls) AS line FROM d),
-bp AS (
-  SELECT line FROM (
-    SELECT line, count(DISTINCT doc_id) AS c FROM l WHERE line <> '' GROUP BY line
-  ) t WHERE c >= 3
-),
-bl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS blist FROM bp)
-SELECT d.doc_id,
-  array_to_string(list_filter(d.ls, x -> NOT list_contains(bl.blist, x)), chr(10)) AS clean_text,
-  CAST(len(d.ls) AS BIGINT) AS n_lines,
-  CAST(len(d.ls) - len(list_filter(d.ls, x -> NOT list_contains(bl.blist, x))) AS BIGINT) AS n_removed
-FROM d CROSS JOIN bl
-"""
+    boilerplate_removal_sql = boilerplate_removal_select(boiler_pages_sql())
 
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
@@ -1151,17 +1137,14 @@ SELECT doc_id, {_h_doc} AS sample_key FROM documents
 WHERE {_h_doc} < {_sample_threshold}
 """
 
-    # stratified sample: same mixer, per-stratum thresholds as a CASE
-    # chain (strata absent from the map -> default 0 -> dropped)
-    _strata = {"de": 0.2, "en": 0.5, "es": 0.1, "fr": 0.1}
-    _strata_case = " ".join(
-        f"WHEN lang = '{s}' THEN {int(f * _LEHMER_P)}"
-        for s, f in sorted(_strata.items())
+    # stratified sample: same mixer, per-stratum thresholds via the
+    # shared SQL twin (strata absent from the map -> default 0 -> dropped)
+    from textgraphs_spark.operators.webdata import stratified_sample_select
+
+    stratified_sample_sql = stratified_sample_select(
+        "SELECT doc_id, lang FROM documents",
+        {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1},
     )
-    stratified_sample_sql = f"""
-SELECT doc_id, lang, {_h_doc} AS sample_key FROM documents
-WHERE {_h_doc} < (CASE {_strata_case} ELSE 0 END)
-"""
 
     per_source_cap_sql = f"""
 WITH r AS (

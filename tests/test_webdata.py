@@ -574,6 +574,80 @@ def test_text_signals_fuzz_parity(spark):
             assert got[d] == pytest.approx(want[d], abs=1e-9), (oname, d, got[d], want[d])
 
 
+def test_boilerplate_and_stratified_fuzz_parity(spark):
+    """Engine-parity fuzz for the round-4 curation actions: random
+    multi-line corpora (shared template lines, unique lines, empty
+    lines, unicode, quotes, NULL text) through
+    ``remove_boilerplate_lines`` vs the shared DuckDB twin, and random
+    strata/fractions through ``stratified_sample`` vs its twin."""
+    import random
+
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import (
+        boilerplate_removal_select, stratified_sample_select,
+    )
+
+    rng = random.Random(20260818)
+    pool = ["subscribe now", "all rights reserved", "útf lïne ©",
+            "it's a 'quoted' line", "   indented   "]
+    rows = []
+    for i in range(220):
+        n = rng.randint(0, 6)
+        lines = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.5:
+                lines.append(rng.choice(pool))
+            elif r < 0.85:
+                lines.append(f"unique {i} {rng.randint(0, 9)}")
+            else:
+                lines.append("")
+        text = "\n".join(lines)
+        if rng.random() < 0.05:
+            text = None
+        rows.append((i, text))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in W.remove_boilerplate_lines(docs, min_df=4).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, %s)" % (i, "NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        for i, t in rows
+    )
+    src = f"SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    want = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(boilerplate_removal_select(src, min_df=4)).fetchall()
+    }
+    assert got == want and len(got) == len(rows)
+    assert any(v[2] > 0 for v in got.values())      # removal actually fired
+
+    strata_rows = [(i, rng.choice(["en", "de", "zh", "fr"])) for i in range(300)]
+    frac = {"en": 0.63, "de": 0.17, "zh": 0.0}
+    sdocs = spark.createDataFrame(strata_rows, "doc_id long, lang string")
+    got_s = {
+        tuple(r) for r in W.stratified_sample(
+            sdocs, frac, default_fraction=0.4
+        ).collect()
+    }
+    svals = ", ".join("(%d, '%s')" % r for r in strata_rows)
+    # BIGINT ids like the production schema — the Lehmer mixer is 64-bit
+    want_s = {
+        (int(a), b, int(c))
+        for a, b, c in con.execute(stratified_sample_select(
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang "
+            f"FROM (VALUES {svals}) t(doc_id, lang)",
+            frac, default_fraction=0.4,
+        )).fetchall()
+    }
+    assert got_s == want_s and got_s
+    assert any(b == "fr" for _, b, _ in got_s)       # default fraction fired
+
+
 def test_url_dedup_null_urls_never_pair(spark):
     """NULL urls carry no signal and must not form a dedup cluster
     (dedup-family contract)."""

@@ -460,6 +460,63 @@ def remove_boilerplate_lines(
     )
 
 
+def boilerplate_removal_select(
+    source_sql: str,
+    *,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``remove_boilerplate_lines`` as a
+    (id, clean_text, n_lines, n_removed) SELECT over any (id, text)
+    relation — same >= min_df distinct-doc line frequency, same
+    order-preserving in-place list filter. Shared by the
+    boilerplate_removal oracle and the engine-parity fuzz test so the
+    two can never drift."""
+    return f"""
+WITH src AS ({source_sql}),
+d AS (SELECT {id_col}, string_split(coalesce({text_col}, ''), chr(10)) AS ls FROM src),
+l AS (SELECT {id_col}, unnest(ls) AS line FROM d),
+bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT {id_col}) AS c FROM l WHERE line <> '' GROUP BY line
+  ) t WHERE c >= {min_df}
+),
+bl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS blist FROM bp)
+SELECT d.{id_col},
+  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's reassembly
+  -- of an everything-removed doc is '' (caught by the fuzz test)
+  coalesce(array_to_string(list_filter(d.ls, x -> NOT list_contains(bl.blist, x)), chr(10)), '') AS clean_text,
+  CAST(len(d.ls) AS BIGINT) AS n_lines,
+  CAST(len(d.ls) - len(list_filter(d.ls, x -> NOT list_contains(bl.blist, x))) AS BIGINT) AS n_removed
+FROM d CROSS JOIN bl
+"""
+
+
+def stratified_sample_select(
+    source_sql: str,
+    fractions: dict,
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB twin of ``stratified_sample`` over any (id, stratum)
+    relation — same Lehmer-mixer thresholds, same CASE-chain
+    defaulting. Shared by the stratified_sample oracle and the
+    engine-parity fuzz test."""
+    h = det_hash_sql(id_col)
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(f * _LEHMER_P)}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+WITH src AS ({source_sql})
+SELECT {id_col}, {stratum_col}, {h} AS sample_key FROM src
+WHERE {h} < (CASE {cases} ELSE {int(default_fraction * _LEHMER_P)} END)
+"""
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict,
