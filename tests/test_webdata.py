@@ -522,6 +522,49 @@ def test_curation_pipeline_staged_and_resumable(spark, tmp_path):
     assert {r["doc_id"] for r in out2["kept_docs"].collect()} == kept_ids
 
 
+def test_curation_pipeline_boilerplate_stage(spark, tmp_path):
+    """Optional clean_docs stage: boilerplate lines are stripped from
+    the KEPT corpus (df computed post-keep), the stage checkpoints and
+    resumes, and it stays off when boilerplate_min_df is None."""
+    import os
+
+    from textgraphs_spark.plans.curation_pipeline import CurationPipeline
+
+    footer = "subscribe to the weekly newsletter"
+    topics = ["gardens", "engines", "rivers", "mountains", "museums", "libraries"]
+    rows = [
+        (i, f"the writer composed notes about {topics[i]} with careful "
+            f"attention to {topics[(i + 1) % 6]} and many details for review"
+            f"\n{footer}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    wd = str(tmp_path / "curb")
+    # threshold=0.95: structurally similar docs stay below the near-dup
+    # bar, so all six survive the ladder and feed the clean stage
+    p = CurationPipeline(
+        spark, workdir=wd, boilerplate_min_df=3, threshold=0.95
+    )
+    out = p.run(docs)
+    assert {r["doc_id"] for r in out["kept_docs"].collect()} == set(range(6))
+    clean = {r["doc_id"]: r for r in out["clean_docs"].collect()}
+    for i in range(6):
+        assert clean[i]["n_lines"] == 2 and clean[i]["n_removed"] == 1
+        assert footer not in clean[i]["clean_text"]
+        assert topics[i] in clean[i]["clean_text"]
+    assert os.path.isdir(os.path.join(wd, "clean_docs"))
+    # resume with empty input: parquet is the source of truth
+    out2 = CurationPipeline(
+        spark, workdir=wd, boilerplate_min_df=3, threshold=0.95
+    ).run(docs.limit(0))
+    assert {tuple(r) for r in out2["clean_docs"].collect()} == {
+        tuple(r) for r in out["clean_docs"].collect()
+    }
+    # stage off by default
+    out3 = CurationPipeline(spark, threshold=0.95).run(docs)
+    assert "clean_docs" not in out3
+
+
 def test_text_signals_fuzz_parity(spark):
     """Engine-parity fuzz for the per-doc signal family: run the SAME
     oracle SQL the driver uses (repetition / lang / quality) over a

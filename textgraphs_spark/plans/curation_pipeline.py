@@ -7,6 +7,10 @@ pipeline (plans.staged.StagedPipeline).
       → verdicts (first-failing-gate ladder over one signal projection
                   + the repetition aggregate + the staged dup flag)
       → kept_docs (the curated corpus: input rows whose verdict is keep)
+      → clean_docs (optional: C4-style boilerplate-line removal over the
+                    keeps — line df is computed on the KEPT corpus, so a
+                    near-dup flood cannot inflate a line over the
+                    threshold after it was already discarded)
       → shard (optional: reproducible deterministic_sample of the keeps)
 
 Re-running with the same workdir resumes from the last completed stage;
@@ -31,6 +35,7 @@ class CurationPipeline(StagedPipeline):
                  max_dup_word_frac: float = 0.65,
                  max_top_bigram_frac: float = 0.2,
                  sample_fraction: float | None = None,
+                 boilerplate_min_df: int | None = None,
                  **minhash_kwargs):
         super().__init__(spark, workdir)
         self.langs = langs
@@ -38,6 +43,9 @@ class CurationPipeline(StagedPipeline):
         self.max_dup_word_frac = max_dup_word_frac
         self.max_top_bigram_frac = max_top_bigram_frac
         self.sample_fraction = sample_fraction
+        # None = stage off; an int enables remove_boilerplate_lines over
+        # the kept corpus at that distinct-doc line-frequency threshold
+        self.boilerplate_min_df = boilerplate_min_df
         self.minhash_kwargs = minhash_kwargs
 
     def run(self, docs: DataFrame, id_col: str = "doc_id",
@@ -58,6 +66,14 @@ class CurationPipeline(StagedPipeline):
         # when the keep set is small
         kept = self._stage("kept_docs", lambda: docs.join(keep_ids, id_col))
         out = {"near_dups": near_dups, "verdicts": verdicts, "kept_docs": kept}
+        if self.boilerplate_min_df is not None:
+            out["clean_docs"] = self._stage(
+                "clean_docs",
+                lambda: W.remove_boilerplate_lines(
+                    kept, min_df=self.boilerplate_min_df,
+                    text_col=text_col, id_col=id_col,
+                ),
+            )
         if self.sample_fraction is not None:
             shard_ids = W.deterministic_sample(
                 kept, self.sample_fraction, id_col=id_col

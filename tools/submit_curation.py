@@ -40,6 +40,9 @@ def main() -> None:
                     help="MinHash Jaccard threshold for the near-dup gate")
     ap.add_argument("--sample-fraction", type=float, default=None,
                     help="also emit a reproducible training shard of the keeps")
+    ap.add_argument("--boilerplate-min-df", type=int, default=None,
+                    help="also emit clean_docs: strip exact lines shared "
+                         "by >= this many kept docs (C4-style)")
     ap.add_argument("--shuffle-partitions", type=int, default=0,
                     help="spark.sql.shuffle.partitions (0 = cluster default)")
     args = ap.parse_args()
@@ -75,6 +78,7 @@ def main() -> None:
         langs=tuple(args.langs.split(",")),
         quality_min=args.quality_min,
         sample_fraction=args.sample_fraction,
+        boilerplate_min_df=args.boilerplate_min_df,
         threshold=args.threshold,
     )
     out = pipe.run(docs, id_col=args.id_col, text_col=args.text_col)
@@ -87,6 +91,9 @@ def main() -> None:
     line = f"curated: kept {kept} docs; drops by reason: " + ", ".join(
         f"{k}={v}" for k, v in sorted(reasons.items()) if k != "keep"
     )
+    if "clean_docs" in out:
+        n_rm = out["clean_docs"].agg(F.sum("n_removed")).collect()[0][0] or 0
+        line += f"; stripped {n_rm} boilerplate lines"
     if shard is not None:
         line += f"; shard {shard} docs"
     print(line + f"; stages at {args.workdir}")
