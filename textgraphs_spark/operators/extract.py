@@ -86,47 +86,52 @@ ALL_PARTS = ("mentions", "nodes", "edges", "phrases")
 
 
 def _process_doc(doc_id: int, text: str, parts: tuple = ALL_PARTS) -> dict:
-    """Run the full per-doc pipeline; imports stay function-local so the
+    """Run the per-doc pipeline; imports stay function-local so the
     module pickles cheaply to executors.
 
-    ``parts`` selects which output arrays are POPULATED — the parse and
-    ranking always run (they are cheap after the numpy stripe kernel),
-    but Arrow serialization of nested struct arrays dominates the stage
-    wall, so a query that reads only ``mentions`` should not pay to ship
-    ``nodes``/``edges``/``phrases``.
+    ``parts`` selects which output arrays are POPULATED — Arrow
+    serialization of nested struct arrays dominates the stage wall, so a
+    query that reads only ``mentions`` should not pay to ship
+    ``nodes``/``edges``/``phrases``. The per-doc RANKING (degree +
+    PageRank + restack) feeds only the ``weight``/``neighbors`` fields
+    of ``nodes`` and the ``phrases`` ordering, so it runs only when one
+    of those parts is requested — measured ~43 % of this kernel's time,
+    pure waste for the mentions/edges consumers.
     """
-    import numpy as np
-
     from ..doclevel.build import build_doc_graph
-    from ..doclevel.rank import pagerank, restack_ranks
 
     g = build_doc_graph(text)
     nodes = list(g.nodes.values())
-    n = len(nodes)
-    edge_list = [(e.src, e.dst, float(e.count)) for e in g.edges.values()]
 
-    # hood = distinct successors, matching nx.neighbors on a DiGraph
-    # (reference: doc.py:914-924)
-    succ: dict[int, set] = {}
-    for s, d, _ in edge_list:
-        succ.setdefault(s, set()).add(d)
-    for nd in nodes:
-        nd.neighbors = len(succ.get(nd.node_id, ()))
+    if "nodes" in parts or "phrases" in parts:
+        import numpy as np
 
-    ranks = pagerank(n, edge_list)
-    stacked = np.array(
-        [0 if (nd.pos == "VERB" or nd.kind == "iri") else nd.count for nd in nodes],
-        dtype=np.int64,
-    )
-    final = restack_ranks(
-        ranks,
-        stacked,
-        np.array([nd.neighbors for nd in nodes], dtype=np.int64),
-        np.array([int(nd.sub_obj) for nd in nodes], dtype=np.int64),
-        np.array([nd.kind == "ent" for nd in nodes]),
-    )
-    for nd, w in zip(nodes, final):
-        nd.weight = float(w)
+        from ..doclevel.rank import pagerank, restack_ranks
+
+        n = len(nodes)
+        edge_list = [(e.src, e.dst, float(e.count)) for e in g.edges.values()]
+        # hood = distinct successors, matching nx.neighbors on a DiGraph
+        # (reference: doc.py:914-924)
+        succ: dict[int, set] = {}
+        for s, d, _ in edge_list:
+            succ.setdefault(s, set()).add(d)
+        for nd in nodes:
+            nd.neighbors = len(succ.get(nd.node_id, ()))
+
+        ranks = pagerank(n, edge_list)
+        stacked = np.array(
+            [0 if (nd.pos == "VERB" or nd.kind == "iri") else nd.count for nd in nodes],
+            dtype=np.int64,
+        )
+        final = restack_ranks(
+            ranks,
+            stacked,
+            np.array([nd.neighbors for nd in nodes], dtype=np.int64),
+            np.array([int(nd.sub_obj) for nd in nodes], dtype=np.int64),
+            np.array([nd.kind == "ent" for nd in nodes]),
+        )
+        for nd, w in zip(nodes, final):
+            nd.weight = float(w)
 
     id2key = {nd.node_id: nd.key for nd in nodes}
 
