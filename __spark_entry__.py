@@ -292,6 +292,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rk", F.col("rk").cast("long")
         )
 
+    def per_source_cap_windowless(spark, sf_dir):
+        # EXACT cap without the hot-source window funnel: range-partition
+        # grouped rank (operators/rankops.py) — same values as the window
+        # form (shares its oracle), one task never holds a whole source
+        from textgraphs_spark.operators.rankops import grouped_rank
+        from textgraphs_spark.operators.webdata import _det_hash
+
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        ranked = grouped_rank(
+            d, "source", [_det_hash(F.col("doc_id")), F.col("doc_id")]
+        )
+        return ranked.filter(F.col("rk") <= 20).select("doc_id", "source", "rk")
+
     def per_source_cap_scalable(spark, sf_dir):
         # the no-window scale twin: hash-threshold cap, approximate
         return WD.per_source_cap_threshold(_docs(spark, sf_dir), 20)
@@ -474,6 +487,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             ev.withColumn("stripe", F.ntile(8).over(w))
             .groupBy("stripe")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("value"), 6).alias("min_v"),
+                F.round(F.max("value"), 6).alias("max_v"),
+            )
+            .orderBy("stripe")
+        )
+
+    def events_ntile_scalable(spark, sf_dir):
+        # EXACT ntile without the single-task global sort: range-
+        # partitioned rank + closed-form tile assignment
+        # (operators/rankops.py); shares the window form's oracle
+        from textgraphs_spark.operators.rankops import global_ntile
+
+        ev = _t(spark, sf_dir, "events")
+        tiled = global_ntile(ev, 8, [F.col("value").asc(), F.col("event_id").asc()])
+        return (
+            tiled.groupBy("stripe")
             .agg(
                 F.count("*").alias("n"),
                 F.round(F.min("value"), 6).alias("min_v"),
@@ -841,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (never driver-verified yet)
         "boilerplate_removal": boilerplate_removal,
         "stratified_sample": stratified_sample,
+        "events_ntile_scalable": events_ntile_scalable,
+        "per_source_cap_windowless": per_source_cap_windowless,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1272,6 +1305,18 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "corpus_sample": corpus_sample_sql,
         "boilerplate_removal": boilerplate_removal_sql,
         "stratified_sample": stratified_sample_sql,
+        # the scalable exact forms are VALUE-IDENTICAL to the window
+        # forms by construction — they share the same oracles
+        "events_ntile_scalable": """
+WITH w AS (
+  SELECT value, event_id, ntile(8) OVER (ORDER BY value ASC, event_id ASC) AS stripe
+  FROM events
+)
+SELECT stripe, count(*) AS n,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+FROM w GROUP BY stripe ORDER BY stripe
+""",
+        "per_source_cap_windowless": per_source_cap_sql,
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_lm_xent": doc_lm_xent_sql,

@@ -380,6 +380,26 @@ def test_stratified_sample_deterministic_and_defaulted(spark):
     assert "zh" in got_langs and None in got_langs
 
 
+def test_round4_operator_plan_shapes(spark):
+    """Physical-plan contracts for the round-4 operators:
+    stratified_sample is MAP-ONLY (no Exchange — the fraction table is
+    folded literals, never a join); remove_boilerplate_lines carries no
+    Window, no per-row Python, and no cartesian product."""
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "a\nb") for i in range(10)],
+        ["doc_id", "lang", "text"],
+    )
+    s_plan = W.stratified_sample(docs, {"en": 0.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in s_plan
+    assert "BatchEvalPython" not in s_plan and "ArrowEval" not in s_plan
+    b_plan = W.remove_boilerplate_lines(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in b_plan
+    assert "CartesianProduct" not in b_plan
+    assert "BatchEvalPython" not in b_plan and "ArrowEval" not in b_plan
+
+
 def test_per_source_cap_twins_agree_on_null_source(spark):
     """Dirty-data contract: both twins treat NULL sources as ONE group
     (the exact form via window partitioning, the threshold form via a
