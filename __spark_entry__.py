@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sample is identical across cluster sizes and re-runs
         return WD.deterministic_sample(_docs(spark, sf_dir), 0.2)
 
+    def cross_doc_repetition(spark, sf_dir):
+        # RefinedWeb-style cross-corpus duplication signal: fraction of
+        # a doc's trigram occurrences shared with >= 2 distinct docs
+        return WD.cross_doc_repetition(_docs(spark, sf_dir))
+
     def boilerplate_removal(spark, sf_dir):
         # the ACTION for the boilerplate family: strip every exact line
         # shared by >= min_df docs (C4-style), order-preserving, over the
@@ -874,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "events_ntile_scalable": events_ntile_scalable,
         "per_source_cap_windowless": per_source_cap_windowless,
+        "cross_doc_repetition": cross_doc_repetition,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1317,6 +1323,27 @@ SELECT stripe, count(*) AS n,
 FROM w GROUP BY stripe ORDER BY stripe
 """,
         "per_source_cap_windowless": per_source_cap_sql,
+        "cross_doc_repetition": f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
+              || ' ' || toks[CAST(t.i AS INT) + 2] AS gram
+  FROM d, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+),
+pdg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gdf AS (SELECT gram, count(*) AS df FROM pdg GROUP BY gram),
+s AS (
+  SELECT pdg.doc_id,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM pdg JOIN gdf USING (gram) GROUP BY pdg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_dup_grams, 0) AS n_dup_grams,
+       round(s.n_dup_grams * 1.0 / s.n_grams, 6) AS dup_frac
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+""",
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_lm_xent": doc_lm_xent_sql,

@@ -327,6 +327,36 @@ def test_per_source_cap_threshold_approximates(spark):
     assert "Window" not in plan                   # that's the point
 
 
+def test_cross_doc_repetition_planted(spark):
+    """Hand-computed cross-corpus duplication: shared trigram runs are
+    flagged, unique docs score 0, short/NULL docs emit no-signal rows."""
+    shared = "the quick brown fox"             # 2 trigrams, in docs 0+1
+    rows = [
+        (0, shared + " runs"),                 # 3 grams, 2 shared
+        (1, shared),                           # 2 grams, both shared
+        (2, "entirely different words here"),  # 2 grams, unique
+        (3, "too short"),                      # < 3 tokens
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in W.cross_doc_repetition(docs).collect()}
+    assert len(out) == 5
+    assert (out[0]["n_grams"], out[0]["n_dup_grams"]) == (3, 2)
+    assert abs(out[0]["dup_frac"] - round(2 / 3, 6)) < 1e-9
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"]) == (2, 2)
+    assert out[1]["dup_frac"] == 1.0
+    assert (out[2]["n_dup_grams"], out[2]["dup_frac"]) == (0, 0.0)
+    for d in (3, 4):
+        assert out[d]["n_grams"] == 0 and out[d]["dup_frac"] is None
+    # a doc REPEATING its own trigram does not self-duplicate (df is
+    # distinct-doc based), but each occurrence counts once flagged
+    solo = spark.createDataFrame(
+        [(0, "a b c x a b c"), (1, "a b c y")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in W.cross_doc_repetition(solo).collect()}
+    assert got[0]["n_dup_grams"] == 2              # both 'a b c' occurrences
+
+
 def test_remove_boilerplate_lines_planted(spark):
     """Known corpus: the >= min_df threshold is exact, order is
     preserved, empty lines and NULL text survive untouched."""
@@ -622,15 +652,28 @@ def test_text_signals_fuzz_parity(spark):
 
     checks = [
         (W.repetition_signals(docs), "doc_repetition_signals"),
+        (W.cross_doc_repetition(docs), "cross_doc_repetition"),
         (lang_id(docs), "lang_id"),
         (quality_score(docs), "quality_score"),
     ]
+    import math
+
+    def _norm(t):
+        # pandas promotes NULL-carrying integer oracle columns to float
+        # (0 -> 0.0, NULL -> nan); canonicalize both engines' rows
+        return tuple(
+            None if v is None or (isinstance(v, float) and math.isnan(v))
+            else round(float(v), 9) if isinstance(v, (int, float))
+            else v
+            for v in t
+        )
+
     for sdf, oname in checks:
         cols = sdf.columns
-        got = {r["doc_id"]: tuple(r[c] for c in cols if c != "doc_id")
+        got = {r["doc_id"]: _norm(tuple(r[c] for c in cols if c != "doc_id"))
                for r in sdf.collect()}
         odf = con.execute(oracles[oname]).df()
-        want = {int(r["doc_id"]): tuple(r[c] for c in cols if c != "doc_id")
+        want = {int(r["doc_id"]): _norm(tuple(r[c] for c in cols if c != "doc_id"))
                 for _, r in odf.iterrows()}
         assert len(got) == len(rows)
         for d in got:

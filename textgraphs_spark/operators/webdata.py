@@ -186,6 +186,60 @@ def boilerplate_ngrams(
     )
 
 
+def cross_doc_repetition(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document CROSS-corpus duplication signal (the
+    RefinedWeb/Gopher "duplicated n-gram fraction" family):
+    (id, n_grams, n_dup_grams, dup_frac) where ``dup_frac`` is the
+    fraction of the document's n-gram OCCURRENCES whose gram appears in
+    at least ``min_df`` distinct documents. ``repetition_signals``
+    scores repetition WITHIN a doc; this scores how much of a doc is
+    text the rest of the corpus also carries (mirrors, templated spam,
+    syndicated articles score high) — the standard companion filter.
+
+    Plan: one explode into a (doc, gram) count (the word-count shape,
+    partial-agg'd), gram df derived from it by construction, and one
+    vocabulary-keyed join of per-doc gram rows onto the df table —
+    never a self-join of documents. Docs with < n tokens emit the
+    no-signal row (0 grams, NULL dup_frac), same discipline as
+    repetition_signals.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    per_doc = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(_gram_col(n)).alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count("*").alias("_c"))
+    )
+    gram_df = per_doc.groupBy("_gram").agg(F.count("*").alias("_df"))
+    scored = (
+        per_doc.join(gram_df, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= min_df, F.col("_c")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.col("dup_frac"),
+    )
+
+
 def contaminated_docs(
     docs: DataFrame,
     eval_docs: DataFrame,
