@@ -848,6 +848,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature"),
         ).orderBy("media_id")
 
+    # ---- ER evaluation & post-clustering family (plans/er_eval) --------
+    # the BASELINE.json metric itself as distributed queries, over the
+    # RNG-free labeled name-variant corpus (eval_entities: full /
+    # initialed / typo-or-reversed forms per truth entity, plus
+    # typo-doppelganger twins that force deterministic FP pressure)
+
+    def _eval_parts(spark):
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+        ents = eval_entities(spark)
+        parts = ERPipeline(spark).run_lean(
+            None,
+            entities=ents.select(
+                "entity_key", "surface", "label", "mention_count", "doc_freq"
+            ),
+            return_parts=True,
+        )
+        return ents, parts
+
+    def er_eval_blocked(spark, sf_dir):
+        # blocking quality (pair completeness, reduction ratio) +
+        # pairwise P/R/F1 on labeled pairs sharing a blocking key — the
+        # north-rule metric measured on the pipeline's OWN candidate set
+        from textgraphs_spark.plans.er_eval import blocked_pair_metrics, eval_entities
+
+        return blocked_pair_metrics(eval_entities(spark))
+
+    def er_eval_clusters(spark, sf_dir):
+        # end-to-end clustering P/R/F1 via contingency counting — no
+        # pair is materialized, so the evaluation itself runs at
+        # 10^12-entity scale (three vocabulary-sized aggregates)
+        from textgraphs_spark.plans.er_eval import clustering_metrics
+
+        ents, parts = _eval_parts(spark)
+        return clustering_metrics(
+            parts["assignments"], ents.select("entity_key", "truth_id")
+        )
+
+    def er_golden_records(spark, sf_dir):
+        # survivorship: one canonical master record per cluster
+        # (max mention_count, min-key tiebreak) + sorted alternates
+        from textgraphs_spark.plans.er_eval import golden_records
+
+        _, parts = _eval_parts(spark)
+        return golden_records(parts["assignments"])
+
+    def er_cluster_cohesion(spark, sf_dir):
+        # transitive-closure audit: match-edge density + min edge score
+        # per non-singleton cluster; chained over-merges flag is_weak
+        from textgraphs_spark.plans.er_eval import cluster_cohesion
+
+        _, parts = _eval_parts(spark)
+        return cluster_cohesion(parts["assignments"], parts["match_scores"])
+
     # ORDERING CONTRACT: the driver's correctness harness samples a
     # prefix of this dict (round 3 recorded exactly the first 50 keys),
     # so operator-critical queries that have never (or least recently)
@@ -880,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ntile_scalable": events_ntile_scalable,
         "per_source_cap_windowless": per_source_cap_windowless,
         "cross_doc_repetition": cross_doc_repetition,
+        "er_eval_blocked": er_eval_blocked,
+        "er_eval_clusters": er_eval_clusters,
+        "er_golden_records": er_golden_records,
+        "er_cluster_cohesion": er_cluster_cohesion,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1280,6 +1339,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.salt_oracle import (
         salted_blocking_pairs_sql,
     )
+    from textgraphs_spark.plans.er_eval import (
+        er_cluster_cohesion_sql, er_eval_blocked_sql, er_eval_clusters_sql,
+        er_golden_records_sql,
+    )
 
     return {
         # the flagship, value-verified end to end: tokenize → tag →
@@ -1303,6 +1366,13 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "kg_sameas_edges": sameas_edges_sql(),
         "relation_inf_edges": relation_edges_sql(),
         "ranked_phrases_pages": ranked_phrases_pages_sql(),
+        # ER evaluation family: regenerated labeled corpus → the SAME
+        # factored blocking/scoring/closure CTEs the flagship oracle
+        # uses → metric aggregations (plans/er_eval.py)
+        "er_eval_blocked": er_eval_blocked_sql(),
+        "er_eval_clusters": er_eval_clusters_sql(),
+        "er_golden_records": er_golden_records_sql(),
+        "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
         "corpus_curation": corpus_curation_sql,

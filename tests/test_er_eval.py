@@ -1,0 +1,183 @@
+"""ER evaluation & post-clustering operators (plans/er_eval): hand-computed
+metric fixtures, survivorship tie-breaks, cohesion flags, and determinism
+of the RNG-free labeled corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.plans import er_eval as E
+from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+
+@pytest.fixture(scope="module")
+def eval_run(spark):
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    parts = ERPipeline(spark).run_lean(
+        None,
+        entities=ents.select(
+            "entity_key", "surface", "label", "mention_count", "doc_freq"
+        ),
+        return_parts=True,
+    )
+    return ents, parts
+
+
+def test_clustering_metrics_hand_computed(spark):
+    """clusters {a,b,c},{d},{e} vs truth {a,b},{c,d},{e}:
+    cells (C1,T1)=2,(C1,T2)=1,(C2,T2)=1,(C3,T3)=1 → TP=1, pred=C(3,2)=3,
+    true=1+1=2 → FP=2, FN=1, P=1/3, R=1/2, F1=2*1/(3+2)=0.4."""
+    assign = spark.createDataFrame(
+        [("a", "C1"), ("b", "C1"), ("c", "C1"), ("d", "C2"), ("e", "C3")],
+        ["entity_key", "cluster_id"],
+    )
+    truth = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)],
+        ["entity_key", "truth_id"],
+    )
+    row = E.clustering_metrics(assign, truth).collect()[0]
+    assert (row["n_items"], row["n_clusters"], row["n_truths"]) == (5, 3, 3)
+    assert (row["tp_pairs"], row["fp_pairs"], row["fn_pairs"]) == (1, 2, 1)
+    assert row["pair_precision"] == pytest.approx(1 / 3, abs=1e-6)
+    assert row["pair_recall"] == 0.5
+    assert row["pair_f1"] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_blocked_metrics_reconcile_with_pair_level_rederivation(spark):
+    """The one-row aggregate must equal a brute-force pair-level
+    recomputation from the same blocking + scoring outputs."""
+    from textgraphs_spark.operators import scoring as S
+    from textgraphs_spark.plans.er_pipeline import blocking_pairs
+
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    row = E.blocked_pair_metrics(ents).collect()[0]
+
+    pairs = blocking_pairs(ents.select("entity_key", "surface"))
+    scored = S.score_pairs(pairs, lean=True).toPandas()
+    truth = {r["entity_key"]: r["truth_id"] for r in ents.collect()}
+    same = scored.apply(
+        lambda r: truth[r["left_id"]] == truth[r["right_id"]], axis=1
+    )
+    n = len(truth)
+    import collections
+
+    sizes = collections.Counter(truth.values())
+    true_pairs = sum(s * (s - 1) // 2 for s in sizes.values())
+    tp = int((same & scored["match"]).sum())
+    fp = int((~same & scored["match"]).sum())
+    assert row["n_entities"] == n
+    assert row["n_candidates"] == len(scored)
+    assert row["n_true_pairs"] == true_pairs
+    assert row["covered_true_pairs"] == int(same.sum())
+    assert (row["tp_pairs"], row["fp_pairs"]) == (tp, fp)
+    assert row["fn_pairs"] == true_pairs - tp
+    assert row["pair_f1"] == pytest.approx(
+        2 * tp / (2 * tp + fp + (true_pairs - tp)), abs=1e-6
+    )
+    # the labeled corpus is adversarial by design: twins force FPs,
+    # reversed forms force FNs — the metrics must be non-degenerate
+    assert tp > 0 and fp > 0 and row["fn_pairs"] > 0
+
+
+def test_golden_records_canonical_and_tiebreak(spark):
+    """Canonical member = max mention_count; ties break to the MIN
+    entity_key; alternates are the remaining distinct surfaces sorted."""
+    assign = spark.createDataFrame(
+        [
+            ("k2", "C1", "Beta", 5, 2),
+            ("k1", "C1", "Alpha", 5, 1),   # tie on count → k1 wins (min key)
+            ("k3", "C1", "Gamma", 1, 1),
+            ("k9", "C2", "Solo", 7, 3),
+        ],
+        ["entity_key", "cluster_id", "surface", "mention_count", "doc_freq"],
+    )
+    rows = {r["cluster_id"]: r for r in E.golden_records(assign).collect()}
+    c1 = rows["C1"]
+    assert c1["canonical_key"] == "k1"
+    assert c1["canonical_surface"] == "Alpha"
+    assert c1["n_forms"] == 3
+    assert c1["n_mentions"] == 11
+    assert c1["total_doc_freq"] == 4
+    assert c1["alt_surfaces"] == "Beta|Gamma"
+    c2 = rows["C2"]
+    assert c2["canonical_key"] == "k9" and c2["alt_surfaces"] == ""
+
+
+def test_cluster_cohesion_hand_computed(spark):
+    """Chain of 5 with 4 edges → density 0.4 (weak); triangle-with-tail
+    of 3 with 3 edges → density 1.0; singletons excluded."""
+    assign = spark.createDataFrame(
+        [(k, "A") for k in "abcde"]
+        + [(k, "B") for k in "xyz"]
+        + [("solo", "S")],
+        ["entity_key", "cluster_id"],
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.93), ("c", "d", 0.91), ("d", "e", 0.92),
+         ("x", "y", 0.99), ("y", "z", 0.98), ("x", "z", 0.97)],
+        ["left_id", "right_id", "score"],
+    )
+    rows = {r["cluster_id"]: r for r in E.cluster_cohesion(assign, edges).collect()}
+    assert set(rows) == {"A", "B"}  # singleton S excluded
+    a = rows["A"]
+    assert (a["n_members"], a["n_edges"]) == (5, 4)
+    assert a["density"] == pytest.approx(0.4, abs=1e-6)
+    assert a["min_match_score"] == pytest.approx(0.91, abs=1e-6)
+    assert a["is_weak"]
+    b = rows["B"]
+    assert b["density"] == 1.0 and not b["is_weak"]
+    assert b["min_match_score"] == pytest.approx(0.97, abs=1e-6)
+
+
+def test_eval_entities_deterministic_and_matches_helper(spark):
+    """The Spark generator is a pure function of the row index: stable
+    under repartitioning and byte-identical to the Python name lists."""
+    a = E.eval_entities(spark, n_base=20, n_twin=5)
+    b = E.eval_entities(spark, n_base=20, n_twin=5).repartition(7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    full, initial, varform = E._eval_name_lists(20, 5)
+    got = {r["entity_key"]: r["surface"] for r in a.collect()}
+    n_true = 25
+    for i in [0, 7, 24, 25, 49, 50, 74]:
+        t, v = i % n_true, i // n_true
+        expect = [full, initial, varform][v][t]
+        assert got[f"e{i:05d}"] == expect, (i, t, v)
+
+
+def test_closure_amplifies_blocked_fp(eval_run):
+    """Transitive closure can only ADD false-positive pairs relative to
+    the per-pair scorer verdicts — the over-merge effect the cohesion
+    operator audits. (Recall is unchanged or better: every scored match
+    survives into the closure.)"""
+    ents, parts = eval_run
+    blocked = E.blocked_pair_metrics(ents).collect()[0]
+    clustered = E.clustering_metrics(
+        parts["assignments"], ents.select("entity_key", "truth_id")
+    ).collect()[0]
+    assert clustered["fp_pairs"] >= blocked["fp_pairs"]
+    assert clustered["tp_pairs"] >= blocked["tp_pairs"]
+
+
+def test_run_lean_return_parts_consistent(eval_run, spark):
+    """return_parts exposes the SAME assignments the plain path returns,
+    and every exposed match edge scores >= the decision threshold."""
+    ents, parts = eval_run
+    plain = ERPipeline(spark).run_lean(
+        None,
+        entities=ents.select(
+            "entity_key", "surface", "label", "mention_count", "doc_freq"
+        ),
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, parts["assignments"].collect())
+    )
+    from textgraphs_spark.operators.scoring import MIN_SIMILARITY
+
+    bad = parts["match_scores"].filter(F.col("score") < MIN_SIMILARITY).count()
+    assert bad == 0
+
+    # weak clusters exist in the adversarial corpus and every weak flag
+    # reflects its density
+    coh = E.cluster_cohesion(parts["assignments"], parts["match_scores"]).toPandas()
+    assert len(coh) > 0
+    assert ((coh["density"] < 0.5) == coh["is_weak"]).all()

@@ -1,0 +1,528 @@
+"""ER evaluation & post-clustering operators: the measurement half of the
+record-linkage job.
+
+The north rule's acceptance metric — "pairwise F1 >= 0.99 vs reference
+entity clusters on labeled pairs at shared blocking keys" — lived only in
+a pytest until now. This module makes evaluation a first-class distributed
+surface (reference parity: textgraphs has no eval operators; these cover
+the BASELINE.json metric itself plus the two classic post-clustering
+steps every production ER system ships — survivorship and cluster audit):
+
+* ``blocked_pair_metrics`` — blocking quality (pair completeness,
+  reduction ratio) + pairwise precision/recall/F1 on labeled pairs that
+  share a blocking key. The labeled pairs ARE the candidate set the
+  pipeline scores, so the metric measures exactly what production sees.
+* ``clustering_metrics`` — global pairwise P/R/F1 from the cluster x
+  truth CONTINGENCY table: TP = sum C(n_ij, 2) over cells, predicted
+  pairs = sum C(cluster size, 2), true pairs = sum C(truth size, 2).
+  No pair is ever materialized — three vocabulary-sized aggregates —
+  so the evaluation itself scales to 10^12-entity runs where even the
+  within-cluster pair set is too large to enumerate.
+* ``golden_records`` — survivorship: one canonical record per cluster
+  (max mention_count, ties broken by min entity_key) plus the surviving
+  alternates, the "merge" step that turns clusters into master records.
+* ``cluster_cohesion`` — per-cluster match-edge density + minimum edge
+  score: transitive closure can chain A~B~C into one cluster even when
+  A-C never matched; low density / low min-score clusters are the
+  over-merge candidates a steward reviews first.
+
+Every operator has a DuckDB oracle; the labeled-evaluation queries run
+over ``eval_entities`` — an RNG-free name-variant table (full form,
+initialed form, typo/reversed form per truth entity, plus typo-doppelganger
+"twin" entities that FORCE false positives) regenerated bit-identically
+by ``eval_entities_cte``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# RNG-free labeled entity corpus
+# ---------------------------------------------------------------------------
+
+def _eval_name_lists(n_base: int, n_twin: int) -> tuple[list, list, list]:
+    """Per-truth surface lists (full, initialed, variant), all derived
+    from the arithmetic name vocabularies by pure indexing — the single
+    source of truth shared by the Spark generator and the SQL twin.
+
+    Truth entity t < n_base: first = FIRST_NAMES[t % 26],
+    last = LAST_NAMES[(t // 26) % 29]. Truth t >= n_base is the TWIN of
+    base entity b = t - n_base: same last name, typo-transposed first
+    name — a distinct real-world person whose name is one transposition
+    away (and whose initialed form is byte-identical to the base's),
+    guaranteeing deterministic false-positive pressure on the scorer.
+
+    Variant forms per truth: v0 full "First Last"; v1 initialed
+    "F Last"; v2 reversed "Last First" when t % 4 == 0 (a hard negative
+    the blocker usually cannot recover — deterministic false negatives)
+    else typo-transposed first "Frist Last".
+    """
+    from ..sources.pages import FIRST_NAMES, LAST_NAMES, typo_surface
+
+    first, last = [], []
+    for t in range(n_base + n_twin):
+        b = t if t < n_base else t - n_base
+        f = FIRST_NAMES[b % len(FIRST_NAMES)]
+        if t >= n_base:
+            f = typo_surface(f)
+        first.append(f)
+        last.append(LAST_NAMES[(b // len(FIRST_NAMES)) % len(LAST_NAMES)])
+    full = [f + " " + l for f, l in zip(first, last)]
+    initial = [f[:1] + " " + l for f, l in zip(first, last)]
+    varform = [
+        (l + " " + f) if t % 4 == 0 else (typo_surface(f) + " " + l)
+        for t, (f, l) in enumerate(zip(first, last))
+    ]
+    return full, initial, varform
+
+
+def eval_entities(spark: SparkSession, *, n_base: int = 150, n_twin: int = 30) -> DataFrame:
+    """Labeled entity table (entity_key, surface, label, mention_count,
+    doc_freq, truth_id) — 3 variant rows per truth entity, RNG-free.
+    ``eval_entities_cte`` regenerates it bit-identically in DuckDB."""
+    full, initial, varform = _eval_name_lists(n_base, n_twin)
+    n_true = n_base + n_twin
+
+    def pick(lst, expr):
+        return F.element_at(F.array(*[F.lit(x) for x in lst]), (expr + 1).cast("int"))
+
+    i = F.col("id")
+    t = i % n_true
+    v = F.expr(f"id DIV {n_true}")
+    surface = (
+        F.when(v == 0, pick(full, t))
+        .when(v == 1, pick(initial, t))
+        .otherwise(pick(varform, t))
+    )
+    return spark.range(0, 3 * n_true).select(
+        F.format_string("e%05d", i).alias("entity_key"),
+        surface.alias("surface"),
+        F.lit("").alias("label"),
+        (i % 7 + 1).cast("long").alias("mention_count"),
+        (i % 3 + 1).cast("long").alias("doc_freq"),
+        t.cast("long").alias("truth_id"),
+    )
+
+
+def eval_entities_cte(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """DuckDB CTE ``entities`` regenerating ``eval_entities`` — the
+    variant surface lists are computed ONCE in Python (same helper as
+    the Spark generator) and inlined, so the two engines cannot drift."""
+    from .pages_oracle import _sql_list
+
+    full, initial, varform = _eval_name_lists(n_base, n_twin)
+    n_true = n_base + n_twin
+
+    def pick(lst):
+        return f"{_sql_list(lst)}[CAST(r.i % {n_true} + 1 AS INT)]"
+
+    return f"""entities AS MATERIALIZED (
+  SELECT printf('e%05d', r.i) AS entity_key,
+         CASE CAST(r.i // {n_true} AS INT)
+           WHEN 0 THEN {pick(full)}
+           WHEN 1 THEN {pick(initial)}
+           ELSE {pick(varform)} END AS surface,
+         CAST(r.i % 7 + 1 AS BIGINT) AS mention_count,
+         CAST(r.i % 3 + 1 AS BIGINT) AS doc_freq,
+         CAST(r.i % {n_true} AS BIGINT) AS truth_id
+  FROM range(0, {3 * n_true}) r(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# metric operators
+# ---------------------------------------------------------------------------
+
+def blocked_pair_metrics(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    max_block_size: int = 200,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Blocking quality + pairwise P/R/F1 on labeled pairs sharing a
+    blocking key — the BASELINE.json metric as ONE distributed query.
+
+    Input: (entity_key, surface, {truth_col}). The candidate set comes
+    from the pipeline's own ``blocking_pairs`` (name-key + MinHash
+    channels, salted), so the measured numbers describe the production
+    blocking, not a reimplementation. Output is a single row:
+
+      n_entities, n_candidates, n_true_pairs, covered_true_pairs,
+      tp_pairs / fp_pairs / fn_pairs  (predicted = score >= threshold),
+      pair_completeness  = covered_true_pairs / n_true_pairs,
+      reduction_ratio    = 1 - n_candidates / C(n_entities, 2),
+      pair_precision / pair_recall / pair_f1.
+
+    fn_pairs counts ALL missed true pairs (including those blocking
+    never proposed) — recall is end-to-end, not scorer-conditional.
+
+    100 TB shape: candidate generation is the pipeline's own bounded
+    blocking; everything after is two aggregations (one over candidates,
+    one vocabulary-sized over truth groups) cross-joined at one row each.
+    """
+    from ..operators import scoring as S
+    from .er_pipeline import blocking_pairs
+
+    thr = S.MIN_SIMILARITY if threshold is None else threshold
+    pairs = blocking_pairs(
+        entities.select("entity_key", "surface"), max_block_size=max_block_size
+    )
+    scored = S.score_pairs(pairs, lean=True, threshold=thr)
+    truth = entities.select("entity_key", truth_col)
+    lab = (
+        scored.select("left_id", "right_id", "match")
+        .join(
+            truth.select(
+                F.col("entity_key").alias("left_id"), F.col(truth_col).alias("lt")
+            ),
+            "left_id",
+        )
+        .join(
+            truth.select(
+                F.col("entity_key").alias("right_id"), F.col(truth_col).alias("rt")
+            ),
+            "right_id",
+        )
+    )
+    same = F.col("lt") == F.col("rt")
+    cand = lab.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(same.cast("long")).alias("covered_true_pairs"),
+        F.sum((same & F.col("match")).cast("long")).alias("tp_pairs"),
+        F.sum((~same & F.col("match")).cast("long")).alias("fp_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("n_entities"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"),
+        )
+    )
+    row = cand.crossJoin(tot)
+    tp, fp = F.col("tp_pairs"), F.col("fp_pairs")
+    fn = F.col("n_true_pairs") - tp
+    n = F.col("n_entities")
+    return row.select(
+        "n_entities",
+        "n_candidates",
+        "n_true_pairs",
+        "covered_true_pairs",
+        "tp_pairs",
+        "fp_pairs",
+        fn.alias("fn_pairs"),
+        F.round(F.col("covered_true_pairs") / F.col("n_true_pairs"), 6).alias(
+            "pair_completeness"
+        ),
+        F.round(F.lit(1.0) - F.col("n_candidates") / (n * (n - 1) / F.lit(2.0)), 6).alias(
+            "reduction_ratio"
+        ),
+        F.round(tp / (tp + fp), 6).alias("pair_precision"),
+        F.round(tp / F.col("n_true_pairs"), 6).alias("pair_recall"),
+        F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6).alias("pair_f1"),
+    )
+
+
+def clustering_metrics(assignments: DataFrame, truth: DataFrame) -> DataFrame:
+    """Global pairwise P/R/F1 of a clustering vs ground truth WITHOUT
+    materializing any pair: from the (cluster_id, truth_id) contingency
+    table, TP = sum C(n_ij, 2); predicted pairs = sum C(cluster size, 2);
+    true pairs = sum C(truth size, 2); FP/FN/P/R/F1 follow arithmetically
+    (F1 = 2*TP / (predicted + true)).
+
+    Input: assignments(entity_key, cluster_id), truth(entity_key,
+    truth_id). Output: one row (n_items, n_clusters, n_truths, tp_pairs,
+    fp_pairs, fn_pairs, pair_precision, pair_recall, pair_f1).
+
+    100 TB shape: one equi-join on entity_key, one contingency hash agg
+    (at most min(clusters, truths)-sized), two roll-ups of it — the
+    evaluation never touches pair space, so it costs less than a single
+    corpus scan even at 10^12 entities.
+    """
+    j = assignments.select("entity_key", "cluster_id").join(truth, "entity_key")
+    cells = j.groupBy("cluster_id", "truth_id").agg(F.count("*").alias("n"))
+    c2 = "DIV 2"
+    head = cells.agg(
+        F.sum("n").alias("n_items"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.countDistinct("truth_id").alias("n_truths"),
+        F.sum(F.expr(f"n * (n - 1) {c2}")).alias("tp_pairs"),
+    )
+    pred = (
+        cells.groupBy("cluster_id")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.expr(f"s * (s - 1) {c2}")).alias("pred_pairs"))
+    )
+    true = (
+        cells.groupBy("truth_id")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.expr(f"s * (s - 1) {c2}")).alias("true_pairs"))
+    )
+    row = head.crossJoin(pred).crossJoin(true)
+    tp = F.col("tp_pairs")
+    return row.select(
+        "n_items",
+        "n_clusters",
+        "n_truths",
+        "tp_pairs",
+        (F.col("pred_pairs") - tp).alias("fp_pairs"),
+        (F.col("true_pairs") - tp).alias("fn_pairs"),
+        F.round(tp / F.col("pred_pairs"), 6).alias("pair_precision"),
+        F.round(tp / F.col("true_pairs"), 6).alias("pair_recall"),
+        F.round(F.lit(2.0) * tp / (F.col("pred_pairs") + F.col("true_pairs")), 6).alias(
+            "pair_f1"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# post-clustering operators
+# ---------------------------------------------------------------------------
+
+def golden_records(assignments: DataFrame) -> DataFrame:
+    """Survivorship: one canonical master record per cluster.
+
+    Canonical member = highest mention_count, ties broken by min
+    entity_key (both deterministic and oracle-reproducible — never
+    "first seen", which depends on shuffle order). Alternates are the
+    remaining distinct surfaces, sorted.
+
+    Input: assignments(entity_key, cluster_id, surface, mention_count,
+    doc_freq). Output per cluster: canonical_key, canonical_surface,
+    n_forms, n_mentions, total_doc_freq, alt_surfaces.
+
+    100 TB shape: one window partitioned by cluster_id (clusters are
+    match-graph components — bounded by blocking's max_block_size fan-in,
+    never corpus-scale) followed by one hash aggregation on the same key,
+    so the shuffle partitioning is reused across both.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("mention_count").desc(), F.col("entity_key").asc()
+    )
+    r = assignments.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_forms"),
+            F.sum("mention_count").alias("n_mentions"),
+            F.sum("doc_freq").alias("total_doc_freq"),
+            F.max(F.when(F.col("rn") == 1, F.col("entity_key"))).alias("canonical_key"),
+            F.max(F.when(F.col("rn") == 1, F.col("surface"))).alias("canonical_surface"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.when(F.col("rn") != 1, F.col("surface")))),
+                "|",
+            ).alias("alt_surfaces"),
+        )
+        .orderBy(F.desc("n_mentions"), "cluster_id")
+    )
+
+
+def cluster_cohesion(
+    assignments: DataFrame,
+    match_scores: DataFrame,
+    *,
+    weak_density: float = 0.5,
+) -> DataFrame:
+    """Per-cluster audit of the transitive closure: match-edge density
+    and minimum edge score for every non-singleton cluster.
+
+    Transitive clustering chains A~B~C into one cluster even when A-C
+    never matched; a cluster whose density (match edges / C(n, 2)) is
+    low is held together by chains and is the first over-merge suspect.
+    ``is_weak`` flags density < ``weak_density``.
+
+    Joining each edge to its LEFT endpoint's cluster suffices — the
+    closure guarantees both endpoints share one. min(score) is
+    order-independent (an avg over doubles would depend on reduction
+    order and could not hash-match an oracle).
+
+    Input: assignments(entity_key, cluster_id), match_scores(left_id,
+    right_id, score) — e.g. run_lean(..., return_parts=True).
+    Output: (cluster_id, n_members, n_edges, density, min_match_score,
+    is_weak), n_members >= 2 only.
+    """
+    a = assignments.select(
+        F.col("entity_key").alias("left_id"), F.col("cluster_id").alias("cl")
+    )
+    per = (
+        match_scores.join(a, "left_id")
+        .groupBy(F.col("cl").alias("cluster_id"))
+        .agg(F.count("*").alias("n_edges"), F.min("score").alias("mn"))
+    )
+    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    density = F.col("n_edges") / (
+        F.col("n_members") * (F.col("n_members") - 1) / F.lit(2.0)
+    )
+    return (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(per, "cluster_id", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            F.round(density, 6).alias("density"),
+            F.round("mn", 6).alias("min_match_score"),
+            (density < F.lit(weak_density)).alias("is_weak"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def er_eval_blocked_sql(*, n_base: int = 150, n_twin: int = 30,
+                        min_similarity: float = 0.9) -> str:
+    """Oracle for blocked_pair_metrics over eval_entities: regenerated
+    corpus → the shared blocking + pair-score CTEs → the same two
+    aggregations."""
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+lab AS (
+  SELECT p.score >= {min_similarity} AS match,
+         lt.truth_id AS lt, rt.truth_id AS rt
+  FROM pair_scores p
+  JOIN entities lt ON lt.entity_key = p.left_id
+  JOIN entities rt ON rt.entity_key = p.right_id
+),
+cand AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt = rt THEN 1 ELSE 0 END) AS BIGINT) AS covered_true_pairs,
+         CAST(sum(CASE WHEN lt = rt AND match THEN 1 ELSE 0 END) AS BIGINT) AS tp_pairs,
+         CAST(sum(CASE WHEN lt <> rt AND match THEN 1 ELSE 0 END) AS BIGINT) AS fp_pairs
+  FROM lab
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_entities,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT n_entities, n_candidates, n_true_pairs, covered_true_pairs,
+       tp_pairs, fp_pairs,
+       n_true_pairs - tp_pairs AS fn_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness,
+       round(1.0 - n_candidates / (n_entities * (n_entities - 1) / 2.0), 6) AS reduction_ratio,
+       round(tp_pairs / (tp_pairs + fp_pairs), 6) AS pair_precision,
+       round(tp_pairs / n_true_pairs, 6) AS pair_recall,
+       round(2.0 * tp_pairs / (2.0 * tp_pairs + fp_pairs + (n_true_pairs - tp_pairs)), 6) AS pair_f1
+FROM cand, tot
+"""
+
+
+def er_eval_clusters_sql(*, n_base: int = 150, n_twin: int = 30,
+                         min_similarity: float = 0.9) -> str:
+    """Oracle for the full clustering evaluation over eval_entities:
+    regenerated corpus → the shared clustering CTEs (blocking → scoring
+    → recursive closure) → contingency metrics."""
+    from .er_oracle import clustering_ctes
+
+    return f"""WITH RECURSIVE
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{clustering_ctes('entities', min_similarity=min_similarity)},
+cells AS (
+  SELECT a.cluster_id, e.truth_id, count(*) AS n
+  FROM assignments a JOIN entities e ON e.entity_key = a.entity_key
+  GROUP BY 1, 2
+),
+head AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT truth_id) AS BIGINT) AS n_truths,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs
+  FROM cells
+),
+pred AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT sum(n) AS s FROM cells GROUP BY cluster_id)
+),
+tru AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS true_pairs
+  FROM (SELECT sum(n) AS s FROM cells GROUP BY truth_id)
+)
+SELECT n_items, n_clusters, n_truths, tp_pairs,
+       pred_pairs - tp_pairs AS fp_pairs,
+       true_pairs - tp_pairs AS fn_pairs,
+       round(tp_pairs / pred_pairs, 6) AS pair_precision,
+       round(tp_pairs / true_pairs, 6) AS pair_recall,
+       round(2.0 * tp_pairs / (pred_pairs + true_pairs), 6) AS pair_f1
+FROM head, pred, tru
+"""
+
+
+def _eval_clustering_preamble(n_base: int, n_twin: int, min_similarity: float) -> str:
+    """Regenerated eval corpus + the shared clustering chain — the WITH
+    RECURSIVE body both post-clustering oracles build on. The organic
+    documents corpus never produces multi-member clusters (every noun
+    lemma is its own entity), so the post-clustering oracles run over
+    the labeled variant corpus where survivorship and cohesion are
+    non-trivial."""
+    from .er_oracle import clustering_ctes
+
+    return f"""{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{clustering_ctes('entities', min_similarity=min_similarity)}"""
+
+
+def er_golden_records_sql(*, n_base: int = 150, n_twin: int = 30,
+                          min_similarity: float = 0.9) -> str:
+    """Oracle for golden_records over the eval-corpus clustering."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+ranked AS (
+  SELECT assignments.*,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY mention_count DESC, entity_key) AS rn
+  FROM assignments
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_forms,
+       CAST(sum(mention_count) AS BIGINT) AS n_mentions,
+       CAST(sum(doc_freq) AS BIGINT) AS total_doc_freq,
+       max(CASE WHEN rn = 1 THEN entity_key END) AS canonical_key,
+       max(CASE WHEN rn = 1 THEN surface END) AS canonical_surface,
+       coalesce(array_to_string(
+         list_sort(list(DISTINCT surface) FILTER (WHERE rn <> 1)), '|'), '') AS alt_surfaces
+FROM ranked
+GROUP BY cluster_id
+ORDER BY n_mentions DESC, cluster_id
+"""
+
+
+def er_cluster_cohesion_sql(*, n_base: int = 150, n_twin: int = 30,
+                            min_similarity: float = 0.9,
+                            weak_density: float = 0.5) -> str:
+    """Oracle for cluster_cohesion over the eval-corpus clustering —
+    pair_scores comes factored out of the same clustering chain, so
+    edge scores and clusters derive from one blocking pass."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+mscore AS (
+  SELECT left_id, right_id, score FROM pair_scores WHERE score >= {min_similarity}
+),
+per AS (
+  SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_edges, min(m.score) AS mn
+  FROM mscore m JOIN assignments a ON a.entity_key = m.left_id
+  GROUP BY a.cluster_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM assignments GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+       coalesce(p.n_edges, 0) AS n_edges,
+       round(coalesce(p.n_edges, 0) / (s.n_members * (s.n_members - 1) / 2.0), 6) AS density,
+       round(p.mn, 6) AS min_match_score,
+       (coalesce(p.n_edges, 0) / (s.n_members * (s.n_members - 1) / 2.0)) < {weak_density} AS is_weak
+FROM sizes s LEFT JOIN per p USING (cluster_id)
+WHERE s.n_members >= 2
+ORDER BY s.cluster_id
+"""

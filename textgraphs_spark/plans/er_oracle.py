@@ -672,15 +672,32 @@ FROM phrases WHERE rank_pos < {top}
 """
 
 
-def assignment_ctes(table: str = "documents", *, min_similarity: float = 0.9) -> str:
-    """CTE chain through ``assignments(entity_key, cluster_id, surface,
-    mention_count)`` — shared by the cluster-summary and ranked-members
-    oracles. Must be placed under WITH RECURSIVE (the reach CTE)."""
-    return f"""{entities_ctes(table)},
-keyed AS MATERIALIZED (
+def _score_case_expr() -> str:
+    """The pairwise name-decision score over nm's (fa, la, fb, lb) — the
+    SQL twin of the Spark scoring kernel (scoring.py _name_match_batch):
+    exact-first = 1.0, abbreviated-initial = 0.95, else first-name JW;
+    0.35/0.65 first/last blend; an empty last name scores 0.0 (kernel
+    lines 297-298 zero those rows rather than dropping them)."""
+    return """CASE WHEN la = '' OR lb = '' THEN 0.0 ELSE
+      0.35 * (CASE
+                WHEN fa = fb AND fa <> '' THEN 1.0
+                WHEN fa <> '' AND fb <> ''
+                     AND (length(fa) = 1 OR length(fb) = 1)
+                     AND substr(fa, 1, 1) = substr(fb, 1, 1) THEN 0.95
+                ELSE jaro_winkler_similarity(fa, fb)
+              END)
+      + 0.65 * jaro_winkler_similarity(la, lb) END"""
+
+
+def blocking_ctes(entities: str = "entities") -> str:
+    """CTE chain ``{entities}(entity_key, surface, ...)`` → ``cands``
+    (left_id, right_id) — the SQL twin of er_pipeline.blocking_pairs:
+    normalized-name block-key channel UNION the md5 MinHash band
+    channel, distinct unordered pairs within shared keys."""
+    return f"""keyed AS MATERIALIZED (
   SELECT entity_key, surface,
          lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g')) AS norm
-  FROM entities
+  FROM {entities}
 ),
 kparts AS MATERIALIZED (
   SELECT entity_key, surface, norm,
@@ -702,13 +719,19 @@ blocked AS MATERIALIZED (
 cands AS MATERIALIZED (
   SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
   FROM blocked a JOIN blocked b ON a.bkey = b.bkey AND a.entity_key < b.entity_key
-),
-scored AS MATERIALIZED (
+)"""
+
+
+def pair_scores_ctes(entities: str = "entities") -> str:
+    """``cands`` → ``pair_scores(left_id, right_id, score)``: every
+    candidate pair with its decision score — the SQL twin of
+    scoring.score_pairs(lean=True) over the blocking output."""
+    return f"""scored AS MATERIALIZED (
   SELECT c.left_id, c.right_id, lp.p AS lp, rp.p AS rp
   FROM cands c
-  JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM entities) lp
+  JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM {entities}) lp
     ON lp.entity_key = c.left_id
-  JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM entities) rp
+  JOIN (SELECT entity_key, {_name_parts_expr('surface')} AS p FROM {entities}) rp
     ON rp.entity_key = c.right_id
 ),
 nm AS MATERIALIZED (
@@ -717,25 +740,28 @@ nm AS MATERIALIZED (
          coalesce(rp[1], '') AS fb, coalesce(rp[len(rp)], '') AS lb
   FROM scored
 ),
+pair_scores AS MATERIALIZED (
+  SELECT left_id, right_id, {_score_case_expr()} AS score FROM nm
+)"""
+
+
+def clustering_ctes(entities: str = "entities", *, min_similarity: float = 0.9) -> str:
+    """``{entities}`` → ``assignments(entity_key, cluster_id, surface,
+    mention_count, doc_freq)``: blocking → pairwise scoring → threshold
+    matches → recursive-CTE transitive closure with min-member-key
+    cluster labels. Must be placed under WITH RECURSIVE (the reach CTE).
+    The source CTE needs (entity_key, surface, mention_count, doc_freq)."""
+    return f"""{blocking_ctes(entities)},
+{pair_scores_ctes(entities)},
 matches AS MATERIALIZED (
-  SELECT left_id, right_id
-  FROM nm
-  WHERE la <> '' AND lb <> ''
-    AND 0.35 * (CASE
-                  WHEN fa = fb AND fa <> '' THEN 1.0
-                  WHEN fa <> '' AND fb <> ''
-                       AND (length(fa) = 1 OR length(fb) = 1)
-                       AND substr(fa, 1, 1) = substr(fb, 1, 1) THEN 0.95
-                  ELSE jaro_winkler_similarity(fa, fb)
-                END)
-      + 0.65 * jaro_winkler_similarity(la, lb) >= {min_similarity}
+  SELECT left_id, right_id FROM pair_scores WHERE score >= {min_similarity}
 ),
 edgesu AS MATERIALIZED (
   SELECT left_id AS a, right_id AS b FROM matches
   UNION SELECT right_id, left_id FROM matches
 ),
 reach(node, r) AS (
-  SELECT entity_key, entity_key FROM entities
+  SELECT entity_key, entity_key FROM {entities}
   UNION
   SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
 ),
@@ -743,9 +769,18 @@ comp AS MATERIALIZED (
   SELECT node AS entity_key, min(r) AS cluster_id FROM reach GROUP BY node
 ),
 assignments AS MATERIALIZED (
-  SELECT e.entity_key, c.cluster_id, e.surface, e.mention_count
-  FROM entities e JOIN comp c ON e.entity_key = c.entity_key
+  SELECT e.entity_key, c.cluster_id, e.surface, e.mention_count, e.doc_freq
+  FROM {entities} e JOIN comp c ON e.entity_key = c.entity_key
 )"""
+
+
+def assignment_ctes(table: str = "documents", *, min_similarity: float = 0.9) -> str:
+    """CTE chain through ``assignments(entity_key, cluster_id, surface,
+    mention_count, doc_freq)`` — shared by the cluster-summary,
+    ranked-members, golden-record and cohesion oracles. Must be placed
+    under WITH RECURSIVE (the reach CTE)."""
+    return f"""{entities_ctes(table)},
+{clustering_ctes('entities', min_similarity=min_similarity)}"""
 
 
 def er_clusters_sql(table: str = "documents", *, min_similarity: float = 0.9) -> str:

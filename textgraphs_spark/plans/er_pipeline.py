@@ -36,6 +36,46 @@ from ..sources import tables as TBL
 from .staged import StagedPipeline
 
 
+def blocking_pairs(
+    entities: DataFrame,
+    *,
+    use_minhash: bool = True,
+    hash_family: str = "md5",
+    max_block_size: int = 200,
+) -> DataFrame:
+    """entities(entity_key, surface, ...) → distinct candidate pairs via
+    every blocking channel: the normalized-name block key (last token +
+    first initial) UNION MinHash-LSH band keys over the normalized
+    surface, salted above ``max_block_size`` (blocking.candidate_pairs).
+
+    Module-level so the evaluation operators (plans/er_eval) measure the
+    EXACT candidate set the pipeline clusters from — ERPipeline methods
+    delegate here.
+    """
+    keyed = B.block_keys(entities)
+    chans = [
+        keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
+    ]
+    if use_minhash:
+        mh = B.minhash_band_keys(
+            keyed, "entity_key", "norm", carry_cols=("surface",),
+            hash_family=hash_family,
+        )
+        chans.append(
+            mh.select(
+                "entity_key", "surface",
+                F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+            )
+        )
+    blocked = chans[0]
+    for c in chans[1:]:
+        blocked = blocked.unionByName(c)
+    return B.candidate_pairs(
+        blocked, key_col="bkey", id_col="entity_key",
+        max_block_size=max_block_size,
+    )
+
+
 class ERPipeline(StagedPipeline):
     """Checkpointed entity-resolution run rooted at ``workdir``.
 
@@ -75,29 +115,14 @@ class ERPipeline(StagedPipeline):
         """entities → candidate pairs via every blocking channel.
 
         The ONE definition of the blocking strategy — run(), run_lean(),
-        and update() all call this, so the incremental path can never
-        silently diverge from the batch path.
+        update(), and the standalone evaluation operators (plans/er_eval)
+        all route through module-level ``blocking_pairs``, so no path can
+        silently diverge from the batch pipeline.
         """
-        keyed = B.block_keys(entities)
-        chans = [
-            keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
-        ]
-        if self.use_minhash:
-            mh = B.minhash_band_keys(
-                keyed, "entity_key", "norm", carry_cols=("surface",),
-                hash_family=self.hash_family,
-            )
-            chans.append(
-                mh.select(
-                    "entity_key", "surface",
-                    F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
-                )
-            )
-        blocked = chans[0]
-        for c in chans[1:]:
-            blocked = blocked.unionByName(c)
-        return B.candidate_pairs(
-            blocked, key_col="bkey", id_col="entity_key",
+        return blocking_pairs(
+            entities,
+            use_minhash=self.use_minhash,
+            hash_family=self.hash_family,
             max_block_size=self.max_block_size,
         )
 
@@ -162,9 +187,14 @@ class ERPipeline(StagedPipeline):
 
     def run_lean(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-        *, entities: DataFrame | None = None,
-    ) -> DataFrame:
+        *, entities: DataFrame | None = None, return_parts: bool = False,
+    ) -> DataFrame | dict[str, DataFrame]:
         """Throughput-path variant: one lazy DAG, no per-stage counts.
+
+        ``return_parts=True`` returns {entities, match_scores,
+        assignments} instead of just the assignment frame — the
+        evaluation operators (plans/er_eval.cluster_cohesion) need the
+        per-edge match scores that the plain path discards.
 
         Extraction feeds the vocabulary-sized ``entities`` aggregate, which
         is the only thing persisted — it is reused by both blocking
@@ -202,20 +232,33 @@ class ERPipeline(StagedPipeline):
         n_score_parts = self.spark.sparkContext.defaultParallelism * 2
         scores = S.score_pairs(pairs.repartition(n_score_parts), lean=True)
         # checkpoint: match edges are read twice downstream (id mapping +
-        # the CC iterations) — never re-run the scoring UDF
-        match_edges = (
-            scores.filter(F.col("match")).select("left_id", "right_id").localCheckpoint()
+        # the CC iterations) — never re-run the scoring UDF. The score
+        # column rides along (one double per MATCH edge — a vocabulary-
+        # scale table) so evaluation operators can audit cluster cohesion
+        # without re-scoring.
+        match_scores = (
+            scores.filter(F.col("match"))
+            .select("left_id", "right_id", "score")
+            .localCheckpoint()
         )
+        match_edges = match_scores.select("left_id", "right_id")
         clusters = C.components_over_keys(
             match_edges,
             small_graph_threshold=self.small_graph_threshold,
             stats=self.cc_stats,
         )
-        return (
+        assignments = (
             entities.join(clusters, "entity_key", "left")
             .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
             .select("entity_key", "cluster_id", "surface", "label", "mention_count", "doc_freq")
         )
+        if return_parts:
+            return {
+                "entities": entities,
+                "match_scores": match_scores,
+                "assignments": assignments,
+            }
+        return assignments
 
 
     def update(self, new_docs: DataFrame, id_col: str = "doc_id",
