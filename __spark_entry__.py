@@ -903,6 +903,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, parts = _eval_parts(spark)
         return cluster_cohesion(parts["assignments"], parts["match_scores"])
 
+    def er_threshold_sweep(spark, sf_dir):
+        # P/R/F1 at every candidate threshold in ONE blocking+scoring
+        # pass (bucket-then-cumulate — never a |pairs| x k explode):
+        # the tuning curve behind min_similarity=0.9
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, score_threshold_sweep,
+        )
+
+        return score_threshold_sweep(eval_entities(spark))
+
+    def er_blocking_stats(spark, sf_dir):
+        # per-channel block-size diagnostics off the pipeline's OWN
+        # pre-salting block table (blocks/rows/max/singletons/oversized/
+        # pair budget); cap 50 so oversized accounting engages on the
+        # eval corpus (hottest LSH bucket ~79 members)
+        from textgraphs_spark.plans.er_eval import blocking_stats, eval_entities
+
+        return blocking_stats(eval_entities(spark), max_block_size=50)
+
     # ORDERING CONTRACT: the driver's correctness harness samples a
     # prefix of this dict (round 3 recorded exactly the first 50 keys),
     # so operator-critical queries that have never (or least recently)
@@ -939,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_eval_clusters": er_eval_clusters,
         "er_golden_records": er_golden_records,
         "er_cluster_cohesion": er_cluster_cohesion,
+        "er_threshold_sweep": er_threshold_sweep,
+        "er_blocking_stats": er_blocking_stats,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1340,8 +1361,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         salted_blocking_pairs_sql,
     )
     from textgraphs_spark.plans.er_eval import (
-        er_cluster_cohesion_sql, er_eval_blocked_sql, er_eval_clusters_sql,
-        er_golden_records_sql,
+        er_blocking_stats_sql, er_cluster_cohesion_sql, er_eval_blocked_sql,
+        er_eval_clusters_sql, er_golden_records_sql, er_threshold_sweep_sql,
     )
 
     return {
@@ -1373,6 +1394,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_eval_clusters": er_eval_clusters_sql(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
+        "er_threshold_sweep": er_threshold_sweep_sql(),
+        "er_blocking_stats": er_blocking_stats_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
         "corpus_curation": corpus_curation_sql,

@@ -144,6 +144,91 @@ def test_eval_entities_deterministic_and_matches_helper(spark):
         assert got[f"e{i:05d}"] == expect, (i, t, v)
 
 
+def test_threshold_sweep_reconciles_with_blocked_metrics(spark):
+    """At the pipeline's default threshold the sweep row must reproduce
+    blocked_pair_metrics exactly; along the curve TP/FP/recall are
+    non-increasing in the threshold (cumulative counting is correct)."""
+    from textgraphs_spark.operators.scoring import MIN_SIMILARITY
+
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    sweep = {r["threshold"]: r for r in E.score_threshold_sweep(ents).collect()}
+    assert MIN_SIMILARITY in sweep
+    base = E.blocked_pair_metrics(ents).collect()[0]
+    at = sweep[MIN_SIMILARITY]
+    for c in ("tp_pairs", "fp_pairs", "fn_pairs", "pair_precision",
+              "pair_recall", "pair_f1"):
+        assert at[c] == base[c], c
+    ordered = [sweep[t] for t in sorted(sweep)]
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert hi["tp_pairs"] <= lo["tp_pairs"]
+        assert hi["fp_pairs"] <= lo["fp_pairs"]
+        assert hi["fn_pairs"] >= lo["fn_pairs"]
+    # every row accounts for the same true-pair total
+    totals = {r["tp_pairs"] + r["fn_pairs"] for r in ordered}
+    assert len(totals) == 1
+
+
+def test_threshold_sweep_brute_force_rederivation(spark):
+    """Bucket-then-cumulate must equal the naive per-threshold recount
+    from the scored pair list."""
+    from textgraphs_spark.operators import scoring as S
+    from textgraphs_spark.plans.er_pipeline import blocking_pairs
+
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    ths = (0.6, 0.9, 0.97)
+    rows = {
+        r["threshold"]: r
+        for r in E.score_threshold_sweep(ents, thresholds=ths).collect()
+    }
+    scored = S.score_pairs(
+        blocking_pairs(ents.select("entity_key", "surface")), lean=True
+    ).toPandas()
+    truth = {r["entity_key"]: r["truth_id"] for r in ents.collect()}
+    same = scored.apply(
+        lambda r: truth[r["left_id"]] == truth[r["right_id"]], axis=1
+    )
+    for t in ths:
+        passed = scored["score"] >= t
+        assert rows[t]["tp_pairs"] == int((same & passed).sum()), t
+        assert rows[t]["fp_pairs"] == int((~same & passed).sum()), t
+
+
+def test_blocking_stats_hand_fixture(spark):
+    """Name channel on a controlled vocabulary: 3 entities sharing
+    (last token, first initial) form one 3-block → C(3,2)=3 naive pairs;
+    the two loners are singletons. Minhash channel: every entity emits
+    exactly `bands`=4 band rows."""
+    ents = spark.createDataFrame(
+        [
+            ("a", "Xavier Quill"), ("b", "Xenia Quill"), ("c", "Xer Quill"),
+            ("d", "Maria Stone"), ("e", "Nolan Drift"),
+        ],
+        ["entity_key", "surface"],
+    )
+    rows = {r["channel"]: r for r in E.blocking_stats(ents, max_block_size=2).collect()}
+    nm = rows["name"]
+    assert (nm["n_blocks"], nm["n_rows"], nm["n_entities"]) == (3, 5, 5)
+    assert nm["max_members"] == 3
+    assert nm["singleton_blocks"] == 2
+    assert nm["oversized_blocks"] == 1  # the 3-block > cap 2: salting fires
+    assert nm["naive_pairs"] == 3
+    mh = rows["minhash"]
+    assert mh["n_rows"] == 4 * 5 and mh["n_entities"] == 5
+
+
+def test_blocking_stats_pair_budget_bounds_candidates(spark):
+    """naive_pairs summed across channels upper-bounds the distinct
+    candidate pairs the pipeline actually generates (dedup + salting
+    only remove pairs)."""
+    from textgraphs_spark.plans.er_pipeline import blocking_pairs
+
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    stats = E.blocking_stats(ents).collect()
+    budget = sum(r["naive_pairs"] for r in stats)
+    n_cand = blocking_pairs(ents.select("entity_key", "surface")).count()
+    assert 0 < n_cand <= budget
+
+
 def test_closure_amplifies_blocked_fp(eval_run):
     """Transitive closure can only ADD false-positive pairs relative to
     the per-pair scorer verdicts — the over-merge effect the cohesion

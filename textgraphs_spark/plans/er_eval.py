@@ -279,6 +279,168 @@ def clustering_metrics(assignments: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def score_threshold_sweep(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    max_block_size: int = 200,
+    thresholds: tuple[float, ...] = (
+        0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0
+    ),
+) -> DataFrame:
+    """Pairwise precision/recall/F1 at EVERY candidate match threshold in
+    one pass over the scored candidate pairs — the tuning curve behind
+    the pipeline's ``min_similarity`` operating point.
+
+    Each labeled candidate pair is scored once, assigned the COUNT of
+    thresholds its score passes (a single bucket id), and aggregated to
+    |thresholds|+1 partial rows; per-threshold TP/FP then come from a
+    cumulative roll-up of that tiny table. Sweeping k thresholds
+    therefore costs ONE blocking + ONE scoring pass + one hash agg —
+    never k passes, and never a |pairs| x k explode.
+
+    fn_pairs counts ALL missed true pairs (blocking misses included), so
+    recall is end-to-end — at threshold = pipeline default the row
+    reproduces ``blocked_pair_metrics`` exactly (asserted in tests).
+    pair_precision is NULL where nothing is predicted (tp + fp = 0).
+
+    Output, one row per threshold ordered ascending: (threshold,
+    tp_pairs, fp_pairs, fn_pairs, pair_precision, pair_recall, pair_f1).
+    """
+    from ..operators import scoring as S
+    from .er_pipeline import blocking_pairs
+
+    ths = sorted(float(t) for t in thresholds)
+    spark = entities.sparkSession
+    pairs = blocking_pairs(
+        entities.select("entity_key", "surface"), max_block_size=max_block_size
+    )
+    scored = S.score_pairs(pairs, lean=True)
+    truth = entities.select("entity_key", truth_col)
+    lab = (
+        scored.select("left_id", "right_id", "score")
+        .join(
+            truth.select(
+                F.col("entity_key").alias("left_id"), F.col(truth_col).alias("lt")
+            ),
+            "left_id",
+        )
+        .join(
+            truth.select(
+                F.col("entity_key").alias("right_id"), F.col(truth_col).alias("rt")
+            ),
+            "right_id",
+        )
+    )
+    same = F.col("lt") == F.col("rt")
+    arr = F.array(*[F.lit(t) for t in ths])
+    # bucket b = how many thresholds this score passes; the pair counts
+    # toward thresholds[0..b-1] — one codegen'd expression, no explode
+    bucket = F.size(F.filter(arr, lambda t: t <= F.col("score")))
+    agg = lab.groupBy(bucket.alias("b")).agg(
+        F.sum(same.cast("long")).alias("tp"),
+        F.sum((~same).cast("long")).alias("fp"),
+    )
+    thr = spark.range(0, len(ths)).select(
+        F.col("id").alias("i"), F.element_at(arr, (F.col("id") + 1).cast("int")).alias("threshold")
+    )
+    # cumulate the |thresholds|+1-row partial table: threshold i is
+    # passed by every bucket b >= i+1 (tiny theta join — both sides are
+    # bounded by the threshold count, not the data)
+    cum = (
+        thr.join(agg, F.col("b") >= F.col("i") + 1, "left")
+        .groupBy("i", "threshold")
+        .agg(
+            F.coalesce(F.sum("tp"), F.lit(0)).alias("tp_pairs"),
+            F.coalesce(F.sum("fp"), F.lit(0)).alias("fp_pairs"),
+        )
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    tp, fp = F.col("tp_pairs"), F.col("fp_pairs")
+    fn = F.col("n_true_pairs") - tp
+    return (
+        cum.crossJoin(tot)
+        .select(
+            "threshold",
+            "tp_pairs",
+            "fp_pairs",
+            fn.alias("fn_pairs"),
+            F.round(
+                F.when(tp + fp > 0, tp / (tp + fp)), 6
+            ).alias("pair_precision"),
+            F.round(tp / F.col("n_true_pairs"), 6).alias("pair_recall"),
+            F.round(F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn), 6).alias("pair_f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def blocking_stats(
+    entities: DataFrame,
+    *,
+    max_block_size: int = 200,
+    use_minhash: bool = True,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-channel blocking diagnostics: the numbers an operator tunes
+    ``max_block_size`` (and judges channel health) with, computed from
+    the EXACT pre-salting block table the pipeline self-joins
+    (er_pipeline.blocked_keys).
+
+    Output, one row per channel ('name', 'minhash'):
+      n_blocks            distinct blocking keys,
+      n_rows              key memberships (minhash: one per band),
+      n_entities          distinct entities reaching the channel,
+      max_members         largest block,
+      singleton_blocks    keys generating no pairs,
+      oversized_blocks    keys with members > max_block_size — exactly
+                          the blocks ``_salt_oversized`` shards,
+      naive_pairs         sum C(members, 2): the pair budget BEFORE
+                          salting caps and cross-channel dedup.
+
+    100 TB shape: one hash agg per (channel, key) — partial aggregation
+    absorbs hot keys map-side — then a 2-row roll-up; nothing here
+    touches pair space, so diagnostics cost a fraction of blocking
+    itself. A skew-audit run can execute JUST this before committing to
+    the pair join.
+    """
+    from .er_pipeline import blocked_keys
+
+    # materialize the block table once: both roll-ups below read these
+    # partitions instead of re-deriving the minhash channel (the
+    # signature build is the expensive part) — same discipline as
+    # _salt_oversized
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"),
+        use_minhash=use_minhash, hash_family=hash_family,
+    ).select("channel", "bkey", "entity_key").localCheckpoint()
+    per_key = bk.groupBy("channel", "bkey").agg(F.count("*").alias("m"))
+    m = F.col("m")
+    stats = per_key.groupBy("channel").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("m").alias("n_rows"),
+        F.max("m").alias("max_members"),
+        F.sum((m == 1).cast("long")).alias("singleton_blocks"),
+        F.sum((m > max_block_size).cast("long")).alias("oversized_blocks"),
+        F.sum(F.expr("m * (m - 1) DIV 2")).alias("naive_pairs"),
+    )
+    ents_per_chan = bk.groupBy("channel").agg(
+        F.countDistinct("entity_key").alias("n_entities")
+    )
+    return (
+        stats.join(ents_per_chan, "channel")
+        .select(
+            "channel", "n_blocks", "n_rows", "n_entities", "max_members",
+            "singleton_blocks", "oversized_blocks", "naive_pairs",
+        )
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # post-clustering operators
 # ---------------------------------------------------------------------------
@@ -456,6 +618,97 @@ SELECT n_items, n_clusters, n_truths, tp_pairs,
        round(tp_pairs / true_pairs, 6) AS pair_recall,
        round(2.0 * tp_pairs / (pred_pairs + true_pairs), 6) AS pair_f1
 FROM head, pred, tru
+"""
+
+
+def er_threshold_sweep_sql(
+    *, n_base: int = 150, n_twin: int = 30,
+    thresholds: tuple[float, ...] = (
+        0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0
+    ),
+) -> str:
+    """Oracle for score_threshold_sweep over eval_entities: regenerated
+    corpus → shared blocking + pair-score CTEs → per-threshold roll-up
+    (the oracle takes the naive pairs x thresholds join — it verifies
+    VALUES; the engine's bucket-cumulate shape is the scale claim)."""
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    ths = sorted(float(t) for t in thresholds)
+    tvals = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in ths)
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+lab AS (
+  SELECT p.score, lt.truth_id = rt.truth_id AS same
+  FROM pair_scores p
+  JOIN entities lt ON lt.entity_key = p.left_id
+  JOIN entities rt ON rt.entity_key = p.right_id
+),
+ths(threshold) AS (VALUES {tvals}),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+),
+cum AS (
+  SELECT t.threshold,
+         CAST(coalesce(sum(CASE WHEN same THEN 1 END) FILTER (WHERE lab.score >= t.threshold), 0) AS BIGINT) AS tp_pairs,
+         CAST(coalesce(sum(CASE WHEN NOT same THEN 1 END) FILTER (WHERE lab.score >= t.threshold), 0) AS BIGINT) AS fp_pairs
+  FROM ths t LEFT JOIN lab ON true
+  GROUP BY t.threshold
+)
+SELECT threshold, tp_pairs, fp_pairs,
+       n_true_pairs - tp_pairs AS fn_pairs,
+       round(CASE WHEN tp_pairs + fp_pairs > 0
+             THEN tp_pairs / (tp_pairs + fp_pairs) END, 6) AS pair_precision,
+       round(tp_pairs / n_true_pairs, 6) AS pair_recall,
+       round(2.0 * tp_pairs / (2.0 * tp_pairs + fp_pairs + (n_true_pairs - tp_pairs)), 6) AS pair_f1
+FROM cum, tot
+ORDER BY threshold
+"""
+
+
+def er_blocking_stats_sql(
+    *, n_base: int = 150, n_twin: int = 30, max_block_size: int = 50
+) -> str:
+    """Oracle for blocking_stats over eval_entities: regenerated corpus
+    + the shared blocking channel CTEs (chan_key / chan_mh from
+    er_oracle.blocking_ctes), rolled up per channel. The eval corpus is
+    the substrate because the sandbox documents corpus yields a
+    25-entity all-singleton block table (every stat vacuously zero);
+    the cap is lowered to 50 here so the oversized accounting is
+    exercised (the corpus' hottest LSH bucket has ~79 members)."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+bl AS (
+  SELECT 'name' AS channel, entity_key, bkey FROM chan_key
+  UNION ALL
+  SELECT 'minhash' AS channel, entity_key, bkey FROM chan_mh
+),
+per_key AS (
+  SELECT channel, bkey, count(*) AS m FROM bl GROUP BY 1, 2
+),
+stats AS (
+  SELECT channel,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(m) AS BIGINT) AS n_rows,
+         CAST(max(m) AS BIGINT) AS max_members,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_blocks,
+         CAST(sum(CASE WHEN m > {max_block_size} THEN 1 ELSE 0 END) AS BIGINT) AS oversized_blocks,
+         CAST(sum(m * (m - 1) // 2) AS BIGINT) AS naive_pairs
+  FROM per_key GROUP BY channel
+),
+epc AS (
+  SELECT channel, CAST(count(DISTINCT entity_key) AS BIGINT) AS n_entities
+  FROM bl GROUP BY channel
+)
+SELECT s.channel, s.n_blocks, s.n_rows, e.n_entities, s.max_members,
+       s.singleton_blocks, s.oversized_blocks, s.naive_pairs
+FROM stats s JOIN epc e USING (channel)
+ORDER BY s.channel
 """
 
 

@@ -36,6 +36,76 @@ from ..sources import tables as TBL
 from .staged import StagedPipeline
 
 
+def entity_aggregate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    include_lemmas: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """docs → the vocabulary-sized entity aggregate (entity_key, surface,
+    label, mention_count, doc_freq) the whole ER stack runs on: one
+    extraction pass, one hash aggregation on the entity key.
+
+    ``checkpoint=True`` (the pipeline default) localCheckpoints the
+    result: it truncates lineage so every downstream plan reads the
+    materialized partitions — plain ``.persist()`` can miss cache
+    substitution across mapInPandas lineage and silently recompute the
+    whole extraction. Single-consumer callers (diagnostics queries) pass
+    ``checkpoint=False`` to stay fully lazy.
+    """
+    ents = extract_entities(docs, id_col, text_col, include_lemmas=include_lemmas)
+    agg = ents.groupBy(F.col("node_key").alias("entity_key")).agg(
+        # min: deterministic canonical surface (see ERPipeline.run())
+        F.min("surface").alias("surface"),
+        F.min("label").alias("label"),
+        F.sum("count").alias("mention_count"),
+        F.count("*").alias("doc_freq"),
+    )
+    return agg.localCheckpoint() if checkpoint else agg
+
+
+def blocked_keys(
+    entities: DataFrame,
+    *,
+    use_minhash: bool = True,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """entities(entity_key, surface, ...) → (entity_key, surface,
+    channel, bkey): one row per blocking-key membership across every
+    channel — ``channel`` is ``'name'`` (normalized last token + first
+    initial) or ``'minhash'`` (LSH band keys over the normalized
+    surface). This is the pre-salting block table ``blocking_pairs``
+    self-joins; exposed so diagnostics (plans/er_eval.blocking_stats)
+    describe the EXACT blocks the pipeline builds.
+    """
+    keyed = B.block_keys(entities)
+    chans = [
+        keyed.select(
+            "entity_key", "surface",
+            F.lit("name").alias("channel"),
+            F.col("block_key").alias("bkey"),
+        )
+    ]
+    if use_minhash:
+        mh = B.minhash_band_keys(
+            keyed, "entity_key", "norm", carry_cols=("surface",),
+            hash_family=hash_family,
+        )
+        chans.append(
+            mh.select(
+                "entity_key", "surface",
+                F.lit("minhash").alias("channel"),
+                F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+            )
+        )
+    blocked = chans[0]
+    for c in chans[1:]:
+        blocked = blocked.unionByName(c)
+    return blocked
+
+
 def blocking_pairs(
     entities: DataFrame,
     *,
@@ -52,24 +122,9 @@ def blocking_pairs(
     EXACT candidate set the pipeline clusters from — ERPipeline methods
     delegate here.
     """
-    keyed = B.block_keys(entities)
-    chans = [
-        keyed.select("entity_key", "surface", F.col("block_key").alias("bkey"))
-    ]
-    if use_minhash:
-        mh = B.minhash_band_keys(
-            keyed, "entity_key", "norm", carry_cols=("surface",),
-            hash_family=hash_family,
-        )
-        chans.append(
-            mh.select(
-                "entity_key", "surface",
-                F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
-            )
-        )
-    blocked = chans[0]
-    for c in chans[1:]:
-        blocked = blocked.unionByName(c)
+    blocked = blocked_keys(
+        entities, use_minhash=use_minhash, hash_family=hash_family
+    ).drop("channel")
     return B.candidate_pairs(
         blocked, key_col="bkey", id_col="entity_key",
         max_block_size=max_block_size,
@@ -208,21 +263,8 @@ class ERPipeline(StagedPipeline):
         aggregate from a shared extraction pass.
         """
         if entities is None:
-            ents = extract_entities(docs, id_col, text_col, include_lemmas=self.include_lemmas)
-            entities = (
-                ents.groupBy(F.col("node_key").alias("entity_key"))
-                .agg(
-                    # min: deterministic canonical surface (see run())
-                    F.min("surface").alias("surface"),
-                    F.min("label").alias("label"),
-                    F.sum("count").alias("mention_count"),
-                    F.count("*").alias("doc_freq"),
-                )
-                # localCheckpoint, not persist: it truncates lineage so every
-                # downstream plan reads the materialized partitions — plain
-                # .persist() can miss cache substitution across mapInPandas
-                # lineage and silently recompute the whole extraction
-                .localCheckpoint()
+            entities = entity_aggregate(
+                docs, id_col, text_col, include_lemmas=self.include_lemmas
             )
         pairs = self._blocking_pairs(entities)
         # respread before the scoring UDF: AQE coalesces shuffles by BYTE
