@@ -317,3 +317,56 @@ def test_stream_quality_signals_match_batch(spark, tmp_path):
     for d, (pl, q, n) in got.items():
         assert pl == lang[d] and (q, n) == qual[d]
     assert got[1][0] == "de" and got[2][0] == "es"  # fixture exercises non-en
+
+
+def test_stream_er_matches_batch_and_skips_replay(spark, tmp_path):
+    """Streaming incremental ER (foreachBatch -> run()/update() folds):
+    after draining 3 micro-batches the persisted assignments must equal a
+    one-shot batch run over the union, and a replayed batch id must be
+    skipped by the high-water mark (update() is not idempotent)."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+    from textgraphs_spark.sources import tables as TBL
+    from textgraphs_spark.sources.pages import synth_pages
+    from textgraphs_spark.streaming.er import er_fold_batch, stream_er_updates
+
+    docs = synth_pages(spark, 240).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    ).cache()
+    src = tmp_path / "er_src"
+    src.mkdir()
+    for part in range(3):  # 3 files => 3 deterministic micro-batches
+        docs.filter(F.pmod("doc_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    wd = str(tmp_path / "er_wd")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_er_updates(stream, wd, checkpoint=str(tmp_path / "er_ck"))
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
+    )
+    want = sorted(map(tuple, ERPipeline(spark).run_lean(docs).collect()))
+    assert got == want
+    assert len(got) > 0
+
+    # replaying an already-folded batch id is a no-op
+    dup = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    assert er_fold_batch(dup, 0, wd) is False
+    again = sorted(
+        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
+    )
+    assert again == got
+
+    # a genuinely new batch id still folds (the stream can resume)
+    assert er_fold_batch(dup.limit(0), 99, wd) is True
+    assert sorted(
+        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
+    ) == got  # empty fold changes nothing
