@@ -310,7 +310,7 @@ def score_threshold_sweep(
     from ..operators import scoring as S
     from .er_pipeline import blocking_pairs
 
-    ths = sorted(float(t) for t in thresholds)
+    ths = sorted({float(t) for t in thresholds})
     spark = entities.sparkSession
     pairs = blocking_pairs(
         entities.select("entity_key", "surface"), max_block_size=max_block_size
@@ -633,7 +633,7 @@ def er_threshold_sweep_sql(
     VALUES; the engine's bucket-cumulate shape is the scale claim)."""
     from .er_oracle import blocking_ctes, pair_scores_ctes
 
-    ths = sorted(float(t) for t in thresholds)
+    ths = sorted({float(t) for t in thresholds})
     tvals = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in ths)
     return f"""WITH
 {eval_entities_cte(n_base=n_base, n_twin=n_twin)},
