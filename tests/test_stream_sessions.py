@@ -321,15 +321,17 @@ def test_stream_quality_signals_match_batch(spark, tmp_path):
 
 def test_stream_er_matches_batch_and_skips_replay(spark, tmp_path):
     """Streaming incremental ER (foreachBatch -> run()/update() folds):
-    after draining 3 micro-batches the persisted assignments must equal a
+    after draining 3 micro-batches the committed assignments must equal a
     one-shot batch run over the union, and a replayed batch id must be
-    skipped by the high-water mark (update() is not idempotent)."""
+    skipped by the committed high-water mark (update() is not
+    idempotent)."""
     from pyspark.sql import functions as F
 
     from textgraphs_spark.plans.er_pipeline import ERPipeline
-    from textgraphs_spark.sources import tables as TBL
     from textgraphs_spark.sources.pages import synth_pages
-    from textgraphs_spark.streaming.er import er_fold_batch, stream_er_updates
+    from textgraphs_spark.streaming.er import (
+        committed, er_fold_batch, read_current, stream_er_updates,
+    )
 
     docs = synth_pages(spark, 240).select(
         F.xxhash64("url").alias("doc_id"), "text"
@@ -350,23 +352,97 @@ def test_stream_er_matches_batch_and_skips_replay(spark, tmp_path):
     q = stream_er_updates(stream, wd, checkpoint=str(tmp_path / "er_ck"))
     q.awaitTermination()
 
-    got = sorted(
-        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
-    )
+    got = sorted(map(tuple, read_current(spark, wd).collect()))
     want = sorted(map(tuple, ERPipeline(spark).run_lean(docs).collect()))
     assert got == want
     assert len(got) > 0
+    assert committed(spark, wd) == (2, 2)  # 3 folds -> snapshots v0..v2
 
     # replaying an already-folded batch id is a no-op
     dup = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
     assert er_fold_batch(dup, 0, wd) is False
-    again = sorted(
-        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
-    )
-    assert again == got
+    assert sorted(map(tuple, read_current(spark, wd).collect())) == got
 
     # a genuinely new batch id still folds (the stream can resume)
     assert er_fold_batch(dup.limit(0), 99, wd) is True
-    assert sorted(
-        map(tuple, TBL.read_table(spark, wd + "/assignments").collect())
-    ) == got  # empty fold changes nothing
+    # empty fold changes nothing but commits a new snapshot
+    assert sorted(map(tuple, read_current(spark, wd).collect())) == got
+    assert committed(spark, wd) == (3, 99)
+
+
+def test_stream_er_crash_before_commit_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """The fold's crash window: state stages written but the commit
+    marker not yet renamed. Readers must keep resolving the prior
+    snapshot (no partial state visible), and the foreachBatch REPLAY of
+    the same batch id must fold it exactly once — final clustering
+    bit-equal to a never-crashed run (an in-place overwrite + separate
+    high-water mark would double mention counts here)."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.sources.pages import synth_pages
+    from textgraphs_spark.streaming import er as ER
+
+    docs = synth_pages(spark, 160).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    ).cache()
+    b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    b1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    wd = str(tmp_path / "er_crash_wd")
+    assert ER.er_fold_batch(b0, 0, wd) is True
+    v0 = sorted(map(tuple, ER.read_current(spark, wd).collect()))
+
+    # crash INSIDE the commit: v1 state dirs fully written, marker absent
+    real_commit = ER._commit
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before snapshot commit")
+
+    monkeypatch.setattr(ER, "_commit", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        ER.er_fold_batch(b1, 1, wd)
+    monkeypatch.setattr(ER, "_commit", real_commit)
+
+    # reader isolation: the orphan v1 dir is invisible
+    assert ER.committed(spark, wd) == (0, 0)
+    assert sorted(map(tuple, ER.read_current(spark, wd).collect())) == v0
+
+    # replay folds the batch exactly once
+    assert ER.er_fold_batch(b1, 1, wd) is True
+    got = sorted(map(tuple, ER.read_current(spark, wd).collect()))
+
+    # reference: the same two folds without any crash
+    wd2 = str(tmp_path / "er_clean_wd")
+    ER.er_fold_batch(b0, 0, wd2)
+    ER.er_fold_batch(b1, 1, wd2)
+    want = sorted(map(tuple, ER.read_current(spark, wd2).collect()))
+    assert got == want
+
+
+def test_stream_er_snapshot_pruning(spark, tmp_path):
+    """Snapshot expiry: only the ``keep_last`` newest snapshot dirs
+    survive a sequence of folds; the committed reader never breaks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.sources.pages import synth_pages
+    from textgraphs_spark.streaming import er as ER
+
+    docs = synth_pages(spark, 120).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    ).cache()
+    wd = str(tmp_path / "er_prune_wd")
+    for b in range(3):
+        batch = docs.filter(F.pmod("doc_id", F.lit(3)) == b)
+        assert ER.er_fold_batch(batch, b, wd, keep_last=1) is True
+
+    assert ER.committed(spark, wd) == (2, 2)
+    assert not os.path.exists(os.path.join(wd, "v0"))
+    assert not os.path.exists(os.path.join(wd, "v1"))
+    assert ER.read_current(spark, wd).count() > 0
+    # commit history markers survive expiry (the audit trail)
+    markers = [n for n in os.listdir(os.path.join(wd, "commits"))
+               if not n.startswith(".")]  # Hadoop local-FS .crc sidecars
+    assert sorted(markers) == ["v0-b0.json", "v1-b1.json", "v2-b2.json"]

@@ -304,7 +304,8 @@ class ERPipeline(StagedPipeline):
 
 
     def update(self, new_docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", *,
+               state_from: str | None = None) -> DataFrame:
         """Incrementally fold a NEW batch of documents into an existing
         clustering (the continuously-crawled-corpus path).
 
@@ -320,21 +321,29 @@ class ERPipeline(StagedPipeline):
         Work scales with |new batch| + |vocabulary|, never |old corpus|.
         Writes refreshed ``entities``/``assignments`` stages back to the
         workdir and returns the new assignments.
+
+        ``state_from`` reads the PRIOR entities/assignments from a
+        different directory than the one being written — the
+        snapshot-isolation hook ``streaming.er`` folds through (each fold
+        reads committed snapshot v(N) and writes v(N+1), so a crash
+        mid-write can never corrupt readable state). Default (None) is
+        the classic in-place refresh of ``self.workdir``.
         """
         from ..operators.components import connected_components, key_id128
 
         assert self.workdir, "update() needs the workdir of a prior run()"
         t0 = time.time()
         spark = self.spark
+        src = state_from or self.workdir
         for stage in ("entities", "assignments"):
-            if not TBL.stage_exists(spark, os.path.join(self.workdir, stage)):
+            if not TBL.stage_exists(spark, os.path.join(src, stage)):
                 raise FileNotFoundError(
                     f"update() found no completed '{stage}' stage under "
-                    f"{self.workdir} — run() must finish once before "
+                    f"{src} — run() must finish once before "
                     "incremental updates"
                 )
-        old_entities = TBL.read_table(spark, os.path.join(self.workdir, "entities"))
-        old_assign = TBL.read_table(spark, os.path.join(self.workdir, "assignments"))
+        old_entities = TBL.read_table(spark, os.path.join(src, "entities"))
+        old_assign = TBL.read_table(spark, os.path.join(src, "assignments"))
 
         new_ents = (
             extract_entities(new_docs, id_col, text_col,
