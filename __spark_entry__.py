@@ -166,6 +166,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(edges).orderBy("node")
 
+    def _lemma_graph_edges(spark, sf_dir, max_docs=50):
+        # the shared graph-analytics input: aggregated lemma graph of a
+        # deterministic, partition-prunable doc subset (see corpus_pagerank)
+        ex = extract_graphs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < max_docs),
+            parts=("edges",),
+        )
+        return corpus_edges(ex).select(
+            F.col("src_key").alias("src"), F.col("dst_key").alias("dst")
+        )
+
+    def graph_triangles(spark, sf_dir):
+        # degree-ordered oriented triangle counting (Suri-Vassilvitskii
+        # shape) — out-degrees bounded by O(sqrt(m)), wedge join by m^1.5
+        from textgraphs_spark.operators.graphops import triangle_counts
+
+        return triangle_counts(
+            _lemma_graph_edges(spark, sf_dir)
+        ).orderBy("node")
+
+    def graph_link_prediction(spark, sf_dir):
+        # Jaccard link prediction with the hub stop-node cut engaged
+        # (max_degree=40 fires on the organic lemma graph: hot lemmas
+        # exceed it), so the oracle covers the skew-mitigation path too
+        from textgraphs_spark.operators.graphops import link_prediction_jaccard
+
+        return link_prediction_jaccard(
+            _lemma_graph_edges(spark, sf_dir), min_common=2, max_degree=40
+        ).orderBy("src", "dst")
+
     def gor_affinity(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").join(
             _t(spark, sf_dir, "nation"),
@@ -970,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": er_incremental,
         "corpus_pagerank": corpus_pagerank,
         "communities_label_prop": communities_label_prop,
+        "graph_triangles": graph_triangles,
+        "graph_link_prediction": graph_link_prediction,
         "gor_affinity": gor_affinity,
         # dedup family
         "dedup_exact": dedup_exact,
@@ -1349,7 +1381,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_oracle import (
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, label_propagation_sql, lemma_edges_sql,
-        lemma_nodes_sql, ranked_phrases_sql,
+        lemma_nodes_sql, link_prediction_sql, ranked_phrases_sql,
+        triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -1379,6 +1412,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_ranked_clusters": er_ranked_clusters_sql(),
         "corpus_pagerank": corpus_pagerank_sql(),
         "communities_label_prop": label_propagation_sql(),
+        "graph_triangles": triangle_counts_sql(),
+        "graph_link_prediction": link_prediction_sql(
+            min_common=2, max_degree=40
+        ),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

@@ -113,3 +113,70 @@ def test_girvan_newman_scale_gate(spark):
     )
     with pytest.raises(ValueError, match="label_propagation"):
         girvan_newman_communities(edges, max_edges=10)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 + a disjoint path: each K4 node sits in C(3,2)=3 triangles,
+    path nodes in none (absent from the output)."""
+    from textgraphs_spark.operators.graphops import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(k4 + path, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_orientation_invariants(spark):
+    """Duplicate rows, reversed duplicates, and self-loops must not
+    change the tally; a hub star closes exactly the triangles its rim
+    edges create."""
+    from textgraphs_spark.operators.graphops import triangle_counts
+
+    # hub 0 -- rim 1..6 (star), rim edges (1,2) and (3,4): 2 triangles
+    rows = [(0, i) for i in range(1, 7)] + [(1, 2), (3, 4)]
+    noisy = rows + [(b, a) for a, b in rows] + [(5, 5), (0, 1)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_link_prediction_known_scores(spark):
+    """Square 1-2-3-4: the two diagonals are the only proposals; each
+    shares both square corners, Jaccard = 2 / (2+2-2) = 1.0."""
+    from textgraphs_spark.operators.graphops import link_prediction_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {
+        (r.src, r.dst): (r.common, r.jaccard)
+        for r in link_prediction_jaccard(edges, min_common=2).collect()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_hub_cut(spark):
+    """With max_degree below the hub's degree, pairs whose only shared
+    neighbor is the hub vanish; pairs with an independent witness keep
+    their full-degree Jaccard."""
+    from textgraphs_spark.operators.graphops import link_prediction_jaccard
+
+    # hub 0 adjacent to 1..5; 1 and 2 also share witness 9
+    rows = [(0, i) for i in range(1, 6)] + [(1, 9), (2, 9)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    full = {
+        (r.src, r.dst)
+        for r in link_prediction_jaccard(edges, min_common=1).collect()
+    }
+    assert (3, 4) in full and (1, 2) in full
+    cut = {
+        (r.src, r.dst): (r.common, r.jaccard)
+        for r in link_prediction_jaccard(
+            edges, min_common=1, max_degree=3
+        ).collect()
+    }
+    assert (3, 4) not in cut            # hub-only evidence suppressed
+    # survivor keeps the EXACT full-graph score: common=1 (hub center
+    # cut), degrees still count every edge: deg(1)=deg(2)=2 -> 1/(2+2-1)
+    assert cut[(1, 2)] == (1, 0.333333)

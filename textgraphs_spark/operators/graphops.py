@@ -229,3 +229,149 @@ def girvan_newman_communities(
 
     rows = [(n0, min(c)) for c in comps for n0 in c]
     return edges.sparkSession.createDataFrame(rows, "node long, community long")
+
+
+def _normalized_edges(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b, self-loops dropped."""
+    return (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the canonical shuffle-efficient distributed triangle algorithm
+    (Suri & Vassilvitskii's MR orientation / GraphX's triangleCount
+    shape).
+
+    Why orientation matters at 10^12-edge scale: enumerating wedges from
+    the raw adjacency generates sum(deg^2) candidates — a hot node (a
+    stopword lemma, a head domain) with degree d contributes d^2 pairs.
+    Orienting every edge from its lower-(degree, node) endpoint to the
+    higher bounds every out-degree by O(sqrt(m)), so the wedge join is
+    bounded by m^1.5 TOTAL and the hot node's wedges are spread across
+    its (many, low-out-degree) neighbors instead of concentrating in one
+    task. Three shuffles end-to-end: degree agg, wedge self-join,
+    closing-edge join; each on keys Catalyst hash-partitions.
+
+    Returns (node, triangles) for every node in >= 1 triangle.
+    """
+    e = _normalized_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient u -> v iff (deg_u, u) < (deg_v, v); carry v's rank so wedge
+    # pairs can be ordered consistently with the orientation
+    oriented = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.col("db").alias("dv"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.col("b").alias("u"), F.col("a").alias("v"),
+                    F.col("da").alias("dv"),
+                )
+            ).alias("o")
+        )
+        .select("o.u", "o.v", "o.dv")
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz")
+    )
+    # wedges at u with (deg, node)-ordered endpoints y < z: the closing
+    # edge, if present, is oriented exactly y -> z
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"]).select("u", "y", "z")
+    # attribute each triangle to all three corners, then one hash agg
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_node
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    min_common: int = 2, max_degree: int | None = None,
+) -> DataFrame:
+    """Jaccard link prediction: for unconnected node pairs sharing >=
+    ``min_common`` neighbors, score = |N(a) & N(b)| / |N(a) | N(b)|.
+
+    The wedge join through a shared neighbor c generates deg(c)^2 pair
+    rows, so a hot hub (stopword lemma / head domain) dominates the
+    shuffle at scale. ``max_degree`` excludes such super-nodes from the
+    CENTER role (the standard stop-node cut in similarity joins);
+    degrees in the Jaccard denominator still count every edge, so
+    scores for surviving pairs stay exact and the cut only suppresses
+    pairs whose ONLY evidence is a hub (the pairs with the least signal
+    — a hub neighbor is shared by nearly everyone).
+    """
+    e = _normalized_edges(edges, src, dst)
+    und = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("deg"))
+    centers = und.select(F.col("nbr").alias("c"), F.col("node"))
+    if max_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("node").alias("c")
+        )
+        centers = centers.join(ok, "c")
+    p1 = centers.select("c", F.col("node").alias("x"))
+    p2 = centers.select("c", F.col("node").alias("y"))
+    common = (
+        p1.join(p2, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    # drop pairs already connected (link prediction proposes NEW edges)
+    cand = common.join(
+        e, (common["x"] == e["a"]) & (common["y"] == e["b"]), "left_anti"
+    )
+    scored = (
+        cand
+        .join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.col("x").alias("src"), F.col("y").alias("dst"), "common",
+            F.round(
+                F.col("common")
+                / (F.col("dx") + F.col("dy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored

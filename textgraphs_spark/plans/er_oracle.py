@@ -883,3 +883,81 @@ lab0 AS MATERIALIZED (
 {chain}
 SELECT node, label FROM lab{max_iter} ORDER BY node
 """
+
+
+def triangle_counts_sql(
+    table: str = "documents", *, max_docs: int = 50
+) -> str:
+    """Oracle for graphops.triangle_counts over the lemma graph of
+    doc_id < max_docs. The oracle enumerates triangles with the naive
+    ordered triple join (exact and cheap at oracle scale); the Spark
+    operator's degree-ordered orientation must produce the identical
+    per-node tally."""
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, count(*) AS triangles FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node ORDER BY node
+"""
+
+
+def link_prediction_sql(
+    table: str = "documents", *, max_docs: int = 50,
+    min_common: int = 2, max_degree: int | None = None,
+) -> str:
+    """Oracle for graphops.link_prediction_jaccard over the lemma graph
+    of doc_id < max_docs — wedge join through shared neighbors, hub
+    centers above max_degree cut, existing edges anti-joined."""
+    center_filter = (
+        f"JOIN deg dc ON dc.node = u.nbr AND dc.deg <= {max_degree}"
+        if max_degree is not None else ""
+    )
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+und AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM und GROUP BY node
+),
+centers AS (
+  SELECT u.nbr AS c, u.node FROM und u {center_filter}
+),
+common AS (
+  SELECT p1.node AS x, p2.node AS y, count(*) AS common
+  FROM centers p1 JOIN centers p2 ON p1.c = p2.c AND p1.node < p2.node
+  GROUP BY p1.node, p2.node
+  HAVING count(*) >= {min_common}
+),
+cand AS (
+  SELECT * FROM common cm
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cm.x AND e.b = cm.y)
+)
+SELECT cand.x AS src, cand.y AS dst, cand.common,
+       round(cand.common * 1.0 / (dx.deg + dy.deg - cand.common), 6)
+         AS jaccard
+FROM cand
+JOIN deg dx ON dx.node = cand.x
+JOIN deg dy ON dy.node = cand.y
+ORDER BY src, dst
+"""
