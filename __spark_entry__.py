@@ -258,6 +258,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs as dedup_minhash, one canonical keeper per cluster
         return WD.minhash_dedup_clusters(_docs(spark, sf_dir), threshold=0.7)
 
+    def winnow_fingerprints_q(spark, sf_dir):
+        # positional fingerprints (MOSS local scheme) — map-only array
+        # expressions per doc; the whole query is one projection + sort
+        return D.winnow_fingerprints(_docs(spark, sf_dir)).orderBy(
+            "doc_id", "pos"
+        )
+
+    def dedup_winnow(spark, sf_dir):
+        # containment channel: localizable shared spans, scored by
+        # shared / min(|fp|) — the quotation/plagiarism signal the
+        # set-level sketches (minhash/simhash) cannot provide
+        return D.winnow_near_dup_pairs(
+            _docs(spark, sf_dir), min_shared=2, max_df=1000
+        ).orderBy("left_id", "right_id")
+
     # ---- corpus curation (training-data pipeline) ------------------------
 
     def doc_repetition_signals(spark, sf_dir):
@@ -1011,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simhash_fingerprints": simhash_fingerprints,
         "dedup_minhash_clusters": dedup_minhash_clusters,
+        "winnow_fingerprints": winnow_fingerprints_q,
+        "dedup_winnow": dedup_winnow,
         # corpus-curation family
         "doc_repetition_signals": doc_repetition_signals,
         "boilerplate_ngrams": boilerplate_ngrams,
@@ -1373,7 +1390,9 @@ p AS (
 SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
 """
 
-    from textgraphs_spark.operators.dedup import minhash_oracle_sql
+    from textgraphs_spark.operators.dedup import (
+        minhash_oracle_sql, winnow_oracle_sql, winnow_pairs_oracle_sql,
+    )
     from textgraphs_spark.operators.multimodal import multimodal_oracle_sql
     from textgraphs_spark.operators.similarity import (
         ann_oracle_sql, ivf_oracle_sql, near_dup_lsh_oracle_sql,
@@ -1434,6 +1453,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_threshold_sweep": er_threshold_sweep_sql(),
         "er_blocking_stats": er_blocking_stats_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
+        "winnow_fingerprints": winnow_oracle_sql(),
+        "dedup_winnow": winnow_pairs_oracle_sql(min_shared=2, max_df=1000),
         "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
         "corpus_curation": corpus_curation_sql,
         "source_curation_rollup": source_rollup_sql,

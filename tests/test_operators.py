@@ -437,3 +437,64 @@ def test_salted_blocking_budget(spark):
     # unsalted the hot block would emit C(120,2) = 7140 pairs; 5 shards
     # cap it near 5 * C(24,2) = 1380 (pmod imbalance gives some slack)
     assert 0 < hot < 2500, hot
+
+
+def test_winnow_selection_semantics(spark):
+    """Local-min selection: first position always selects, strict <
+    collapses identical-gram runs to one fingerprint, docs shorter than
+    k tokens and NULL/empty texts produce no rows."""
+    from textgraphs_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "x " * 30),             # one gram repeated: 1 fingerprint
+        (1, "a b c d"),             # < k=5 tokens: none
+        (2, None), (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(d).collect():
+        got.setdefault(r.doc_id, []).append(r.pos)
+    assert got[0] == [1]
+    assert 1 not in got and 2 not in got and 3 not in got
+    assert got[4] and got[4][0] == 1 and sorted(got[4]) == got[4]
+
+
+def test_winnow_containment_quotation(spark):
+    """A short doc quoted verbatim inside a long doc scores high
+    containment (interior fingerprints of the quote re-select inside
+    the host; only boundary grams — windows spanning the splice — can
+    differ, an inherent property of positional schemes) — the signal
+    Jaccard-style channels dilute toward zero as the host grows."""
+    from textgraphs_spark.operators.dedup import winnow_near_dup_pairs
+
+    quote = ("we hold these truths to be self evident that all men are "
+             "created equal and endowed with certain unalienable rights")
+    filler = ("the committee met on tuesday to discuss the quarterly "
+              "budget and the agenda covered staffing facilities and the "
+              "annual review process for every department in the region ")
+    d = spark.createDataFrame(
+        [(0, quote), (1, filler * 3 + quote + filler)],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup_pairs(d, min_shared=1, max_df=10).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.left_id, p.right_id) == (0, 1) and p.containment >= 0.7
+
+
+def test_winnow_max_df_cuts_boilerplate(spark):
+    """A license line shared by every doc must not pair them once its
+    fingerprints exceed max_df; genuinely shared prose still pairs."""
+    from textgraphs_spark.operators.dedup import winnow_near_dup_pairs
+
+    boiler = "all rights reserved see the license file for details "
+    rows = [(i, boiler + f"unique filler number {i} " * 4) for i in range(6)]
+    rows += [(10, "shared private prose about winnowing fingerprints here"),
+             (11, "shared private prose about winnowing fingerprints here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.left_id, r.right_id)
+        for r in winnow_near_dup_pairs(d, min_shared=1, max_df=3).collect()
+    }
+    assert got == {(10, 11)}

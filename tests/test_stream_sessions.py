@@ -446,3 +446,55 @@ def test_stream_er_snapshot_pruning(spark, tmp_path):
     markers = [n for n in os.listdir(os.path.join(wd, "commits"))
                if not n.startswith(".")]  # Hadoop local-FS .crc sidecars
     assert sorted(markers) == ["v0-b0.json", "v1-b1.json", "v2-b2.json"]
+
+
+def test_stream_winnow_matches_batch(spark, tmp_path):
+    """Shared-fingerprint tallies from the stream == batch
+    winnow_near_dup_pairs on the same corpus, with the hot-fingerprint
+    cut composed from a batch mining pass (stop_fps)."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.dedup import (
+        winnow_fingerprints, winnow_near_dup_pairs,
+    )
+    from textgraphs_spark.streaming.events import stream_winnow_matches
+
+    boiler = "copyright header identical on every page of this site "
+    rows = [
+        (i, boiler + f"page body text {i} with enough distinct words "
+         + "to fingerprint reliably across the corpus", T0 + timedelta(minutes=i))
+        for i in range(4)
+    ]
+    dup = ("page body text 1 with enough distinct words to fingerprint "
+           "reliably across the corpus")
+    rows += [(9, boiler + dup, T0 + timedelta(minutes=9))]
+    src = str(tmp_path / "wdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    batch_docs = spark.read.parquet(src)
+    max_df = 3
+    fps = winnow_fingerprints(batch_docs).select("doc_id", "fp").distinct()
+    hot = fps.groupBy("fp").count().filter(F.col("count") > max_df).select("fp")
+
+    stream = spark.readStream.schema(batch_docs.schema).parquet(src)
+    out = stream_winnow_matches(
+        stream, watermark="10 minutes", max_lag="1 hour", stop_fps=hot,
+    )
+    from textgraphs_spark.streaming.events import run_available_now
+    run_available_now(out, checkpoint=str(tmp_path / "wck"), table_name="wm_out")
+    streamed = {
+        (r.left_id, r.right_id): r.shared
+        for r in spark.sql(
+            "SELECT left_id, right_id, count(DISTINCT fp) AS shared "
+            "FROM wm_out GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r.left_id, r.right_id): r.shared
+        for r in winnow_near_dup_pairs(
+            batch_docs, min_shared=1, max_df=max_df
+        ).collect()
+    }
+    assert streamed == batch and (1, 9) in batch

@@ -484,3 +484,208 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS-style positional fingerprints) — a sixth dedup channel
+# ---------------------------------------------------------------------------
+
+def _winnow_gram_hashes(text_col: str, k: int) -> "F.Column":
+    """array<bigint> of word k-gram hashes in position order — the top 60
+    bits of md5 over the space-joined gram (the engine/oracle-shared
+    idiom simhash pins). Docs shorter than k tokens get an empty array
+    (never a descending sequence(1,0) artifact); NULL text tokenizes to
+    [] so dirty rows contribute no fingerprints (the dedup-family
+    contract: no signal is not sameness)."""
+    toks = _TOKENS.format(c=f"coalesce({text_col}, '')")
+    return F.expr(
+        f"transform("
+        f" IF(size({toks}) >= {k}, sequence(1, size({toks}) - {k} + 1),"
+        f"    array()),"
+        f" i -> cast(conv(substring(md5("
+        f"   concat_ws(' ', slice({toks}, i, {k}))), 1, 15), 16, 10)"
+        f"  as bigint))"
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4,
+) -> DataFrame:
+    """Positional document fingerprints in the winnowing family
+    (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm),
+    using the paper's LOCAL selection scheme (§5): position p is
+    selected iff its k-gram hash is STRICTLY below every hash in the
+    preceding ``window - 1`` positions (first position always selects).
+    Expected density 1/window on md5-random hashes; unlike full
+    winnowing the every-window coverage guarantee is probabilistic
+    rather than hard, which suffices for containment scoring because
+    selection is a pure function of content — identical spans
+    fingerprint identically in every document that contains them. The
+    strict rule collapses identical-gram runs (boilerplate repetition)
+    to ONE fingerprint instead of one per position.
+
+    Unlike MinHash/SimHash (set-level sketches), winnowing keeps WHERE
+    the match is: shared (fp, pos) runs localize the copied span —
+    the plagiarism/quotation channel the set sketches can't provide.
+
+    Plan shape at 10^12 docs: the whole computation is ONE map-side
+    projection per doc (array expressions; no explode, no shuffle) until
+    the caller explodes the returned rows. Selection density is
+    ~2/(window+1) fingerprints per token, so the downstream index is a
+    small fraction of corpus token count.
+
+    Returns (id_col, pos, fp) — pos is the 1-based k-gram position.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            _winnow_gram_hashes(text_col, k).alias("_hs"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(winnow_select_expr(window))).alias("_s"),
+        )
+        .select(F.col(id_col), F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+
+
+def winnow_select_expr(window: int, hs: str = "_hs") -> str:
+    """SQL expression selecting the local-minimum fingerprints out of a
+    gram-hash array column ``hs`` as array<struct<pos int, fp bigint>> —
+    shared by the batch operator and the stateless streaming path
+    (streaming/events.py), so both select the identical positions."""
+    w = int(window)
+    assert w >= 2, "window must be >= 2 (window=1 selects every gram)"
+    return (
+        # sequence(1, 0) yields the DESCENDING [1, 0], so the empty-doc
+        # case must short-circuit before sequence() is evaluated
+        f"filter("
+        f" transform(IF(size({hs}) > 0, sequence(1, size({hs})), array()),"
+        f"  i -> struct(i AS pos, element_at({hs}, i) AS fp)),"
+        # strict <: NULL (empty preceding slice at pos 1) coalesces to
+        # selected; equal values do NOT re-select
+        f" s -> coalesce(s.fp < array_min("
+        f"   slice({hs}, greatest(1, s.pos - {w - 1}),"
+        f"         s.pos - greatest(1, s.pos - {w - 1}))), true))"
+    )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, window: int = 4, min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-dup/containment pairs sharing >= ``min_shared`` winnowing
+    fingerprints, scored by containment = shared / min(|fp_a|, |fp_b|)
+    (the MOSS report metric — robust to a small doc quoted inside a
+    large one, where Jaccard dilutes).
+
+    Scale shape mirrors the ngram inverted index: join docs through the
+    fingerprint posting list, so pair rows are bounded by sum over
+    fingerprints of C(df, 2) — and ``max_df`` drops boilerplate
+    fingerprints (df > max_df posting lists are navigation chrome /
+    license headers by construction: prose that common IS boilerplate),
+    which both bounds the quadratic term and de-noises the signal, the
+    same cut web-dedup pipelines apply to hot shingles.
+    """
+    fps = winnow_fingerprints(
+        docs, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(F.col(id_col).alias("doc"), "fp").distinct()
+    hot = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") > max_df
+    ).select("fp")
+    kept = fps.join(hot, "fp", "left_anti")
+    sizes = kept.groupBy("doc").agg(F.count("*").alias("n_fp"))
+    a = kept.select(F.col("doc").alias("left_id"), "fp")
+    b = kept.select(F.col("doc").alias("right_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("doc", "left_id")
+                   .withColumnRenamed("n_fp", "n_left"), "left_id")
+        .join(sizes.withColumnRenamed("doc", "right_id")
+                   .withColumnRenamed("n_fp", "n_right"), "right_id")
+        .select(
+            "left_id", "right_id", "shared",
+            F.round(
+                F.col("shared") / F.least("n_left", "n_right"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def winnow_oracle_sql(
+    table: str = "documents", *, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 5, window: int = 4,
+) -> str:
+    """DuckDB twin of winnow_fingerprints: same tokenization, the same
+    md5-top-60-bit gram hash, selection via a trailing window min."""
+    return f"""WITH d AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(coalesce({text_col}, '')),
+                     '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM {table}
+),
+g0 AS (
+  -- range() cannot take lateral column args as a table function, so the
+  -- per-doc position list unnests in the projection instead
+  SELECT {id_col}, toks,
+         unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS i
+  FROM d
+),
+g AS (
+  SELECT {id_col}, CAST(i AS INTEGER) AS pos,
+         CAST('0x' || substr(md5(array_to_string(toks[i:i+{k - 1}], ' ')),
+              1, 15) AS BIGINT) AS fp
+  FROM g0
+),
+s AS (
+  SELECT {id_col}, pos, fp,
+         min(fp) OVER (PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN {window - 1} PRECEDING AND 1 PRECEDING)
+           AS pmin
+  FROM g
+)
+SELECT {id_col}, pos, fp FROM s
+WHERE pmin IS NULL OR fp < pmin
+ORDER BY {id_col}, pos
+"""
+
+
+def winnow_pairs_oracle_sql(
+    table: str = "documents", *, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 5, window: int = 4,
+    min_shared: int = 2, max_df: int = 1000,
+) -> str:
+    """DuckDB twin of winnow_near_dup_pairs over the same fingerprints."""
+    fps = winnow_oracle_sql(
+        table, text_col=text_col, id_col=id_col, k=k, window=window
+    )
+    return f"""WITH fsel AS ({fps.rstrip()}
+),
+f AS (SELECT DISTINCT {id_col} AS doc, fp FROM fsel),
+kept AS (
+  SELECT doc, fp FROM f
+  WHERE fp NOT IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > {max_df})
+),
+sizes AS (SELECT doc, count(*) AS n_fp FROM kept GROUP BY doc),
+shared AS (
+  SELECT a.doc AS left_id, b.doc AS right_id, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING count(*) >= {min_shared}
+)
+SELECT s.left_id, s.right_id, s.shared,
+       round(s.shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc = s.left_id
+JOIN sizes sb ON sb.doc = s.right_id
+ORDER BY left_id, right_id
+"""

@@ -281,3 +281,81 @@ def stream_quality_signals(
         quality_col(text_col).alias("quality"),
         F.size(tokens_col(text_col)).alias("n_words"),
     )
+
+
+def stream_winnow_matches(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "1 hour",
+    k: int = 5,
+    window: int = 4,
+    stop_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming containment detection: each arriving document's
+    winnowing fingerprints (``dedup.winnow_fingerprints`` — the same
+    md5 gram hashes and local-min selection, computed STATELESSLY as
+    per-row array expressions) are matched against fingerprints of
+    documents seen within ``max_lag`` via a stream-stream self-join
+    keyed on the fingerprint value.
+
+    Emits one row PER SHARED FINGERPRINT — (left_id, right_id, left_ts,
+    right_ts, fp, left_pos, right_pos), earlier doc on the left (id
+    tie-break) — so downstream consumers get the positional match
+    localization batch ``winnow_near_dup_pairs`` aggregates away; a
+    windowed count over (left_id, right_id) reproduces its ``shared``
+    tally (pinned stream==batch in tests).
+
+    Boilerplate control at crawl scale: a hot fingerprint (license
+    header, navigation chrome) joins every pair of docs carrying it,
+    exactly the df-quadratic term the batch operator's ``max_df`` cuts.
+    A stream cannot compute document frequency, so the cut composes
+    with batch instead: pass ``stop_fps`` — any static DataFrame with
+    an ``fp`` column, e.g. the high-df fingerprints the last batch
+    curation run mined — and arriving fingerprints are anti-joined
+    against it (stream-static anti-join: stateless, broadcast-sized by
+    construction) BEFORE entering the stateful self-join.
+    """
+    from ..operators.dedup import _winnow_gram_hashes, winnow_select_expr
+
+    fps = (
+        docs_stream.select(
+            F.col(id_col),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            _winnow_gram_hashes(text_col, k).alias("_hs"),
+        )
+        .select(
+            F.col(id_col), F.col("_ts"),
+            F.explode(F.expr(winnow_select_expr(window))).alias("_s"),
+        )
+        .select(
+            F.col(id_col), F.col("_ts"),
+            F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"),
+        )
+    )
+    if stop_fps is not None:
+        fps = fps.join(stop_fps.select("fp").distinct(), "fp", "left_anti")
+    left = fps.select(
+        F.col(id_col).alias("left_id"), F.col("_ts").alias("left_ts"),
+        F.col("pos").alias("left_pos"), F.col("fp"),
+    ).withWatermark("left_ts", watermark)
+    right = fps.select(
+        F.col(id_col).alias("right_id"), F.col("_ts").alias("right_ts"),
+        F.col("pos").alias("right_pos"), F.col("fp").alias("rfp"),
+    ).withWatermark("right_ts", watermark)
+    return left.join(
+        right,
+        (F.col("fp") == F.col("rfp"))
+        & (
+            (F.col("left_ts") < F.col("right_ts"))
+            | ((F.col("left_ts") == F.col("right_ts"))
+               & (F.col("left_id") < F.col("right_id")))
+        )
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"interval {max_lag}")),
+    ).select(
+        "left_id", "right_id", "left_ts", "right_ts",
+        "fp", "left_pos", "right_pos",
+    )
