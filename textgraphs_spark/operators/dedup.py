@@ -589,13 +589,22 @@ def winnow_near_dup_pairs(
     which both bounds the quadratic term and de-noises the signal, the
     same cut web-dedup pipelines apply to hot shingles.
     """
+    from pyspark.sql.window import Window
+
     fps = winnow_fingerprints(
         docs, text_col=text_col, id_col=id_col, k=k, window=window
     ).select(F.col(id_col).alias("doc"), "fp").distinct()
-    hot = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") > max_df
-    ).select("fp")
-    kept = fps.join(hot, "fp", "left_anti")
+    # df cut via an unordered count window on the posting key — ONE
+    # shuffle, no hot-fp self-anti-join; then materialize: kept feeds
+    # the size agg AND both pair-join sides, and its lineage starts at
+    # a full corpus fingerprint pass (a .explain audit showed 8 corpus
+    # scans without the checkpoint)
+    kept = (
+        fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()
+    )
     sizes = kept.groupBy("doc").agg(F.count("*").alias("n_fp"))
     a = kept.select(F.col("doc").alias("left_id"), "fp")
     b = kept.select(F.col("doc").alias("right_id"), "fp")

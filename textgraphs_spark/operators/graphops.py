@@ -265,7 +265,12 @@ def triangle_counts(
 
     Returns (node, triangles) for every node in >= 1 triangle.
     """
-    e = _normalized_edges(edges, src, dst)
+    # materialize the normalized edge set: it feeds the degree agg, both
+    # orientation joins, the wedge self-join, and the closing join — an
+    # unmaterialized lineage would recompute the upstream edge derivation
+    # (often a full corpus extraction) once PER REFERENCE (a .explain
+    # audit showed 45 corpus scans on the lemma-graph query without this)
+    e = _normalized_edges(edges, src, dst).localCheckpoint()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -293,7 +298,7 @@ def triangle_counts(
             ).alias("o")
         )
         .select("o.u", "o.v", "o.dv")
-    )
+    ).localCheckpoint()  # referenced by both wedge sides + the closing join
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
     )
@@ -337,7 +342,10 @@ def link_prediction_jaccard(
     pairs whose ONLY evidence is a hub (the pairs with the least signal
     — a hub neighbor is shared by nearly everyone).
     """
-    e = _normalized_edges(edges, src, dst)
+    # materialized for the same reason as triangle_counts: e feeds the
+    # adjacency (twice), the degree agg, both wedge sides, and the
+    # existing-edge anti-join — each a fresh upstream recompute otherwise
+    e = _normalized_edges(edges, src, dst).localCheckpoint()
     und = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
