@@ -196,6 +196,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), min_common=2, max_degree=40
         ).orderBy("src", "dst")
 
+    def graph_kcore(spark, sf_dir):
+        # iterative peel to the k=3 core (the link-farm/quality signal);
+        # converges on this corpus in 2 rounds, oracle unrolls 8
+        from textgraphs_spark.operators.graphops import kcore
+
+        return kcore(
+            _lemma_graph_edges(spark, sf_dir), k=3
+        ).orderBy("node")
+
     def gor_affinity(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").join(
             _t(spark, sf_dir, "nation"),
@@ -1017,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities_label_prop": communities_label_prop,
         "graph_triangles": graph_triangles,
         "graph_link_prediction": graph_link_prediction,
+        "graph_kcore": graph_kcore,
         "gor_affinity": gor_affinity,
         # dedup family
         "dedup_exact": dedup_exact,
@@ -1399,9 +1409,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_oracle import (
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
-        extract_mentions_sql, label_propagation_sql, lemma_edges_sql,
-        lemma_nodes_sql, link_prediction_sql, ranked_phrases_sql,
-        triangle_counts_sql,
+        extract_mentions_sql, kcore_sql, label_propagation_sql,
+        lemma_edges_sql, lemma_nodes_sql, link_prediction_sql,
+        ranked_phrases_sql, triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -1435,6 +1445,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "graph_link_prediction": link_prediction_sql(
             min_common=2, max_degree=40
         ),
+        "graph_kcore": kcore_sql(k=3),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

@@ -180,3 +180,29 @@ def test_link_prediction_hub_cut(spark):
     # survivor keeps the EXACT full-graph score: common=1 (hub center
     # cut), degrees still count every edge: deg(1)=deg(2)=2 -> 1/(2+2-1)
     assert cut[(1, 2)] == (1, 0.333333)
+
+
+def test_kcore_peels_tendrils(spark):
+    """K4 core survives k=3 peeling; a chain hanging off it peels away
+    over MULTIPLE rounds (each round exposes the next link), pinning the
+    iterative fixed point — and every survivor reports core degree 3."""
+    from textgraphs_spark.operators.graphops import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tendril = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + tendril, "src long, dst long")
+    got = {r.node: r.core_deg for r in kcore(edges, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascade_and_empty(spark):
+    """A triangle chain where removing one low-degree node cascades:
+    k=3 on a pure cycle empties the graph (schema-stable empty result);
+    k=2 keeps the whole cycle."""
+    from textgraphs_spark.operators.graphops import kcore
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    edges = spark.createDataFrame(cycle, "src long, dst long")
+    assert kcore(edges, k=3).count() == 0
+    k2 = {r.node: r.core_deg for r in kcore(edges, k=2).collect()}
+    assert k2 == {i: 2 for i in range(6)}

@@ -383,3 +383,52 @@ def link_prediction_jaccard(
         )
     )
     return scored
+
+
+def kcore(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    k: int = 3, max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal induced subgraph where every
+    node has degree >= k), by distributed iterative peeling — the graph
+    signal web-quality pipelines use to separate organically-linked
+    content from link farms (farms collapse under peeling; dense
+    organic cores survive).
+
+    Each round recomputes degrees WITHIN the surviving induced subgraph
+    (two semi-joins + one agg — keyed shuffles only) and drops nodes
+    below k; the fixed point is reached when no node drops, checked
+    with a 1-row count aggregate (the bounded-collect convergence
+    pattern pagerank/components use). Rounds needed = peeling depth,
+    typically tens even on web graphs. Extra rounds after convergence
+    are no-ops, so a fixed-round oracle unrolling agrees with the
+    converged result.
+
+    Returns (node, core_deg) — survivors with their degree inside the
+    k-core (all >= k).
+    """
+    e = _normalized_edges(edges, src, dst).localCheckpoint()
+    und = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    alive = und.select("node").distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        deg = (
+            und.join(alive, "node")
+            .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.count("*").alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+        )
+        survivors = deg.localCheckpoint()
+        n_next = survivors.count()
+        alive = survivors.select("node")
+        if n_next == n_alive:
+            return survivors
+        n_alive = n_next
+        if n_alive == 0:
+            break
+    return edges.sparkSession.createDataFrame(
+        [], "node string, core_deg long"
+    ) if n_alive == 0 else survivors

@@ -961,3 +961,41 @@ JOIN deg dx ON dx.node = cand.x
 JOIN deg dy ON dy.node = cand.y
 ORDER BY src, dst
 """
+
+
+def kcore_sql(
+    table: str = "documents", *, max_docs: int = 50,
+    k: int = 3, rounds: int = 8,
+) -> str:
+    """Oracle for graphops.kcore over the lemma graph of doc_id <
+    max_docs: the peel unrolled ``rounds`` times. The fixed point is
+    stable (peeling a converged core is a no-op), so any unroll depth
+    >= the true peel depth matches the Spark operator's converged
+    result; the organic corpus converges in 2 rounds, 8 gives margin
+    (tests pin a deeper synthetic peel)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = f"alive{i - 1}"
+        steps.append(f"""alive{i} AS MATERIALIZED (
+  SELECT u.node, count(*) AS core_deg
+  FROM und u
+  JOIN {prev} x ON u.node = x.node
+  JOIN {prev} y ON u.nbr = y.node
+  GROUP BY u.node HAVING count(*) >= {k}
+)""")
+    chain = ",\n".join(steps)
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+und AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+alive0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS core_deg FROM und),
+{chain}
+SELECT node, core_deg FROM alive{rounds} ORDER BY node
+"""
