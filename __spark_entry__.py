@@ -196,6 +196,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), min_common=2, max_degree=40
         ).orderBy("src", "dst")
 
+    def graph_ppr(spark, sf_dir):
+        # random-walk-with-restart relevance around the 5 heaviest lemma
+        # nodes — the entity-disambiguation proximity signal; rank mass
+        # concentrates near the seeds instead of spreading uniformly
+        from textgraphs_spark.operators.pagerank import personalized_pagerank
+
+        ex = extract_graphs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 50), parts=("edges",)
+        )
+        edges = corpus_edges(ex).select(
+            F.col("src_key").alias("src"), F.col("dst_key").alias("dst"),
+            F.col("count").alias("weight"),
+        ).localCheckpoint()  # feeds seed selection AND the walk
+        tw = (
+            edges.select(F.col("src").alias("node"), F.col("weight").cast("double").alias("w"))
+            .unionAll(edges.select(F.col("dst").alias("node"), F.col("weight").cast("double").alias("w")))
+            .groupBy("node").agg(F.sum("w").alias("tw"))
+        )
+        seeds = tw.orderBy(F.desc("tw"), "node").limit(5).select("node")
+        pr = personalized_pagerank(edges, seeds, max_iter=15)
+        return (
+            pr.filter(F.col("rank") > 0)
+            .orderBy(F.desc(F.round("rank", 9)), "node").limit(50)
+            .select("node", F.round("rank", 6).alias("rank"))
+        )
+
     def graph_kcore(spark, sf_dir):
         # iterative peel to the k=3 core (the link-farm/quality signal);
         # converges on this corpus in 2 rounds, oracle unrolls 8
@@ -1027,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "graph_link_prediction": graph_link_prediction,
         "graph_kcore": graph_kcore,
+        "graph_ppr": graph_ppr,
         "gor_affinity": gor_affinity,
         # dedup family
         "dedup_exact": dedup_exact,
@@ -1411,7 +1438,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, kcore_sql, label_propagation_sql,
         lemma_edges_sql, lemma_nodes_sql, link_prediction_sql,
-        ranked_phrases_sql, triangle_counts_sql,
+        personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -1446,6 +1473,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
             min_common=2, max_degree=40
         ),
         "graph_kcore": kcore_sql(k=3),
+        "graph_ppr": personalized_pagerank_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

@@ -498,3 +498,54 @@ def test_winnow_max_df_cuts_boilerplate(spark):
         for r in winnow_near_dup_pairs(d, min_shared=1, max_df=3).collect()
     }
     assert got == {(10, 11)}
+
+
+def test_personalized_pagerank_semantics(spark):
+    """Walk-with-restart invariants: total mass conserved at 1 (dangling
+    restarts at seeds), seed-side mass dominates on a symmetric barbell,
+    and nodes unreachable from the seeds score exactly 0."""
+    from textgraphs_spark.operators.pagerank import personalized_pagerank
+
+    # two triangles bridged at 3-4, plus an isolated directed pair 20->21
+    # unreachable from the left triangle
+    tri1 = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (6, 4), (5, 4), (6, 5), (4, 6)]
+    rows = tri1 + tri2 + [(3, 4), (4, 3), (20, 21)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pr = {r.node: r.rank for r in
+          personalized_pagerank(edges, seeds, weight=None).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[1] == max(pr.values())
+    left, right = pr[1] + pr[2] + pr[3], pr[4] + pr[5] + pr[6]
+    assert left > right > 0
+    assert pr[20] == 0.0 and pr[21] == 0.0
+
+
+def test_personalized_pagerank_all_seeds_is_uniform_pagerank(spark):
+    """With every node in the seed set the restart distribution is
+    uniform, so PPR must reproduce plain PageRank to float precision."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.pagerank import (
+        pagerank, personalized_pagerank,
+    )
+
+    rows = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0), (4, 1, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
+    a = {r.node: r.rank for r in pagerank(edges).collect()}
+    b = {r.node: r.rank for r in personalized_pagerank(edges, nodes).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[n] - b[n]) < 1e-9 for n in a)
+
+
+def test_personalized_pagerank_rejects_absent_seeds(spark):
+    import pytest
+
+    from textgraphs_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, seeds, weight=None)

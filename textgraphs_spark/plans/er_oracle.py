@@ -999,3 +999,122 @@ alive0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS core_deg FROM und),
 {chain}
 SELECT node, core_deg FROM alive{rounds} ORDER BY node
 """
+
+
+def ppr_ctes(
+    *,
+    edges: str,
+    seeds: str,
+    max_iter: int,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    prefix: str = "pp",
+) -> tuple[str, str]:
+    """Unrolled personalized-PageRank CTE chain over ``edges(src, dst,
+    w)`` with restart distribution uniform over ``seeds(node)`` —
+    mirrors operators/pagerank.py::personalized_pagerank including the
+    adaptive early stop (r0 = s; dangling mass restarts at seeds).
+    Returns (ctes_sql, final_cte_name)."""
+    p = prefix
+    parts = [f"""{p}_e AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM {edges} GROUP BY src, dst
+),
+{p}_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {p}_e UNION ALL SELECT dst FROM {p}_e
+  )
+),
+{p}_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM {p}_nodes),
+{p}_seeds AS MATERIALIZED (
+  SELECT DISTINCT s.node FROM {seeds} s JOIN {p}_nodes nd ON s.node = nd.node
+),
+{p}_ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM {p}_seeds),
+{p}_outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM {p}_e GROUP BY src),
+{p}_trans AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.out_w AS prob
+  FROM {p}_e e JOIN {p}_outw o ON e.src = o.src
+),
+{p}_svec AS MATERIALIZED (
+  SELECT nd.node,
+         CASE WHEN s.node IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT ns FROM {p}_ns) END AS s
+  FROM {p}_nodes nd LEFT JOIN {p}_seeds s ON nd.node = s.node
+),
+{p}_r0 AS MATERIALIZED (SELECT node, s AS rank FROM {p}_svec)"""]
+    for k in range(1, max_iter + 1):
+        prev = f"{p}_r{k - 1}"
+        parts.append(f"""{p}_d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM {prev} r LEFT JOIN {p}_outw o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+{p}_c{k} AS MATERIALIZED (
+  SELECT t.dst, sum(r.rank * t.prob) AS contrib
+  FROM {prev} r JOIN {p}_trans t ON r.node = t.src
+  GROUP BY t.dst
+),
+{p}_r{k} AS MATERIALIZED (
+  SELECT v.node,
+         (1.0 - {alpha}) * v.s
+         + {alpha} * (coalesce(c.contrib, 0.0)
+                      + (SELECT dm FROM {p}_d{k}) * v.s) AS rank
+  FROM {p}_svec v LEFT JOIN {p}_c{k} c ON v.node = c.dst
+),
+{p}_delta{k} AS MATERIALIZED (
+  SELECT sum(abs(a.rank - b.rank)) AS v
+  FROM {p}_r{k} a JOIN {prev} b ON a.node = b.node
+)""")
+    stop_cases = "\n    ".join(
+        f"WHEN (SELECT v FROM {p}_delta{k}) < (SELECT n FROM {p}_n) * {tol} THEN {k}"
+        for k in range(1, max_iter + 1)
+    )
+    tagged_union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, node, rank FROM {p}_r{k}" for k in range(1, max_iter + 1)
+    )
+    parts.append(f"""{p}_stop AS MATERIALIZED (
+  SELECT CASE
+    {stop_cases}
+    ELSE {max_iter} END AS k
+),
+{p}_all AS (
+  {tagged_union}
+),
+{p}_final AS (
+  SELECT node, rank FROM {p}_all WHERE k = (SELECT k FROM {p}_stop)
+)""")
+    return ",\n".join(parts), f"{p}_final"
+
+
+def personalized_pagerank_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 15,
+    n_seeds: int = 5, top: int = 50,
+) -> str:
+    """Oracle for graph_ppr: lemma-graph edges of doc_id < max_docs,
+    seeds = the ``n_seeds`` heaviest nodes by total in+out edge weight
+    (node ASC tie-break — deterministic in both engines), personalized
+    PageRank, top ranks."""
+    pr, final = ppr_ctes(
+        edges="pprin", seeds="pprseeds", max_iter=max_iter, prefix="pp"
+    )
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+corpus_e AS MATERIALIZED (
+  SELECT src_key, dst_key, CAST(sum(count) AS BIGINT) AS weight
+  FROM edge_rows GROUP BY src_key, dst_key, kind, rel
+),
+pprin AS (SELECT src_key AS src, dst_key AS dst, weight AS w FROM corpus_e),
+pprseeds AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, sum(w) AS tw FROM (
+      SELECT src AS node, CAST(w AS DOUBLE) AS w FROM pprin
+      UNION ALL SELECT dst, CAST(w AS DOUBLE) FROM pprin
+    ) GROUP BY node
+  ) ORDER BY tw DESC, node LIMIT {n_seeds}
+),
+{pr}
+SELECT node, round(rank, 6) AS rank
+FROM {final}
+WHERE rank > 0
+ORDER BY round(rank, 9) DESC, node
+LIMIT {top}
+"""
