@@ -1002,6 +1002,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(eval_entities(spark), max_block_size=50)
 
+    def pii_signals(spark, sf_dir):
+        # per-doc PII census (emails/phones/IPs/SSN-shaped ids + density)
+        # over the RNG-free PII corpus its oracle regenerates in SQL;
+        # map-only codegen, zero shuffles at any scale
+        from textgraphs_spark.operators.pii import pii_signals as sig
+        from textgraphs_spark.sources.pages import pii_pages
+
+        return sig(pii_pages(spark))
+
+    def pii_redact(spark, sf_dir):
+        # the ACTION for the PII family: typed-placeholder redaction,
+        # counts taken on the raw text in the same projection
+        from textgraphs_spark.operators.pii import redact_pii
+        from textgraphs_spark.sources.pages import pii_pages
+
+        return redact_pii(pii_pages(spark))
+
     # ORDERING CONTRACT: the driver's correctness harness samples a
     # prefix of this dict (round 3 recorded exactly the first 50 keys),
     # so operator-critical queries that have never (or least recently)
@@ -1031,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (never driver-verified yet)
         "boilerplate_removal": boilerplate_removal,
         "stratified_sample": stratified_sample,
+        "pii_signals": pii_signals,
+        "pii_redact": pii_redact,
         "events_ntile_scalable": events_ntile_scalable,
         "per_source_cap_windowless": per_source_cap_windowless,
         "cross_doc_repetition": cross_doc_repetition,
@@ -1310,6 +1329,15 @@ FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 
     boilerplate_removal_sql = boilerplate_removal_select(boiler_pages_sql())
 
+    # PII census + redaction: the oracle regenerates the PII corpus
+    # (pii_pages_sql) and applies the shared twins — same Java/RE2
+    # common-syntax patterns, same chained-replacement order
+    from textgraphs_spark.operators.pii import pii_redact_select, pii_signals_select
+    from textgraphs_spark.sources.pages import pii_pages_sql
+
+    pii_signals_sql = pii_signals_select(pii_pages_sql())
+    pii_redact_sql = pii_redact_select(pii_pages_sql())
+
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
@@ -1500,6 +1528,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "url_dedup": url_dedup_sql,
         "corpus_sample": corpus_sample_sql,
         "boilerplate_removal": boilerplate_removal_sql,
+        "pii_signals": pii_signals_sql,
+        "pii_redact": pii_redact_sql,
         "stratified_sample": stratified_sample_sql,
         # the scalable exact forms are VALUE-IDENTICAL to the window
         # forms by construction — they share the same oracles

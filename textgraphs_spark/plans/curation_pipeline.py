@@ -11,6 +11,9 @@ pipeline (plans.staged.StagedPipeline).
                     keeps — line df is computed on the KEPT corpus, so a
                     near-dup flood cannot inflate a line over the
                     threshold after it was already discarded)
+      → redacted_docs (optional: typed-placeholder PII redaction over the
+                       final text — clean_docs when the boilerplate stage
+                       ran, else the keeps; map-only, no shuffle)
       → shard (optional: reproducible deterministic_sample of the keeps)
 
 Re-running with the same workdir resumes from the last completed stage;
@@ -36,6 +39,7 @@ class CurationPipeline(StagedPipeline):
                  max_top_bigram_frac: float = 0.2,
                  sample_fraction: float | None = None,
                  boilerplate_min_df: int | None = None,
+                 redact_pii: bool = False,
                  **minhash_kwargs):
         super().__init__(spark, workdir)
         self.langs = langs
@@ -46,6 +50,7 @@ class CurationPipeline(StagedPipeline):
         # None = stage off; an int enables remove_boilerplate_lines over
         # the kept corpus at that distinct-doc line-frequency threshold
         self.boilerplate_min_df = boilerplate_min_df
+        self.redact_pii = redact_pii
         self.minhash_kwargs = minhash_kwargs
 
     def run(self, docs: DataFrame, id_col: str = "doc_id",
@@ -73,6 +78,20 @@ class CurationPipeline(StagedPipeline):
                     kept, min_df=self.boilerplate_min_df,
                     text_col=text_col, id_col=id_col,
                 ),
+            )
+        if self.redact_pii:
+            from ..operators.pii import redact_pii as _redact
+
+            # redact the FINAL text a trainer would see: the boilerplate-
+            # stripped corpus when that stage ran, else the raw keeps
+            src, tc = (
+                (out["clean_docs"], "clean_text")
+                if "clean_docs" in out
+                else (kept, text_col)
+            )
+            out["redacted_docs"] = self._stage(
+                "redacted_docs",
+                lambda: _redact(src, text_col=tc, id_col=id_col),
             )
         if self.sample_fraction is not None:
             shard_ids = W.deterministic_sample(

@@ -414,3 +414,76 @@ FROM (
   FROM range(0, {n_pages}) t(i)
 )
 """
+
+
+def pii_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic page corpus for the PII family — pure index
+    arithmetic (RNG-free), regenerated bit-identically by
+    ``pii_pages_sql``. Page ``i`` mixes, on residue-controlled lines:
+
+    * emails (``i % 3 == 0``), one line with TWO emails (``i % 11 == 7``);
+    * 3-3-4 phone numbers (``i % 4 == 1``);
+    * dotted-quad IPs (``i % 5 == 2``) with octets spanning 1–3 digits;
+    * 3-2-4 SSN-shaped ids (``i % 7 == 3``);
+    * NEGATIVE decoys on every page (version strings, decimals) and on
+      ``i % 6 == 5`` (``user@localhost`` — no TLD; short decimals) that
+      a correct pattern set must NOT count or rewrite.
+    """
+    i = F.col("id")
+
+    def d(x):
+        return x.cast("int")
+
+    l0 = F.format_string(
+        "article %d body text with price 3.50 and version 1.2.3", d(i)
+    )
+    l1 = F.when(
+        i % 3 == 0,
+        F.format_string("contact user%d@example%d.com for details", d(i), d(i % 5)),
+    )
+    l2 = F.when(
+        i % 4 == 1,
+        F.format_string(
+            "call 555-%d-%d today", d(i * 7 % 900 + 100), d(i * 11 % 9000 + 1000)
+        ),
+    )
+    l3 = F.when(
+        i % 5 == 2,
+        F.format_string(
+            "served from 10.%d.%d.%d", d(i % 256), d(i * 3 % 256), d(i % 100)
+        ),
+    )
+    l4 = F.when(
+        i % 7 == 3, F.format_string("ref 123-45-%d", d(i % 9000 + 1000))
+    )
+    l5 = F.when(
+        i % 6 == 5, F.lit("user@localhost and 12.34 are not pii")
+    )
+    l6 = F.when(
+        i % 11 == 7,
+        F.format_string("mail a%d@b%d.org or c%d@d%d.net", d(i), d(i % 3), d(i), d(i % 3)),
+    )
+    text = F.concat_ws("\n", l0, l1, l2, l3, l4, l5, l6)
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def pii_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``pii_pages`` — keep the residues and formats in
+    lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  concat_ws(chr(10),
+    'article ' || i || ' body text with price 3.50 and version 1.2.3',
+    CASE WHEN i % 3 = 0 THEN
+      'contact user' || i || '@example' || (i % 5) || '.com for details' END,
+    CASE WHEN i % 4 = 1 THEN
+      'call 555-' || (i * 7 % 900 + 100) || '-' || (i * 11 % 9000 + 1000) || ' today' END,
+    CASE WHEN i % 5 = 2 THEN
+      'served from 10.' || (i % 256) || '.' || (i * 3 % 256) || '.' || (i % 100) END,
+    CASE WHEN i % 7 = 3 THEN 'ref 123-45-' || (i % 9000 + 1000) END,
+    CASE WHEN i % 6 = 5 THEN 'user@localhost and 12.34 are not pii' END,
+    CASE WHEN i % 11 = 7 THEN
+      'mail a' || i || '@b' || (i % 3) || '.org or c' || i || '@d' || (i % 3) || '.net' END
+  ) AS text
+FROM range(0, {n_pages}) t(i)
+"""

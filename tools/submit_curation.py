@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--boilerplate-min-df", type=int, default=None,
                     help="also emit clean_docs: strip exact lines shared "
                          "by >= this many kept docs (C4-style)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="also emit redacted_docs: typed-placeholder PII "
+                         "redaction over the final curated text")
     ap.add_argument("--shuffle-partitions", type=int, default=0,
                     help="spark.sql.shuffle.partitions (0 = cluster default)")
     args = ap.parse_args()
@@ -79,6 +82,7 @@ def main() -> None:
         quality_min=args.quality_min,
         sample_fraction=args.sample_fraction,
         boilerplate_min_df=args.boilerplate_min_df,
+        redact_pii=args.redact_pii,
         threshold=args.threshold,
     )
     out = pipe.run(docs, id_col=args.id_col, text_col=args.text_col)
@@ -94,6 +98,9 @@ def main() -> None:
     if "clean_docs" in out:
         n_rm = out["clean_docs"].agg(F.sum("n_removed")).collect()[0][0] or 0
         line += f"; stripped {n_rm} boilerplate lines"
+    if "redacted_docs" in out:
+        n_red = out["redacted_docs"].agg(F.sum("n_redacted")).collect()[0][0] or 0
+        line += f"; redacted {n_red} PII spans"
     if shard is not None:
         line += f"; shard {shard} docs"
     print(line + f"; stages at {args.workdir}")
