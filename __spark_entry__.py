@@ -1002,6 +1002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(eval_entities(spark), max_block_size=50)
 
+    def dedup_paragraphs(spark, sf_dir):
+        # RefinedWeb-style exact paragraph dedup, keep-FIRST occurrence
+        # corpus-wide by (doc_id, pos); over the multi-line boiler corpus
+        # the template lines survive only in their first host page
+        from textgraphs_spark.sources.pages import boiler_pages
+
+        return WD.dedup_paragraphs(boiler_pages(spark))
+
     def pii_signals(spark, sf_dir):
         # per-doc PII census (emails/phones/IPs/SSN-shaped ids + density)
         # over the RNG-free PII corpus its oracle regenerates in SQL;
@@ -1050,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "pii_signals": pii_signals,
         "pii_redact": pii_redact,
+        "dedup_paragraphs": dedup_paragraphs,
         "events_ntile_scalable": events_ntile_scalable,
         "per_source_cap_windowless": per_source_cap_windowless,
         "cross_doc_repetition": cross_doc_repetition,
@@ -1338,6 +1347,12 @@ FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
     pii_signals_sql = pii_signals_select(pii_pages_sql())
     pii_redact_sql = pii_redact_select(pii_pages_sql())
 
+    # paragraph dedup: oracle regenerates the boiler corpus and applies
+    # the shared keep-first twin (same (doc_id, pos) winner rule)
+    from textgraphs_spark.operators.webdata import dedup_paragraphs_select
+
+    dedup_paragraphs_sql = dedup_paragraphs_select(boiler_pages_sql())
+
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
@@ -1530,6 +1545,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "boilerplate_removal": boilerplate_removal_sql,
         "pii_signals": pii_signals_sql,
         "pii_redact": pii_redact_sql,
+        "dedup_paragraphs": dedup_paragraphs_sql,
         "stratified_sample": stratified_sample_sql,
         # the scalable exact forms are VALUE-IDENTICAL to the window
         # forms by construction — they share the same oracles

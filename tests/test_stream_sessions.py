@@ -498,3 +498,37 @@ def test_stream_winnow_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and (1, 9) in batch
+
+
+def test_stream_redact_pii_matches_batch(spark, tmp_path):
+    """Stateless streaming PII redaction must emit exactly the batch
+    operator's values — scrub-on-arrival before any stateful stage."""
+    import pandas as pd
+
+    from textgraphs_spark.operators.pii import redact_pii
+    from textgraphs_spark.streaming.events import stream_redact_pii
+
+    rows = [
+        (0, "reach me at jo@mail.co or 555-123-4567"),
+        (1, "hosts 192.168.0.1, ssn 987-65-4321"),
+        (2, "user@localhost and v1.2.3 stay put"),
+        (3, ""),
+        (4, None),
+    ]
+    src = tmp_path / "pii_src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src / "p.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = stream_redact_pii(stream)
+    assert out.isStreaming
+    run_available_now(out, checkpoint=str(tmp_path / "pck"), table_name="pii_out")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM pii_out").collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["doc_id"]: tuple(r)[1:] for r in redact_pii(batch).collect()}
+    assert got == want and len(got) == 5
+    assert got[0][0] == "reach me at <EMAIL> or <PHONE>"
+    assert got[2][0] == rows[2][1]  # decoys untouched

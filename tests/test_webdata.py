@@ -809,3 +809,78 @@ def test_pack_sequences_contiguity_and_shard_stability(spark):
     again = {(r["doc_id"], r["seq_id"], r["offset"])
              for r in W.pack_sequences(docs.repartition(13), 16, n_shards=4).collect()}
     assert again == {(r["doc_id"], r["seq_id"], r["offset"]) for r in out}
+
+
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    """Keep-FIRST: the (doc_id, pos)-earliest occurrence of a repeated
+    paragraph survives, all later exact repeats drop; empty paragraphs
+    always survive; in-doc repeats also dedup (first stays)."""
+    rows = [
+        (0, "alpha one\nshared block\nalpha two"),
+        (1, "shared block\nbeta one\n\nshared block"),
+        (2, "gamma\nshared block"),
+        (3, ""),
+        (4, None),
+        (5, "delta\ndelta\ndelta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in W.dedup_paragraphs(docs).collect()}
+    assert got[0]["clean_text"] == "alpha one\nshared block\nalpha two"
+    assert got[0]["n_removed"] == 0
+    # doc 1 loses BOTH copies (winner lives in doc 0); empty line survives
+    assert got[1]["clean_text"] == "beta one\n"
+    assert got[1]["n_removed"] == 2
+    assert got[2]["clean_text"] == "gamma" and got[2]["n_removed"] == 1
+    assert got[3]["clean_text"] == "" and got[3]["n_paras"] == 1
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "delta" and got[5]["n_removed"] == 2
+
+
+def test_dedup_paragraphs_fuzz_parity(spark):
+    """Engine-parity fuzz: random multi-line corpora (repeated pool
+    paragraphs, unique lines, empties, unicode, quotes, NULL text)
+    through dedup_paragraphs vs the shared DuckDB twin — the same SQL
+    the driver oracle applies."""
+    import random
+
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import dedup_paragraphs_select
+
+    rng = random.Random(20260818)
+    pool = ["shared para", "útf ¶ lïne ©", "it's a 'quoted' para",
+            "   indented   ", "tail  spaces  "]
+    rows = []
+    for i in range(220):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            r = rng.random()
+            if r < 0.45:
+                lines.append(rng.choice(pool))
+            elif r < 0.85:
+                lines.append(f"unique {i} {rng.randint(0, 9)}")
+            else:
+                lines.append("")
+        text = "\n".join(lines)
+        if rng.random() < 0.05:
+            text = None
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in W.dedup_paragraphs(docs).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, %s)" % (i, "NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        for i, t in rows
+    )
+    src = ("SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+           f"FROM (VALUES {vals}) t(doc_id, text)")
+    want = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(dedup_paragraphs_select(src)).fetchall()
+    }
+    assert got == want and len(got) == len(rows)
+    assert any(v[2] > 0 for v in got.values())   # dedup actually fired
+    assert any(v[2] == 0 for v in got.values())  # and some docs untouched

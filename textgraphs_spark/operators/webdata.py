@@ -547,6 +547,100 @@ FROM d CROSS JOIN bl
 """
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style EXACT paragraph dedup with keep-FIRST semantics:
+    the first corpus-wide occurrence of each paragraph (ordered by
+    ``(id, position)``) survives; every later exact repeat is dropped
+    from its document — (id, clean_text, n_paras, n_removed). The
+    granularity between line-level boilerplate stripping (which needs a
+    df threshold) and doc-level dedup (which needs near-total overlap):
+    a paragraph lifted verbatim into 40 other pages vanishes from all
+    40, while its origin keeps it. Empty paragraphs carry no signal and
+    always survive; NULL text is ''.
+
+    Plan shape at scale: explode → ONE md5-keyed winner aggregation
+    (min struct per hash — partial agg absorbs hot paragraphs map-side)
+    → md5-keyed equi-join back (never the full paragraph text on the
+    shuffle wire) → one doc-keyed positional reassembly. Winner identity
+    rides a 128-bit hash; a cross-paragraph md5 collision (2^-64 at
+    10^12 paras) could only drop one extra paragraph — the same
+    collision budget the minhash/winnow channels document.
+
+    ``delim`` must be regex-safe as a split pattern (it is also the
+    rejoin separator); the newline default treats lines as paragraphs,
+    matching the C4 convention used by ``remove_boilerplate_lines``.
+    """
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    paras = base.select(
+        F.col(id_col), F.posexplode(F.split("_t", delim)).alias("pos", "para")
+    ).withColumn("_h", F.md5(F.col("para")))
+    winners = (
+        paras.filter(F.col("para") != "")
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+    )
+    flagged = paras.join(winners, "_h", "left").withColumn(
+        "_keep",
+        (F.col("para") == "")
+        | ((F.col(f"_w.{id_col}") == F.col(id_col)) & (F.col("_w.pos") == F.col("pos"))),
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("para")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["para"]
+                ),
+                delim,
+            ).alias("clean_text"),
+        )
+        .select(F.col(id_col), "clean_text", "n_paras", "n_removed")
+    )
+
+
+def dedup_paragraphs_select(
+    source_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dedup_paragraphs` over any (id, text)
+    relation — same keep-first-by-(id, pos) winner rule, same
+    empty-paragraph survival, newline delimiter. Shared by the
+    dedup_paragraphs oracle and the engine-parity fuzz test."""
+    return f"""
+WITH src AS ({source_sql}),
+d AS (SELECT {id_col}, string_split(coalesce({text_col}, ''), chr(10)) AS ps FROM src),
+p AS (
+  SELECT {id_col}, unnest(ps) AS para,
+         generate_subscripts(ps, 1) - 1 AS pos
+  FROM d
+),
+rk AS (
+  SELECT {id_col}, para, pos,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY {id_col}, pos) AS rn
+  FROM p
+)
+SELECT {id_col},
+  coalesce(string_agg(CASE WHEN para = '' OR rn = 1 THEN para END,
+                      chr(10) ORDER BY pos), '') AS clean_text,
+  count(*) AS n_paras,
+  CAST(sum(CASE WHEN para <> '' AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM rk GROUP BY {id_col}
+"""
+
+
 def stratified_sample_select(
     source_sql: str,
     fractions: dict,

@@ -283,6 +283,23 @@ def stream_quality_signals(
     )
 
 
+def stream_redact_pii(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.pii.redact_pii` — STATELESS
+    (redaction is a pure per-row function, so a crawled page can be
+    scrubbed the moment it arrives, before any stateful stage sees the
+    raw text): per-arriving-doc typed-placeholder redaction + per-kind
+    counts. Stream == batch is asserted in tests/test_stream_sessions.py.
+    """
+    from ..operators.pii import redact_pii
+
+    return redact_pii(docs_stream, text_col=text_col, id_col=id_col)
+
+
 def stream_winnow_matches(
     docs_stream: DataFrame,
     *,
