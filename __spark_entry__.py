@@ -1010,6 +1010,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return WD.dedup_paragraphs(boiler_pages(spark))
 
+    def host_stats(spark, sf_dir):
+        # per-host crawl census over the deterministic URL corpus:
+        # raw rows vs distinct canonical pages vs dup rate — the
+        # mirror-farm/crawler-trap signal
+        from textgraphs_spark.sources.pages import url_pages
+
+        return WD.host_stats(url_pages(spark))
+
+    def url_host_filter(spark, sf_dir):
+        # UT1-style domain-reputation gate: broadcast anti-join against
+        # a host blocklist (2 of the corpus's 5 hosts blocked)
+        from textgraphs_spark.sources.pages import url_pages
+
+        return WD.host_blocklist_filter(
+            url_pages(spark), ["example1.com", "example3.com"]
+        )
+
     def pii_signals(spark, sf_dir):
         # per-doc PII census (emails/phones/IPs/SSN-shaped ids + density)
         # over the RNG-free PII corpus its oracle regenerates in SQL;
@@ -1059,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_signals": pii_signals,
         "pii_redact": pii_redact,
         "dedup_paragraphs": dedup_paragraphs,
+        "host_stats": host_stats,
+        "url_host_filter": url_host_filter,
         "events_ntile_scalable": events_ntile_scalable,
         "per_source_cap_windowless": per_source_cap_windowless,
         "cross_doc_repetition": cross_doc_repetition,
@@ -1353,6 +1372,18 @@ FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 
     dedup_paragraphs_sql = dedup_paragraphs_select(boiler_pages_sql())
 
+    # host census + blocklist gate: both twins compose the shared
+    # canonical_url_select over the regenerated URL corpus
+    from textgraphs_spark.operators.webdata import (
+        host_blocklist_filter_select, host_stats_select,
+    )
+    from textgraphs_spark.sources.pages import url_pages_sql
+
+    host_stats_sql = host_stats_select(url_pages_sql())
+    url_host_filter_sql = host_blocklist_filter_select(
+        url_pages_sql(), ["example1.com", "example3.com"]
+    )
+
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
@@ -1546,6 +1577,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "pii_signals": pii_signals_sql,
         "pii_redact": pii_redact_sql,
         "dedup_paragraphs": dedup_paragraphs_sql,
+        "host_stats": host_stats_sql,
+        "url_host_filter": url_host_filter_sql,
         "stratified_sample": stratified_sample_sql,
         # the scalable exact forms are VALUE-IDENTICAL to the window
         # forms by construction — they share the same oracles

@@ -884,3 +884,85 @@ def test_dedup_paragraphs_fuzz_parity(spark):
     assert got == want and len(got) == len(rows)
     assert any(v[2] > 0 for v in got.values())   # dedup actually fired
     assert any(v[2] == 0 for v in got.values())  # and some docs untouched
+
+
+def test_host_family_semantics_and_plan(spark):
+    """Host extraction handles scheme/www/port/path variants; NULL urls
+    drop (no-signal convention); the blocklist side of the gate is a
+    broadcast anti-join (never a shuffle of the corpus side)."""
+    rows = [
+        (0, "https://www.Example.com:8080/a?x=1"),
+        (1, "http://example.com/a?x=1#frag"),
+        (2, "https://spam.net/b"),
+        (3, "mirror.org"),
+        (4, None),
+        (5, "https://spam.net/b?utm_source=x"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    stats = {r["host"]: r for r in W.host_stats(pages).collect()}
+    assert set(stats) == {"example.com", "spam.net", "mirror.org"}
+    # 0 and 1 canonicalize identically (scheme/www/port... port stays in
+    # the canonical path but the HOST census groups them); spam.net's
+    # tracking-param twin collapses to one canonical page
+    assert stats["spam.net"]["n_docs"] == 2
+    assert stats["spam.net"]["n_unique_pages"] == 1
+    assert stats["spam.net"]["dup_rate"] == 0.5
+    assert stats["mirror.org"]["n_docs"] == 1
+
+    kept = W.host_blocklist_filter(pages, ["spam.net"])
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == {0, 1, 3}  # spam.net rows and the NULL url gone
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_host_family_fuzz_parity(spark):
+    """Engine-parity fuzz for host_stats / host_blocklist_filter vs the
+    shared DuckDB twins over random messy urls (case, ports, params,
+    fragments, NULLs, schemeless)."""
+    import random
+
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import (
+        host_blocklist_filter_select, host_stats_select,
+    )
+
+    rng = random.Random(20260818)
+    hosts = ["a.com", "B.org", "www.c.net", "d.io:8443", "e-f.co"]
+    rows = []
+    for i in range(240):
+        if rng.random() < 0.05:
+            rows.append((i, None))
+            continue
+        scheme = rng.choice(["https://", "http://", ""])
+        h = rng.choice(hosts)
+        path = rng.choice(["", "/p", "/p/q", "/p/"])
+        qs = rng.choice(["", "?x=1", "?b=2&a=1", "?utm_source=z&a=1"])
+        frag = rng.choice(["", "#top"])
+        rows.append((i, f"{scheme}{h}{path}{qs}{frag}"))
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, %s)" % (i, "NULL" if u is None else "'" + u + "'")
+        for i, u in rows
+    )
+    src = ("SELECT CAST(doc_id AS BIGINT) AS doc_id, url "
+           f"FROM (VALUES {vals}) t(doc_id, url)")
+
+    got = {r["host"]: (r["n_docs"], r["n_unique_pages"], r["dup_rate"])
+           for r in W.host_stats(pages).collect()}
+    want = {r[0]: (int(r[1]), int(r[2]), float(r[3]))
+            for r in con.execute(host_stats_select(src)).fetchall()}
+    assert set(got) == set(want)
+    for h in got:
+        assert got[h][:2] == want[h][:2], (h, got[h], want[h])
+        assert abs(got[h][2] - want[h][2]) < 1e-9, h
+    assert any(v[2] > 0 for v in got.values())  # dup collapse fired
+
+    block = ["a.com", "d.io"]
+    got_f = {tuple(r) for r in W.host_blocklist_filter(pages, block).collect()}
+    want_f = {(int(a), b, c) for a, b, c in con.execute(
+        host_blocklist_filter_select(src, block)).fetchall()}
+    assert got_f == want_f and got_f
+    assert all(h not in block for _, h, _ in got_f)

@@ -734,6 +734,125 @@ def canonical_url_col(url_col: str = "url") -> Column:
     )
 
 
+def host_col(url_col: str = "url") -> Column:
+    """Registrable-host extraction as a pure codegen column: scheme and
+    leading ``www.`` stripped, the authority cut at the first ``/``,
+    any ``:port`` dropped, lowercased. NULL url → NULL host (no
+    signal). Byte-reproduced by the DuckDB twins below — keep in
+    lockstep."""
+    u = F.regexp_replace(F.col(url_col), "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    return F.lower(F.split_part(F.split_part(u, F.lit("/"), F.lit(1)),
+                                F.lit(":"), F.lit(1)))
+
+
+def _host_sql(url_col: str = "url") -> str:
+    return (
+        "lower(split_part(split_part(regexp_replace(regexp_replace("
+        f"{url_col}, '^https?://', ''), '^www\\.', ''), '/', 1), ':', 1))"
+    )
+
+
+def host_stats(pages: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Per-host crawl census — (host, n_docs, n_unique_pages,
+    dup_rate): how many raw rows each host contributed, how many
+    DISTINCT canonical pages that is, and the fraction that were
+    repeats — the signal a curation run uses to spot mirror farms and
+    crawler traps before spending pair-generation budget on them. One
+    host-keyed aggregation; partial aggregation absorbs head domains
+    map-side (the count-distinct is per-host, sharded by the same key).
+    NULL urls carry no host and are excluded."""
+    return (
+        pages.select(host_col(url_col).alias("host"),
+                     canonical_url_col(url_col).alias("_c"))
+        .filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_c").alias("n_unique_pages"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique_pages") / F.col("n_docs"), 6),
+        )
+    )
+
+
+def host_stats_select(source_sql: str, *, url_col: str = "url") -> str:
+    """DuckDB twin of :func:`host_stats` — composes the shared
+    ``canonical_url_select`` twin (the host expression rides through its
+    id column), same rounding."""
+    h = _host_sql(url_col)
+    inner = (f"SELECT {h} AS host, {url_col} FROM ({source_sql}) "
+             f"WHERE {url_col} IS NOT NULL")
+    cu = canonical_url_select(inner, id_col="host", url_col=url_col)
+    return f"""
+WITH c AS ({cu})
+SELECT host, count(*) AS n_docs,
+       count(DISTINCT canonical_url) AS n_unique_pages,
+       round(1.0 - count(DISTINCT canonical_url) / count(*), 6) AS dup_rate
+FROM c GROUP BY host
+"""
+
+
+def host_blocklist_filter(
+    pages: DataFrame,
+    blocked_hosts,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UT1-style domain-reputation gate: drop every row whose host is
+    on the blocklist — (id, host, canonical_url) of the survivors.
+    ``blocked_hosts`` is a list of hosts or a 1-column DataFrame; either
+    way it is BROADCAST into a left-anti join (real blocklists are a
+    few million short strings — megabytes, never worth a shuffle of the
+    10^12-row corpus side). NULL urls carry no host and are dropped
+    (the no-signal convention shared with url_dedup)."""
+    spark = pages.sparkSession
+    if isinstance(blocked_hosts, DataFrame):
+        bl = blocked_hosts.toDF("host")
+    else:
+        bl = spark.createDataFrame(
+            [(h,) for h in sorted(set(blocked_hosts))], "host string"
+        )
+    rows = pages.select(
+        F.col(id_col),
+        host_col(url_col).alias("host"),
+        canonical_url_col(url_col).alias("canonical_url"),
+    ).filter(F.col("host").isNotNull())
+    return rows.join(F.broadcast(bl), "host", "left_anti").select(
+        id_col, "host", "canonical_url"
+    )
+
+
+def host_blocklist_filter_select(
+    source_sql: str,
+    blocked_hosts: list,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`host_blocklist_filter` — composes the
+    shared ``canonical_url_select`` twin; the blocklist inlined as
+    literals."""
+    h = _host_sql(url_col)
+    blist = ", ".join(
+        "'" + b.replace("'", "''") + "'" for b in sorted(set(blocked_hosts))
+    )
+    inner = (f"SELECT {id_col}, {url_col} FROM ({source_sql}) "
+             f"WHERE {url_col} IS NOT NULL")
+    cu = canonical_url_select(inner, id_col=id_col, url_col=url_col)
+    return f"""
+WITH cu AS ({cu}),
+hh AS (SELECT {id_col}, {h} AS host FROM ({source_sql})
+       WHERE {url_col} IS NOT NULL)
+SELECT cu.{id_col}, hh.host, cu.canonical_url
+FROM cu JOIN hh USING ({id_col})
+WHERE hh.host NOT IN ({blist})
+"""
+
+
 def url_dedup_clusters(
     pages: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
