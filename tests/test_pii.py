@@ -193,3 +193,25 @@ def test_pii_patterns_are_mutually_exclusive():
         for skind, s in samples.items():
             hit = re.search(pat, s) is not None
             assert hit == (kind == skind), (kind, skind)
+
+
+def test_curation_ladder_pii_gate(spark):
+    """Optional 'pii' verdict gate: a PII-dense doc that passes every
+    other gate is dropped with reason 'pii' when the bound is set, kept
+    when it is None (default semantics unchanged — the driver's
+    corpus_curation oracle runs with the gate off)."""
+    from textgraphs_spark.operators.webdata import curation_decisions
+
+    clean = ("the quiet analyst wrote careful notes about the spark plans "
+             "and the steady results were reviewed with patient attention")
+    dense = clean + " contact a@b.io c@d.io e@f.io g@h.io and 10.1.2.3"
+    docs = spark.createDataFrame(
+        [(0, clean), (1, dense)], "doc_id long, text string"
+    )
+    base = {r["doc_id"]: r["reason"]
+            for r in curation_decisions(docs, threshold=0.99).collect()}
+    assert base == {0: "keep", 1: "keep"}
+    gated = {r["doc_id"]: r["reason"]
+             for r in curation_decisions(
+                 docs, threshold=0.99, max_pii_per_10k=100.0).collect()}
+    assert gated == {0: "keep", 1: "pii"}

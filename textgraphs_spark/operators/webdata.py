@@ -362,14 +362,15 @@ def curation_decisions(
     quality_min: float = 0.76,
     max_dup_word_frac: float = 0.65,
     max_top_bigram_frac: float = 0.2,
+    max_pii_per_10k: float | None = None,
     dupes: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """The end-to-end curation verdict per document — what a
     training-data pipeline actually emits before tokenization:
     (doc_id, reason, keep), with ``reason`` the FIRST failing gate of a
-    deterministic ladder (near_dup → lang → low_quality → repetitive)
-    or 'keep'.
+    deterministic ladder (near_dup → lang → low_quality → repetitive
+    [→ pii]) or 'keep'.
 
     * near_dup     — the document is a non-canonical member of a
       MinHash near-dup cluster (``minhash_dedup_pairs`` →
@@ -378,6 +379,10 @@ def curation_decisions(
     * low_quality  — composite quality score below ``quality_min``.
     * repetitive   — Gopher-style repetition gates (dup-word fraction /
       top-bigram mass) exceeded.
+    * pii          — optional (``max_pii_per_10k`` not None): PII
+      density (operators.pii census, per 10k chars) above the bound;
+      rides the SAME one-projection scan as lang/quality, so enabling
+      it adds zero shuffles and zero extra corpus scans.
 
     Plan shape at scale: the language AND quality signals are map-only
     column expressions computed in ONE projection over one corpus scan
@@ -397,11 +402,24 @@ def curation_decisions(
             docs, text_col=text_col, id_col=id_col, **minhash_kwargs
         )
     dupes = dupes.select(F.col(id_col), F.lit(1).alias("_dup"))
-    signals = docs.select(
+    sig_cols = [
         F.col(id_col),
         pred_lang_col(text_col).alias("pred_lang"),
         quality_col(text_col).alias("quality"),
-    )
+    ]
+    if max_pii_per_10k is not None:
+        from .pii import pii_count_cols
+
+        total = None
+        for c in pii_count_cols(text_col).values():
+            total = c if total is None else total + c
+        n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+        sig_cols.append(
+            F.when(n_chars > 0, total * 10000.0 / n_chars)
+            .otherwise(F.lit(0.0))
+            .alias("_pii_density")
+        )
+    signals = docs.select(*sig_cols)
     r = repetition_signals(docs, text_col=text_col, id_col=id_col).select(
         id_col, "dup_word_frac", "top_bigram_frac"
     )
@@ -419,8 +437,12 @@ def curation_decisions(
             | (F.col("top_bigram_frac") > max_top_bigram_frac),
             F.lit("repetitive"),
         )
-        .otherwise(F.lit("keep"))
     )
+    if max_pii_per_10k is not None:
+        reason = reason.when(
+            F.col("_pii_density") > max_pii_per_10k, F.lit("pii")
+        )
+    reason = reason.otherwise(F.lit("keep"))
     return base.select(
         F.col(id_col), reason.alias("reason"), (reason == "keep").alias("keep")
     )

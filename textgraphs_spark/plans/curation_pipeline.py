@@ -37,6 +37,7 @@ class CurationPipeline(StagedPipeline):
                  quality_min: float = 0.76,
                  max_dup_word_frac: float = 0.65,
                  max_top_bigram_frac: float = 0.2,
+                 max_pii_per_10k: float | None = None,
                  sample_fraction: float | None = None,
                  boilerplate_min_df: int | None = None,
                  redact_pii: bool = False,
@@ -46,6 +47,7 @@ class CurationPipeline(StagedPipeline):
         self.quality_min = quality_min
         self.max_dup_word_frac = max_dup_word_frac
         self.max_top_bigram_frac = max_top_bigram_frac
+        self.max_pii_per_10k = max_pii_per_10k
         self.sample_fraction = sample_fraction
         # None = stage off; an int enables remove_boilerplate_lines over
         # the kept corpus at that distinct-doc line-frequency threshold
@@ -63,6 +65,7 @@ class CurationPipeline(StagedPipeline):
             langs=self.langs, quality_min=self.quality_min,
             max_dup_word_frac=self.max_dup_word_frac,
             max_top_bigram_frac=self.max_top_bigram_frac,
+            max_pii_per_10k=self.max_pii_per_10k,
             dupes=near_dups,
         ))
         keep_ids = verdicts.filter(F.col("keep")).select(id_col)

@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--boilerplate-min-df", type=int, default=None,
                     help="also emit clean_docs: strip exact lines shared "
                          "by >= this many kept docs (C4-style)")
+    ap.add_argument("--max-pii-per-10k", type=float, default=None,
+                    help="drop docs whose PII density (hits per 10k chars) "
+                         "exceeds this bound (extra 'pii' verdict gate)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="also emit redacted_docs: typed-placeholder PII "
                          "redaction over the final curated text")
@@ -82,6 +85,7 @@ def main() -> None:
         quality_min=args.quality_min,
         sample_fraction=args.sample_fraction,
         boilerplate_min_df=args.boilerplate_min_df,
+        max_pii_per_10k=args.max_pii_per_10k,
         redact_pii=args.redact_pii,
         threshold=args.threshold,
     )
