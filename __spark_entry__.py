@@ -1002,6 +1002,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(eval_entities(spark), max_block_size=50)
 
+    def er_fs_weights(spark, sf_dir):
+        # Fellegi-Sunter match weights by unsupervised EM: candidate
+        # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
+        # -> 5 unrolled EM iterations -> per-pattern log2 likelihood
+        # ratio + posterior. Pattern agg is the ONLY corpus-scale stage.
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_weights import fs_match_weights
+
+        return fs_match_weights(eval_entities(spark))
+
+    def er_fs_classify(spark, sf_dir):
+        # the learned FS model applied back to the candidate set:
+        # posterior >= 0.5 predicts match; P/R/F1 vs labels with
+        # end-to-end recall (blocking misses count as FN), plus the
+        # EM-estimated match prevalence lambda
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_weights import fs_classified_metrics
+
+        return fs_classified_metrics(eval_entities(spark))
+
     def dedup_paragraphs(spark, sf_dir):
         # RefinedWeb-style exact paragraph dedup, keep-FIRST occurrence
         # corpus-wide by (doc_id, pos); over the multi-line boiler corpus
@@ -1087,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_cohesion": er_cluster_cohesion,
         "er_threshold_sweep": er_threshold_sweep,
         "er_blocking_stats": er_blocking_stats,
+        "er_fs_weights": er_fs_weights,
+        "er_fs_classify": er_fs_classify,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1527,6 +1549,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_blocking_stats_sql, er_cluster_cohesion_sql, er_eval_blocked_sql,
         er_eval_clusters_sql, er_golden_records_sql, er_threshold_sweep_sql,
     )
+    from textgraphs_spark.plans.er_weights import (
+        fs_classified_metrics_sql, fs_match_weights_sql,
+    )
 
     return {
         # the flagship, value-verified end to end: tokenize → tag →
@@ -1565,6 +1590,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "er_threshold_sweep": er_threshold_sweep_sql(),
         "er_blocking_stats": er_blocking_stats_sql(),
+        "er_fs_weights": fs_match_weights_sql(),
+        "er_fs_classify": fs_classified_metrics_sql(),
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "winnow_fingerprints": winnow_oracle_sql(),
         "dedup_winnow": winnow_pairs_oracle_sql(min_shared=2, max_df=1000),
