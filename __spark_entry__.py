@@ -404,6 +404,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training sequences, 4 shard-parallel windows
         return WD.pack_sequences(_docs(spark, sf_dir), 512, n_shards=4)
 
+    def lm_xent_buckets(spark, sf_dir):
+        # CCNet-style head/middle/tail quality buckets: per-language
+        # terciles of unigram cross-entropy. EXACT ntile semantics via
+        # range-partitioned grouped rank (operators/rankops.grouped_ntile)
+        # — a hot language never funnels into one window task
+        from textgraphs_spark.operators.rankops import grouped_ntile
+
+        d = _docs(spark, sf_dir)
+        x = WD.unigram_cross_entropy(d)
+        scored = (
+            d.select("doc_id", "lang")
+            .join(x, "doc_id")
+            .filter(F.col("xent").isNotNull())
+        )
+        tiled = grouped_ntile(
+            scored, "lang", 3,
+            [F.col("xent").asc(), F.col("doc_id").asc()],
+            tile_col="bucket",
+        )
+        lab = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket"),
+        )
+        return tiled.select(
+            "doc_id", "lang", "n_tokens", "xent", "bucket",
+            lab.alias("bucket_label"),
+        )
+
+    def lm_xent_bucket_stats(spark, sf_dir):
+        # the CCNet curation decision table: per (lang, bucket) doc count
+        # + xent range — what an operator reads before choosing which
+        # tail fraction to drop per language
+        return (
+            lm_xent_buckets(spark, sf_dir)
+            .groupBy("lang", "bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("xent").alias("min_xent"),
+                F.max("xent").alias("max_xent"),
+            )
+            .orderBy("lang", "bucket")
+        )
+
     # ---- similarity search ----------------------------------------------
 
     def knn_cosine(spark, sf_dir):
@@ -1109,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_stats": er_blocking_stats,
         "er_fs_weights": er_fs_weights,
         "er_fs_classify": er_fs_classify,
+        "lm_xent_buckets": lm_xent_buckets,
+        "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1370,6 +1415,29 @@ SELECT d.doc_id,
 FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
+    # CCNet head/middle/tail buckets: the oracle uses the native window
+    # ntile the engine's grouped_ntile must reproduce bit-for-bit; ties
+    # on the 6dp-rounded xent break by doc_id in both
+    lm_xent_buckets_sql = f"""
+WITH x AS ({doc_lm_xent_sql}),
+s AS (
+  SELECT x.doc_id, d.lang, x.n_tokens, x.xent,
+         CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY x.xent, x.doc_id) AS INT) AS bucket
+  FROM x JOIN documents d ON d.doc_id = x.doc_id
+  WHERE x.xent IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens, xent, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+FROM s
+"""
+
+    lm_xent_bucket_stats_sql = f"""
+WITH b AS ({lm_xent_buckets_sql})
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(xent) AS min_xent, max(xent) AS max_xent
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
     # boilerplate-line removal over the RNG-free multi-line corpus: the
     # oracle regenerates the corpus (boiler_pages_sql) and applies the
     # shared SQL twin (webdata.boilerplate_removal_select — same >= min_df
@@ -1592,6 +1660,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_blocking_stats": er_blocking_stats_sql(),
         "er_fs_weights": fs_match_weights_sql(),
         "er_fs_classify": fs_classified_metrics_sql(),
+        "lm_xent_buckets": lm_xent_buckets_sql,
+        "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "winnow_fingerprints": winnow_oracle_sql(),
         "dedup_winnow": winnow_pairs_oracle_sql(min_shared=2, max_df=1000),

@@ -77,3 +77,33 @@ def test_grouped_rank_spreads_hot_group(spark):
     got = grouped_rank(df, "g", [F.col("v"), F.col("id")], partitions=16)
     assert got.agg(F.max("rk")).collect()[0][0] == 5000
     assert got.select("rk").distinct().count() == 5000
+
+
+@pytest.mark.parametrize("n_tiles", [3, 4, 7])
+def test_grouped_ntile_matches_window(spark, n_tiles):
+    """grouped_ntile must reproduce ntile(n) OVER (PARTITION BY g ...)
+    bit-for-bit, including a hot group, a NULL group, uneven tiles, and
+    a group smaller than n."""
+    import random
+
+    from textgraphs_spark.operators.rankops import grouped_ntile
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1200):
+        g = "hot" if i % 4 else rng.choice([None, "a", "b"])
+        rows.append((i, g, rng.randint(0, 49)))
+    rows += [(9000, "tiny", 1), (9001, "tiny", 2)]  # group smaller than n
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    got = {
+        r["id"]: r["tile"]
+        for r in grouped_ntile(
+            df, "g", n_tiles, [F.col("v"), F.col("id")], partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+    assert got == want

@@ -142,3 +142,40 @@ def grouped_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_opid", "_og", "_rn", "_off")
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols,
+    *,
+    tile_col: str = "tile",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (PARTITION BY group ORDER BY ...)`` without
+    the hot-group single-task window: ``grouped_rank`` supplies the exact
+    per-group row number, per-group totals join back (null-safe, NOT
+    force-broadcast — group cardinality grows with the data), and the
+    closed-form tile assignment (first ``N % n`` tiles carry ``N/n + 1``
+    rows) reproduces window-ntile semantics bit-for-bit."""
+    ranked = grouped_rank(
+        df, group_col, order_cols, rank_col="_grk", partitions=partitions
+    )
+    totals = df.groupBy(F.col(group_col).alias("_tg")).agg(
+        F.count("*").alias("_n_total")
+    )
+    r = F.col("_n_total") % n
+    q = F.floor(F.col("_n_total") / n)
+    big = r * (q + 1)
+    rank = F.col("_grk")
+    tile = F.when(
+        rank <= big, F.floor((rank - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        ranked.join(totals, F.col(group_col).eqNullSafe(F.col("_tg")))
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("_grk", "_tg", "_n_total")
+    )
