@@ -1045,6 +1045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(eval_entities(spark), max_block_size=50)
 
+    def er_channel_recall(spark, sf_dir):
+        # per-channel blocking recall study (name / minhash / skeleton /
+        # union): the skeleton channel's order-invariant devoweled key
+        # recovers the reversed 'Last First' variants and transposition
+        # typos the last-token key cannot block together
+        from textgraphs_spark.plans.er_eval import channel_recall, eval_entities
+
+        return channel_recall(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1152,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_stats": er_blocking_stats,
         "er_fs_weights": er_fs_weights,
         "er_fs_classify": er_fs_classify,
+        "er_channel_recall": er_channel_recall,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1614,8 +1624,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         salted_blocking_pairs_sql,
     )
     from textgraphs_spark.plans.er_eval import (
-        er_blocking_stats_sql, er_cluster_cohesion_sql, er_eval_blocked_sql,
-        er_eval_clusters_sql, er_golden_records_sql, er_threshold_sweep_sql,
+        er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
+        er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
+        er_threshold_sweep_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_match_weights_sql,
@@ -1660,6 +1671,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_blocking_stats": er_blocking_stats_sql(),
         "er_fs_weights": fs_match_weights_sql(),
         "er_fs_classify": fs_classified_metrics_sql(),
+        "er_channel_recall": er_channel_recall_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

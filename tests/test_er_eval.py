@@ -266,3 +266,79 @@ def test_run_lean_return_parts_consistent(eval_run, spark):
     coh = E.cluster_cohesion(parts["assignments"], parts["match_scores"]).toPandas()
     assert len(coh) > 0
     assert ((coh["density"] < 0.5) == coh["is_weak"]).all()
+
+
+def test_skeleton_key_order_and_typo_invariant(spark):
+    """The devoweled order-invariant key must collide exactly where the
+    channel is designed to: token reorder and vowel-adjacent
+    transposition typos — and must NOT collide distinct consonant
+    skeletons."""
+    from textgraphs_spark.operators.blocking import normalize_names, skeleton_key
+
+    df = normalize_names(
+        spark.createDataFrame(
+            [
+                ("a", "Werner Herzog"),
+                ("b", "Herzog Werner"),    # reversed variant
+                ("c", "Wrener Herzog"),    # typo_surface transposition
+                ("d", "Warner Herzog"),    # same skeleton by design (vowel swap)
+                ("e", "Klaus Kinski"),
+            ],
+            ["entity_key", "surface"],
+        )
+    ).select("entity_key", skeleton_key("norm").alias("k"))
+    keys = {r["entity_key"]: r["k"] for r in df.collect()}
+    assert keys["a"] == keys["b"] == keys["c"] == keys["d"]
+    assert keys["e"] != keys["a"]
+
+
+def test_channel_recall_union_dominates(spark):
+    """The union row must dominate every channel, and exceed the name
+    channel strictly (the reversed 'Last First' variants are
+    deterministic name-channel misses the other channels recover —
+    skeleton's UNIQUE coverage is pinned in the reconcile test below)."""
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    rows = {r["channel"]: r for r in E.channel_recall(ents).collect()}
+    assert set(rows) == {"name", "minhash", "skeleton", "union"}
+    assert rows["union"]["pair_completeness"] > rows["name"]["pair_completeness"]
+    for ch in ("name", "minhash", "skeleton"):
+        assert rows["union"]["covered_true_pairs"] >= rows[ch]["covered_true_pairs"]
+        assert rows["union"]["n_candidates"] >= rows[ch]["n_candidates"]
+    # union is a set union, never a blind concat
+    assert rows["union"]["n_candidates"] <= sum(
+        rows[ch]["n_candidates"] for ch in ("name", "minhash", "skeleton")
+    )
+
+
+def test_channel_recall_reconciles_with_blocked_keys(spark):
+    """n_candidates per channel must equal a direct rederivation from
+    the pre-salting block table."""
+    from textgraphs_spark.plans.er_pipeline import blocked_keys
+
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    rows = {r["channel"]: r["n_candidates"] for r in E.channel_recall(ents).collect()}
+    bk = blocked_keys(
+        ents.select("entity_key", "surface"), use_minhash=True, use_skeleton=True
+    )
+    import itertools
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for r in bk.collect():
+        members[(r["channel"], r["bkey"])].add(r["entity_key"])
+    per = defaultdict(set)
+    for (ch, _), ms in members.items():
+        for a, b in itertools.combinations(sorted(ms), 2):
+            per[ch].add((a, b))
+    for ch in ("name", "minhash", "skeleton"):
+        assert rows[ch] == len(per[ch])
+    assert rows["union"] == len(per["name"] | per["minhash"] | per["skeleton"])
+    # the skeleton channel's reason to exist: it covers true pairs —
+    # the reversed 'Last First' variants (every 4th truth entity) —
+    # that NEITHER the name key NOR the LSH channel proposes
+    truth = {
+        r["entity_key"]: r["truth_id"]
+        for r in ents.select("entity_key", "truth_id").collect()
+    }
+    tp = lambda s: {p for p in s if truth[p[0]] == truth[p[1]]}  # noqa: E731
+    assert tp(per["skeleton"]) - tp(per["name"]) - tp(per["minhash"])

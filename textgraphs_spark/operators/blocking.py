@@ -56,6 +56,19 @@ def block_keys(entities: DataFrame) -> DataFrame:
     return e.withColumn("block_key", F.concat_ws("|", "last_tok", "first_init"))
 
 
+def skeleton_key(norm_col: str = "norm"):
+    """Order-invariant devoweled blocking key over a normalized surface:
+    each token's consonant skeleton, sorted, '|'-joined. Robust to the
+    two variant families the last-token|first-initial key cannot block
+    together — token reorder ('Herzog Werner' vs 'Werner Herzog') and
+    vowel-adjacent transposition typos ('Wrener' → 'wrnr' = 'Werner').
+    Pure codegen expression; no UDF. The DuckDB twin lives in
+    plans/er_eval.er_channel_recall_sql (list_transform + list_sort)."""
+    toks = F.split(F.trim(F.col(norm_col)), " +")
+    skel = F.transform(toks, lambda t: F.regexp_replace(t, "[aeiou]", ""))
+    return F.concat_ws("|", F.array_sort(skel))
+
+
 def minhash_xor_constants(num_hashes: int) -> list[int]:
     """Per-seed 59-bit XOR mixers for the md5 hash family, derived from
     md5 of a fixed tag — deterministic, no RNG state, identical constants

@@ -779,3 +779,129 @@ FROM sizes s LEFT JOIN per p USING (cluster_id)
 WHERE s.n_members >= 2
 ORDER BY s.cluster_id
 """
+
+
+def channel_recall(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-channel blocking recall study: for each blocking channel —
+    'name' (last token|first initial), 'minhash' (LSH bands),
+    'skeleton' (order-invariant devoweled key, the opt-in third
+    channel) — plus their 'union', the distinct pre-salting candidate
+    pairs, how many true pairs they cover, and pair completeness.
+
+    This is the measurement that justifies adding (or not adding) a
+    channel: the skeleton key recovers the reversed 'Last First'
+    variants and vowel-adjacent typos the name key cannot block
+    together, at the cost of extra candidates.
+
+    Output, one row per channel ordered by name: (channel,
+    n_candidates, covered_true_pairs, pair_completeness).
+
+    100 TB shape: the block table is built once (localCheckpoint) and
+    self-joined per (channel, key) — the same equi-join shape as
+    production blocking, measured pre-salting (recall POTENTIAL; the
+    production pair budget then caps it). All metrics are aggregates;
+    no pair list leaves the executors.
+    """
+    from .er_pipeline import blocked_keys
+
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"),
+        use_minhash=True, use_skeleton=True, hash_family=hash_family,
+    ).select("channel", "bkey", "entity_key").localCheckpoint()
+    a = bk.select("channel", "bkey", F.col("entity_key").alias("l"))
+    b = bk.select("channel", "bkey", F.col("entity_key").alias("r"))
+    pairs = (
+        a.join(b, ["channel", "bkey"])
+        .filter(F.col("l") < F.col("r"))
+        .select("channel", "l", "r")
+        .distinct()
+        .localCheckpoint()
+    )
+    allp = pairs.unionByName(
+        pairs.select(F.lit("union").alias("channel"), "l", "r").distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    lab = allp.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.groupBy("channel").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_candidates",
+            "covered_true_pairs",
+            F.round(
+                F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+            ).alias("pair_completeness"),
+        )
+        .orderBy("channel")
+    )
+
+
+def er_channel_recall_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for channel_recall over eval_entities: the shared blocking
+    channel CTEs plus the skeleton-key twin of blocking.skeleton_key."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+chan_sk AS MATERIALIZED (
+  SELECT entity_key,
+         concat_ws('|', 'sk', array_to_string(
+           list_sort(list_transform(toks, t -> regexp_replace(t, '[aeiou]', '', 'g'))),
+           '|')) AS bkey
+  FROM kparts
+),
+bl AS (
+  SELECT 'name' AS channel, entity_key, bkey FROM chan_key
+  UNION ALL SELECT 'minhash', entity_key, bkey FROM chan_mh
+  UNION ALL SELECT 'skeleton', entity_key, bkey FROM chan_sk
+),
+cpairs AS MATERIALIZED (
+  SELECT DISTINCT a.channel, a.entity_key AS l, b.entity_key AS r
+  FROM bl a JOIN bl b
+    ON a.channel = b.channel AND a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+allp AS (
+  SELECT channel, l, r FROM cpairs
+  UNION ALL
+  SELECT DISTINCT 'union' AS channel, l, r FROM cpairs
+),
+per AS (
+  SELECT p.channel,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt.truth_id = rt.truth_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered_true_pairs
+  FROM allp p
+  JOIN entities lt ON lt.entity_key = p.l
+  JOIN entities rt ON rt.entity_key = p.r
+  GROUP BY p.channel
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT channel, n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+ORDER BY channel
+"""

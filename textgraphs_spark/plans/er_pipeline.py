@@ -71,6 +71,7 @@ def blocked_keys(
     *,
     use_minhash: bool = True,
     hash_family: str = "md5",
+    use_skeleton: bool = False,
 ) -> DataFrame:
     """entities(entity_key, surface, ...) → (entity_key, surface,
     channel, bkey): one row per blocking-key membership across every
@@ -98,6 +99,17 @@ def blocked_keys(
                 "entity_key", "surface",
                 F.lit("minhash").alias("channel"),
                 F.concat_ws("|", F.lit("mh"), "band_id", "band_key").alias("bkey"),
+            )
+        )
+    if use_skeleton:
+        # opt-in third channel (off by default: the shipped clustering
+        # oracles pin the two-channel candidate set): order-invariant
+        # devoweled key — recovers reversed and vowel-transposed variants
+        chans.append(
+            keyed.select(
+                "entity_key", "surface",
+                F.lit("skeleton").alias("channel"),
+                F.concat_ws("|", F.lit("sk"), B.skeleton_key("norm")).alias("bkey"),
             )
         )
     blocked = chans[0]
