@@ -1054,6 +1054,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return channel_recall(eval_entities(spark))
 
+    def er_sorted_neighborhood(spark, sf_dir):
+        # Hernandez-Stolfo sorted-neighborhood blocking evaluated on the
+        # labeled corpus: lexicographic locality instead of key equality;
+        # the sort is the range-partitioned global_rank (no single-task
+        # window), the neighborhood an equi-join on rank+d
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, sorted_neighborhood_metrics,
+        )
+
+        return sorted_neighborhood_metrics(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1162,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_weights": er_fs_weights,
         "er_fs_classify": er_fs_classify,
         "er_channel_recall": er_channel_recall,
+        "er_sorted_neighborhood": er_sorted_neighborhood,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1626,7 +1638,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_threshold_sweep_sql,
+        er_sorted_neighborhood_sql, er_threshold_sweep_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_match_weights_sql,
@@ -1672,6 +1684,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_fs_weights": fs_match_weights_sql(),
         "er_fs_classify": fs_classified_metrics_sql(),
         "er_channel_recall": er_channel_recall_sql(),
+        "er_sorted_neighborhood": er_sorted_neighborhood_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

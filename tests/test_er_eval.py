@@ -342,3 +342,47 @@ def test_channel_recall_reconciles_with_blocked_keys(spark):
     }
     tp = lambda s: {p for p in s if truth[p[0]] == truth[p[1]]}  # noqa: E731
     assert tp(per["skeleton"]) - tp(per["name"]) - tp(per["minhash"])
+
+
+def test_sorted_neighborhood_brute_force_rederivation(spark):
+    """n_candidates and coverage must equal a driver-side rederivation:
+    sort by (norm, entity_key), pair each record with the next w-1."""
+    from textgraphs_spark.operators.blocking import normalize_names
+
+    w = 5
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    row = E.sorted_neighborhood_metrics(ents, window=w).collect()[0]
+
+    recs = sorted(
+        (r["norm"], r["entity_key"], r["truth_id"])
+        for r in normalize_names(ents).select(
+            "norm", "entity_key", "truth_id"
+        ).collect()
+    )
+    cands = covered = 0
+    for i in range(len(recs)):
+        for j in range(i + 1, min(i + w, len(recs))):
+            cands += 1
+            covered += recs[i][2] == recs[j][2]
+    assert row["window"] == w
+    assert row["n_candidates"] == cands
+    assert row["covered_true_pairs"] == covered
+    from collections import Counter
+
+    sizes = Counter(r[2] for r in recs)
+    n_true = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert row["pair_completeness"] == pytest.approx(covered / n_true, abs=1e-6)
+
+
+def test_sorted_neighborhood_linear_budget_and_monotone(spark):
+    """Candidate budget is exactly sum_{d=1..w-1}(N - d) — linear in N,
+    the whole point vs key blocking's quadratic hot blocks — and
+    completeness is monotone in the window."""
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    n = ents.count()
+    r3 = E.sorted_neighborhood_metrics(ents, window=3).collect()[0]
+    r7 = E.sorted_neighborhood_metrics(ents, window=7).collect()[0]
+    assert r3["n_candidates"] == (n - 1) + (n - 2)
+    assert r7["n_candidates"] == sum(n - d for d in range(1, 7))
+    assert r7["covered_true_pairs"] >= r3["covered_true_pairs"]
+    assert r7["pair_completeness"] >= r3["pair_completeness"]

@@ -905,3 +905,106 @@ SELECT channel, n_candidates, covered_true_pairs,
 FROM per, tot
 ORDER BY channel
 """
+
+
+def sorted_neighborhood_metrics(
+    entities: DataFrame,
+    *,
+    window: int = 5,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) evaluated
+    against labels: records sort by the normalized surface, and every
+    record pairs with the ``window - 1`` records that follow it —
+    recall comes from lexicographic locality instead of key equality,
+    so near-miss spellings block together even when every exact key
+    disagrees. Output one row: (window, n_candidates,
+    covered_true_pairs, pair_completeness).
+
+    100 TB shape: the sort is ``rankops.global_rank`` — range-partition
+    + local rank + per-partition offsets, NO single-task window — and
+    the neighborhood is an equi-join of rank against rank+d for
+    d in 1..window-1 (a ``window - 1``-row broadcast explode), so the
+    candidate budget is exactly (N - d) summed over d: linear in N,
+    skew-free by construction (ranks are unique). The classical
+    multi-pass variant is this operator unioned over several sort keys.
+    """
+    from ..operators import blocking as B
+    from ..operators.rankops import global_rank
+
+    spark = entities.sparkSession
+    e = B.normalize_names(entities.select("entity_key", "surface")).select(
+        "entity_key", "norm"
+    )
+    ranked = global_rank(
+        e, [F.col("norm"), F.col("entity_key")], rank_col="rnk"
+    ).localCheckpoint()
+    offs = spark.range(1, int(window)).select(F.col("id").alias("d"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        F.col("entity_key").alias("l"), (F.col("rnk") + F.col("d")).alias("rj")
+    )
+    right = ranked.select(
+        F.col("entity_key").alias("r"), F.col("rnk").alias("rj")
+    )
+    pairs = left.join(right, "rj").select("l", "r")
+    truth = entities.select("entity_key", truth_col)
+    lab = pairs.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.lit(int(window)).alias("window"),
+        "n_candidates",
+        "covered_true_pairs",
+        F.round(
+            F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+def er_sorted_neighborhood_sql(
+    *, n_base: int = 150, n_twin: int = 30, window: int = 5
+) -> str:
+    """Oracle for sorted_neighborhood_metrics over eval_entities."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+keyed AS (
+  SELECT entity_key, truth_id,
+         lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g')) AS norm
+  FROM entities
+),
+ranked AS (
+  SELECT entity_key, truth_id,
+         row_number() OVER (ORDER BY norm, entity_key) AS rnk
+  FROM keyed
+),
+pairs AS (
+  SELECT a.truth_id AS lt, b.truth_id AS rt
+  FROM ranked a JOIN ranked b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + {int(window) - 1}
+),
+per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt = rt THEN 1 ELSE 0 END) AS BIGINT) AS covered_true_pairs
+  FROM pairs
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT CAST({int(window)} AS INT) AS window, n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+"""
