@@ -1065,6 +1065,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sorted_neighborhood_metrics(eval_entities(spark))
 
+    def er_meta_blocking(spark, sf_dir):
+        # Papadakis-style meta-blocking: pairs weighted by common-block
+        # count across all three channels; weighted-edge pruning at the
+        # global mean — the candidate-budget-vs-recall trade, measured
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, meta_blocking_metrics,
+        )
+
+        return meta_blocking_metrics(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_classify": er_fs_classify,
         "er_channel_recall": er_channel_recall,
         "er_sorted_neighborhood": er_sorted_neighborhood,
+        "er_meta_blocking": er_meta_blocking,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1638,7 +1649,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_sorted_neighborhood_sql, er_threshold_sweep_sql,
+        er_meta_blocking_sql, er_sorted_neighborhood_sql,
+        er_threshold_sweep_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_match_weights_sql,
@@ -1685,6 +1697,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_fs_classify": fs_classified_metrics_sql(),
         "er_channel_recall": er_channel_recall_sql(),
         "er_sorted_neighborhood": er_sorted_neighborhood_sql(),
+        "er_meta_blocking": er_meta_blocking_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

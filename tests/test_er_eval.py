@@ -386,3 +386,45 @@ def test_sorted_neighborhood_linear_budget_and_monotone(spark):
     assert r7["n_candidates"] == sum(n - d for d in range(1, 7))
     assert r7["covered_true_pairs"] >= r3["covered_true_pairs"]
     assert r7["pair_completeness"] >= r3["pair_completeness"]
+
+
+def test_meta_blocking_rederivation_and_trade(spark):
+    """Weights, pruning, and both stage rows must equal a driver-side
+    rederivation from the block table; pruning must actually buy a
+    budget reduction on the eval corpus."""
+    import itertools
+    from collections import Counter, defaultdict
+
+    from textgraphs_spark.plans.er_pipeline import blocked_keys
+
+    ents = E.eval_entities(spark, n_base=30, n_twin=6)
+    rows = {r["stage"]: r for r in E.meta_blocking_metrics(ents).collect()}
+    assert set(rows) == {"all", "pruned"}
+
+    bk = blocked_keys(
+        ents.select("entity_key", "surface"), use_minhash=True, use_skeleton=True
+    )
+    w = Counter()
+    members = defaultdict(set)
+    for r in bk.collect():
+        members[(r["channel"], r["bkey"])].add(r["entity_key"])
+    for ms in members.values():
+        for a, b in itertools.combinations(sorted(ms), 2):
+            w[(a, b)] += 1
+    truth = {r["entity_key"]: r["truth_id"] for r in ents.collect()}
+    mean_w = sum(w.values()) / len(w)
+    kept = {p: c for p, c in w.items() if c >= mean_w}
+
+    def cov(d):
+        return sum(1 for (a, b) in d if truth[a] == truth[b])
+
+    assert rows["all"]["n_candidates"] == len(w)
+    assert rows["all"]["covered_true_pairs"] == cov(w)
+    assert rows["pruned"]["n_candidates"] == len(kept)
+    assert rows["pruned"]["covered_true_pairs"] == cov(kept)
+    assert rows["all"]["mean_weight"] == pytest.approx(mean_w, abs=1e-6)
+    # the trade pruning is for: a real budget cut, completeness may dip
+    assert rows["pruned"]["n_candidates"] < rows["all"]["n_candidates"]
+    assert rows["pruned"]["pair_completeness"] <= rows["all"]["pair_completeness"]
+    # kept pairs are on average heavier than the population
+    assert rows["pruned"]["mean_weight"] >= rows["all"]["mean_weight"]

@@ -856,15 +856,10 @@ def channel_recall(
     )
 
 
-def er_channel_recall_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
-    """Oracle for channel_recall over eval_entities: the shared blocking
-    channel CTEs plus the skeleton-key twin of blocking.skeleton_key."""
-    from .er_oracle import blocking_ctes
-
-    return f"""WITH
-{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
-{blocking_ctes('entities')},
-chan_sk AS MATERIALIZED (
+# SQL twin of blocking.skeleton_key + the 3-channel block table — shared
+# by the channel-recall and meta-blocking oracles (builds on kparts /
+# chan_key / chan_mh from er_oracle.blocking_ctes)
+_THREE_CHANNEL_CTES = """chan_sk AS MATERIALIZED (
   SELECT entity_key,
          concat_ws('|', 'sk', array_to_string(
            list_sort(list_transform(toks, t -> regexp_replace(t, '[aeiou]', '', 'g'))),
@@ -875,7 +870,18 @@ bl AS (
   SELECT 'name' AS channel, entity_key, bkey FROM chan_key
   UNION ALL SELECT 'minhash', entity_key, bkey FROM chan_mh
   UNION ALL SELECT 'skeleton', entity_key, bkey FROM chan_sk
-),
+)"""
+
+
+def er_channel_recall_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for channel_recall over eval_entities: the shared blocking
+    channel CTEs plus the skeleton-key twin of blocking.skeleton_key."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{_THREE_CHANNEL_CTES},
 cpairs AS MATERIALIZED (
   SELECT DISTINCT a.channel, a.entity_key AS l, b.entity_key AS r
   FROM bl a JOIN bl b
@@ -1007,4 +1013,139 @@ tot AS (
 SELECT CAST({int(window)} AS INT) AS window, n_candidates, covered_true_pairs,
        round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
 FROM per, tot
+"""
+
+
+def meta_blocking_metrics(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Meta-blocking (Papadakis-style CBS weighting + weighted-edge
+    pruning): candidate pairs from the union of all three blocking
+    channels are weighted by how many distinct (channel, key) blocks
+    BOTH records share — redundancy-positive evidence that two records
+    co-occurring in many blocks are likelier matches — and pairs below
+    the global mean weight are pruned. Output, one row per stage:
+    (stage 'all' | 'pruned', n_candidates, covered_true_pairs,
+    pair_completeness, mean_weight).
+
+    The study's point is the trade: how much of the candidate budget
+    pruning saves vs how many true pairs it costs.
+
+    100 TB shape: the weight is a per-pair COUNT off the same
+    (channel, key) self-join production blocking runs — one hash agg
+    over pair rows (partial-combining; the heaviest key is already
+    salting-bounded upstream). Pruning compares against a broadcast
+    1-row mean; no second pass over the block table, no pair list on
+    the driver.
+    """
+    from .er_pipeline import blocked_keys
+
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"),
+        use_minhash=True, use_skeleton=True, hash_family=hash_family,
+    ).select("channel", "bkey", "entity_key").localCheckpoint()
+    a = bk.select("channel", "bkey", F.col("entity_key").alias("l"))
+    b = bk.select("channel", "bkey", F.col("entity_key").alias("r"))
+    weighted = (
+        a.join(b, ["channel", "bkey"])
+        .filter(F.col("l") < F.col("r"))
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()
+    )
+    mean_w = weighted.agg(F.avg("w").alias("_mw"))
+    truth = entities.select("entity_key", truth_col)
+    lab = (
+        weighted.crossJoin(F.broadcast(mean_w))
+        .join(
+            truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+            "l",
+        )
+        .join(
+            truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+            "r",
+        )
+    )
+    same = (F.col("lt") == F.col("rt")).cast("long")
+    kept = F.col("w") >= F.col("_mw")
+    stages = lab.select(
+        F.explode(
+            F.when(kept, F.array(F.lit("all"), F.lit("pruned"))).otherwise(
+                F.array(F.lit("all"))
+            )
+        ).alias("stage"),
+        same.alias("same"),
+        "w",
+    )
+    per = stages.groupBy("stage").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum("same").alias("covered_true_pairs"),
+        F.round(F.avg("w"), 6).alias("mean_weight"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_candidates",
+            "covered_true_pairs",
+            F.round(
+                F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+            ).alias("pair_completeness"),
+            "mean_weight",
+        )
+        .orderBy("stage")
+    )
+
+
+def er_meta_blocking_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for meta_blocking_metrics over eval_entities."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{_THREE_CHANNEL_CTES},
+weighted AS MATERIALIZED (
+  SELECT a.entity_key AS l, b.entity_key AS r, CAST(count(*) AS BIGINT) AS w
+  FROM bl a JOIN bl b
+    ON a.channel = b.channel AND a.bkey = b.bkey AND a.entity_key < b.entity_key
+  GROUP BY 1, 2
+),
+mw AS (SELECT avg(w) AS _mw FROM weighted),
+lab AS (
+  SELECT p.w, p.w >= mw._mw AS kept,
+         CASE WHEN lt.truth_id = rt.truth_id THEN 1 ELSE 0 END AS same
+  FROM weighted p, mw
+  JOIN entities lt ON lt.entity_key = p.l
+  JOIN entities rt ON rt.entity_key = p.r
+),
+stages AS (
+  SELECT 'all' AS stage, w, same FROM lab
+  UNION ALL
+  SELECT 'pruned', w, same FROM lab WHERE kept
+),
+per AS (
+  SELECT stage,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(same) AS BIGINT) AS covered_true_pairs,
+         round(avg(w), 6) AS mean_weight
+  FROM stages GROUP BY stage
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT stage, n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness,
+       mean_weight
+FROM per, tot
+ORDER BY stage
 """
