@@ -1095,6 +1095,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fs_classified_metrics(eval_entities(spark))
 
+    def er_fs_clusters(spark, sf_dir):
+        # the FS model driving the ACTUAL clustering path: posterior
+        # matches -> components_over_keys closure -> contingency P/R/F1,
+        # directly comparable to er_eval_clusters' JW-threshold row
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_weights import fs_cluster_eval
+
+        return fs_cluster_eval(eval_entities(spark))
+
     def dedup_paragraphs(spark, sf_dir):
         # RefinedWeb-style exact paragraph dedup, keep-FIRST occurrence
         # corpus-wide by (doc_id, pos); over the multi-line boiler corpus
@@ -1182,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_stats": er_blocking_stats,
         "er_fs_weights": er_fs_weights,
         "er_fs_classify": er_fs_classify,
+        "er_fs_clusters": er_fs_clusters,
         "er_channel_recall": er_channel_recall,
         "er_sorted_neighborhood": er_sorted_neighborhood,
         "er_meta_blocking": er_meta_blocking,
@@ -1653,7 +1663,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_threshold_sweep_sql,
     )
     from textgraphs_spark.plans.er_weights import (
-        fs_classified_metrics_sql, fs_match_weights_sql,
+        fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
     )
 
     return {
@@ -1695,6 +1705,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_blocking_stats": er_blocking_stats_sql(),
         "er_fs_weights": fs_match_weights_sql(),
         "er_fs_classify": fs_classified_metrics_sql(),
+        "er_fs_clusters": fs_cluster_eval_sql(),
         "er_channel_recall": er_channel_recall_sql(),
         "er_sorted_neighborhood": er_sorted_neighborhood_sql(),
         "er_meta_blocking": er_meta_blocking_sql(),

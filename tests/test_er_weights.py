@@ -164,3 +164,61 @@ def test_em_degenerate_single_pattern_clamps(spark):
     ]
     for v in vals:
         assert 0.0 < v < 1.0 and not math.isnan(v)
+
+
+def test_fs_cluster_eval_reconciles_with_manual_closure(spark):
+    """The FS clustering row must equal a driver-side union-find over
+    the posterior-matched pairs, scored by the same contingency math."""
+    from collections import Counter
+
+    ents = eval_entities(spark, n_base=40, n_twin=8)
+    row = W.fs_cluster_eval(ents).collect()[0]
+
+    feats = W.comparison_patterns(ents, keep_pairs=True).collect()
+    pats = [
+        tuple(r)
+        for r in W.comparison_patterns(ents).collect()
+    ]
+    lam, m, u = _em_reference([(p[0], p[1], p[2], p[3]) for p in pats])
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keys = [r["entity_key"] for r in ents.select("entity_key").collect()]
+    for k in keys:
+        parent[k] = k
+    for r in feats:
+        g = (r["g_exact"], r["g_strong"], r["g_last"])
+        pm = pu = 1.0
+        for i in range(3):
+            pm *= m[i] if g[i] else 1.0 - m[i]
+            pu *= u[i] if g[i] else 1.0 - u[i]
+        if lam * pm / (lam * pm + (1.0 - lam) * pu) >= 0.5:
+            ra, rb = find(r["left_id"]), find(r["right_id"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = {k: find(k) for k in keys}
+    truth = {
+        r["entity_key"]: r["truth_id"]
+        for r in ents.select("entity_key", "truth_id").collect()
+    }
+    cells = Counter((clusters[k], truth[k]) for k in keys)
+    tp = sum(n * (n - 1) // 2 for n in cells.values())
+    pred = sum(
+        n * (n - 1) // 2 for n in Counter(clusters.values()).values()
+    )
+    true = sum(n * (n - 1) // 2 for n in Counter(truth.values()).values())
+    assert row["n_items"] == len(keys)
+    assert row["n_clusters"] == len(set(clusters.values()))
+    assert (row["tp_pairs"], row["fp_pairs"], row["fn_pairs"]) == (
+        tp, pred - tp, true - tp,
+    )
+    assert row["pair_f1"] == pytest.approx(2 * tp / (pred + true), abs=1e-6)
+    # the model must actually resolve entities, not degenerate to all-
+    # singletons or one blob
+    assert 1 < row["n_clusters"] < len(keys)

@@ -420,3 +420,137 @@ SELECT n_candidates, em_lambda, tp_pairs, fp_pairs,
        round(2.0 * tp_pairs / (2.0 * tp_pairs + fp_pairs + (n_true_pairs - tp_pairs)), 6) AS pair_f1
 FROM cand, tot
 """
+
+
+def fs_cluster_eval(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    max_block_size: int = 200,
+    strong: float = 0.95,
+    iters: int = 5,
+    decision: float = 0.5,
+) -> DataFrame:
+    """The FS model driving the ACTUAL clustering path: pairs whose EM
+    posterior >= ``decision`` become the match edges, transitive closure
+    (the pipeline's own components_over_keys — same 128-bit-id CC the
+    flagship uses) assigns clusters, and the clustering is scored against
+    truth by contingency counting. Output: the clustering_metrics row
+    (n_items, n_clusters, n_truths, tp/fp/fn pairs, P/R/F1) — directly
+    comparable to er_eval_clusters' JW-threshold pipeline row.
+
+    100 TB shape: identical to the flagship clustering (blocking pass +
+    pattern agg + broadcast posterior join + CC on match edges only);
+    the evaluation itself never materializes a pair (three
+    vocabulary-sized aggregates)."""
+    from ..operators import components as C
+    from .er_eval import clustering_metrics
+
+    feats = comparison_patterns(
+        entities, max_block_size=max_block_size, strong=strong, keep_pairs=True
+    ).localCheckpoint(eager=False)
+    patterns = (
+        feats.groupBy(*FEATURES)
+        .agg(F.count("*").alias("n_pairs"))
+        .localCheckpoint(eager=False)
+    )
+    params = em_params(patterns, iters=iters)
+    pm, pu = _pattern_products()
+    lam = F.col("lam")
+    w = lam * pm / (lam * pm + (F.lit(1.0) - lam) * pu)
+    post = patterns.crossJoin(F.broadcast(params)).select(
+        *FEATURES, w.alias("posterior")
+    )
+    matches = (
+        feats.join(F.broadcast(post), list(FEATURES))
+        .filter(F.col("posterior") >= F.lit(float(decision)))
+        .select("left_id", "right_id")
+    )
+    clusters = C.components_over_keys(matches)
+    assignments = (
+        entities.join(clusters, "entity_key", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
+        .select("entity_key", "cluster_id")
+    )
+    return clustering_metrics(assignments, entities.select("entity_key", truth_col))
+
+
+def fs_cluster_eval_sql(
+    *,
+    n_base: int = 150,
+    n_twin: int = 30,
+    strong: float = 0.95,
+    iters: int = 5,
+    decision: float = 0.5,
+) -> str:
+    """Oracle for fs_cluster_eval over eval_entities: FS matches feed the
+    same recursive-CTE closure the flagship clustering oracle uses, then
+    contingency metrics."""
+    from .er_eval import eval_entities_cte
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    pm = " * ".join(
+        f"(CASE WHEN {g} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
+        for i, g in enumerate(FEATURES, start=1)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN {g} = 1 THEN u{i} ELSE 1.0 - u{i} END)"
+        for i, g in enumerate(FEATURES, start=1)
+    )
+    fk = ", ".join(FEATURES)
+    return f"""WITH RECURSIVE
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+{_feats_ctes(strong, with_truth=False)},
+{_em_ctes(iters)},
+post AS (
+  SELECT {fk},
+         lam * {pm} / (lam * {pm} + (1.0 - lam) * {pu}) AS posterior
+  FROM pat, p{iters}
+),
+matches AS MATERIALIZED (
+  SELECT f.left_id, f.right_id
+  FROM feats f JOIN post p USING ({fk})
+  WHERE p.posterior >= CAST({decision!r} AS DOUBLE)
+),
+edgesu AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM matches
+  UNION SELECT right_id, left_id FROM matches
+),
+reach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities
+  UNION
+  SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
+),
+comp AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS cluster_id FROM reach GROUP BY node
+),
+cells AS (
+  SELECT c.cluster_id, e.truth_id, count(*) AS n
+  FROM comp c JOIN entities e USING (entity_key)
+  GROUP BY 1, 2
+),
+head AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT truth_id) AS BIGINT) AS n_truths,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs
+  FROM cells
+),
+pred AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT sum(n) AS s FROM cells GROUP BY cluster_id)
+),
+tru AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS true_pairs
+  FROM (SELECT sum(n) AS s FROM cells GROUP BY truth_id)
+)
+SELECT n_items, n_clusters, n_truths, tp_pairs,
+       pred_pairs - tp_pairs AS fp_pairs,
+       true_pairs - tp_pairs AS fn_pairs,
+       round(tp_pairs / pred_pairs, 6) AS pair_precision,
+       round(tp_pairs / true_pairs, 6) AS pair_recall,
+       round(2.0 * tp_pairs / (pred_pairs + true_pairs), 6) AS pair_f1
+FROM head, pred, tru
+"""
