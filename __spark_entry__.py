@@ -1045,6 +1045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(eval_entities(spark), max_block_size=50)
 
+    def er_fs_tf_adjustments(spark, sf_dir):
+        # Splink-style term-frequency adjustment of the exact-surface
+        # feature: per-surface log2(u1 / tf) weight shift — a shared
+        # rare surface is stronger evidence than a shared common one
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_weights import fs_tf_adjustments
+
+        return fs_tf_adjustments(eval_entities(spark))
+
     def er_channel_recall(spark, sf_dir):
         # per-channel blocking recall study (name / minhash / skeleton /
         # union): the skeleton channel's order-invariant devoweled key
@@ -1192,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_weights": er_fs_weights,
         "er_fs_classify": er_fs_classify,
         "er_fs_clusters": er_fs_clusters,
+        "er_fs_tf_adjustments": er_fs_tf_adjustments,
         "er_channel_recall": er_channel_recall,
         "er_sorted_neighborhood": er_sorted_neighborhood,
         "er_meta_blocking": er_meta_blocking,
@@ -1664,6 +1674,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
+        fs_tf_adjustments_sql,
     )
 
     return {
@@ -1706,6 +1717,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_fs_weights": fs_match_weights_sql(),
         "er_fs_classify": fs_classified_metrics_sql(),
         "er_fs_clusters": fs_cluster_eval_sql(),
+        "er_fs_tf_adjustments": fs_tf_adjustments_sql(),
         "er_channel_recall": er_channel_recall_sql(),
         "er_sorted_neighborhood": er_sorted_neighborhood_sql(),
         "er_meta_blocking": er_meta_blocking_sql(),

@@ -222,3 +222,31 @@ def test_fs_cluster_eval_reconciles_with_manual_closure(spark):
     # the model must actually resolve entities, not degenerate to all-
     # singletons or one blob
     assert 1 < row["n_clusters"] < len(keys)
+
+
+def test_tf_adjustments_hand_math_and_direction(spark):
+    """tf_adjustment must equal log2(u1 / tf) with u1 from the reference
+    EM, and point the right way: the rarest agreeing surfaces carry the
+    LARGEST positive shift, surfaces more common than u1 a negative one."""
+    ents = eval_entities(spark, n_base=40, n_twin=8)
+    rows = W.fs_tf_adjustments(ents).collect()
+    assert rows, "eval corpus must produce exact-agreeing pairs"
+
+    pats = [tuple(r) for r in W.comparison_patterns(ents).collect()]
+    _, _, u = _em_reference(pats)
+    n = ents.count()
+    surf_n = {r["surface"]: 0 for r in rows}
+    for r in ents.select("surface").collect():
+        if r["surface"] in surf_n:
+            surf_n[r["surface"]] += 1
+    for r in rows:
+        tf = surf_n[r["surface"]] / n
+        assert r["n_entities"] == surf_n[r["surface"]]
+        assert r["tf"] == pytest.approx(tf, abs=1e-6)
+        assert r["tf_adjustment"] == pytest.approx(
+            math.log2(u[0] / tf), abs=1e-5
+        )
+    # monotone: rarer surface -> larger adjustment
+    by_tf = sorted(rows, key=lambda r: r["tf"])
+    adjs = [r["tf_adjustment"] for r in by_tf]
+    assert adjs == sorted(adjs, reverse=True)

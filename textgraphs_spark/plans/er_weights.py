@@ -554,3 +554,101 @@ SELECT n_items, n_clusters, n_truths, tp_pairs,
        round(2.0 * tp_pairs / (pred_pairs + true_pairs), 6) AS pair_f1
 FROM head, pred, tru
 """
+
+
+def fs_tf_adjustments(
+    entities: DataFrame,
+    *,
+    max_block_size: int = 200,
+    strong: float = 0.95,
+    iters: int = 5,
+) -> DataFrame:
+    """Term-frequency adjustment for the exact-surface feature (the
+    Splink/FastLink refinement of Fellegi-Sunter): agreeing on a surface
+    is evidence inversely proportional to how common that surface is —
+    two 'J Smith's are weak evidence, two 'Xerxes Quixote's near-proof.
+    The global u1 = P(exact agree | non-match) is replaced per surface
+    by its relative frequency tf (the chance two random records share
+    THIS surface), shifting the log2 weight by log2(u1 / tf).
+
+    Output, one row per surface that produced at least one
+    exact-agreeing candidate pair, ordered by surface: (surface,
+    n_entities, tf, n_exact_pairs, tf_adjustment). Positive adjustment
+    = rarer than the average agreeing surface -> stronger evidence.
+
+    100 TB shape: surface frequencies are one vocabulary-sized hash agg
+    over the entity table (NOT the corpus); exact pairs join their
+    left surface and aggregate per surface — both partial-combining;
+    u1 arrives as a broadcast 1-row frame off the shared EM chain."""
+    feats = comparison_patterns(
+        entities, max_block_size=max_block_size, strong=strong, keep_pairs=True
+    ).localCheckpoint(eager=False)
+    patterns = feats.groupBy(*FEATURES).agg(F.count("*").alias("n_pairs"))
+    params = em_params(patterns, iters=iters)
+
+    n_total = entities.agg(F.count("*").alias("_n"))
+    sfreq = (
+        entities.groupBy("surface")
+        .agg(F.count("*").alias("n_entities"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "surface",
+            "n_entities",
+            (F.col("n_entities") / F.col("_n")).alias("_tf"),
+        )
+    )
+    exact = (
+        feats.filter(F.col("g_exact") == 1)
+        .join(
+            entities.select(
+                F.col("entity_key").alias("left_id"), "surface"
+            ),
+            "left_id",
+        )
+        .groupBy("surface")
+        .agg(F.count("*").alias("n_exact_pairs"))
+    )
+    return (
+        exact.join(sfreq, "surface")
+        .crossJoin(F.broadcast(params.select("u1")))
+        .select(
+            "surface",
+            "n_entities",
+            F.round(F.col("_tf"), 6).alias("tf"),
+            "n_exact_pairs",
+            F.round(F.log2(F.col("u1") / F.col("_tf")), 6).alias("tf_adjustment"),
+        )
+        .orderBy("surface")
+    )
+
+
+def fs_tf_adjustments_sql(
+    *, n_base: int = 150, n_twin: int = 30, strong: float = 0.95, iters: int = 5
+) -> str:
+    """Oracle for fs_tf_adjustments over eval_entities."""
+    from .er_eval import eval_entities_cte
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+{_feats_ctes(strong, with_truth=False)},
+{_em_ctes(iters)},
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM entities),
+sfreq AS (
+  SELECT surface, CAST(count(*) AS BIGINT) AS n_entities,
+         count(*) / (SELECT _n FROM ntot) AS _tf
+  FROM entities GROUP BY surface
+),
+exact AS (
+  SELECT e.surface, CAST(count(*) AS BIGINT) AS n_exact_pairs
+  FROM feats f JOIN entities e ON e.entity_key = f.left_id
+  WHERE f.g_exact = 1
+  GROUP BY e.surface
+)
+SELECT x.surface, s.n_entities, round(s._tf, 6) AS tf, x.n_exact_pairs,
+       round(log2(p.u1 / s._tf), 6) AS tf_adjustment
+FROM exact x JOIN sfreq s USING (surface), p{iters} p
+ORDER BY x.surface
+"""
