@@ -1084,6 +1084,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return meta_blocking_metrics(eval_entities(spark))
 
+    def er_tfidf_pairs(spark, sf_dir):
+        # TF-IDF token-cosine channel via EXACT AllPairs prefix
+        # filtering (rarest-first index); the oracle is the UNFILTERED
+        # inverted-index join, so green == pruning provably lossless.
+        # Weighted-token evidence recovers 'Last First' reorderings
+        # (cosine 1.0) the positional name key blocks apart
+        from textgraphs_spark.plans.er_eval import eval_entities, tfidf_pair_study
+
+        return tfidf_pair_study(eval_entities(spark))
+
+    def er_split_overmerged(spark, sf_dir):
+        # over-merge repair audit: recluster each loose cluster over
+        # match edges at score >= 0.95 only (same components_over_keys
+        # closure) and report the subcluster census per cluster — the
+        # chain-merge decomposition cluster_cohesion flags, measured
+        from textgraphs_spark.plans.er_eval import split_overmerged
+
+        _, parts = _eval_parts(spark)
+        return split_overmerged(parts["assignments"], parts["match_scores"])
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1205,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_channel_recall": er_channel_recall,
         "er_sorted_neighborhood": er_sorted_neighborhood,
         "er_meta_blocking": er_meta_blocking,
+        "er_tfidf_pairs": er_tfidf_pairs,
+        "er_split_overmerged": er_split_overmerged,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1670,7 +1692,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_meta_blocking_sql, er_sorted_neighborhood_sql,
-        er_threshold_sweep_sql,
+        er_split_overmerged_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
@@ -1721,6 +1743,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_channel_recall": er_channel_recall_sql(),
         "er_sorted_neighborhood": er_sorted_neighborhood_sql(),
         "er_meta_blocking": er_meta_blocking_sql(),
+        "er_tfidf_pairs": er_tfidf_pairs_sql(),
+        "er_split_overmerged": er_split_overmerged_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

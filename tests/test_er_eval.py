@@ -428,3 +428,103 @@ def test_meta_blocking_rederivation_and_trade(spark):
     assert rows["pruned"]["pair_completeness"] <= rows["all"]["pair_completeness"]
     # kept pairs are on average heavier than the population
     assert rows["pruned"]["mean_weight"] >= rows["all"]["mean_weight"]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine channel + over-merge split
+# ---------------------------------------------------------------------------
+
+def test_tfidf_prefix_filter_lossless(spark):
+    """AllPairs prefix pruning is EXACT: the prefix-indexed join returns
+    the identical pair set and cosines as the unfiltered inverted-index
+    join, while indexing strictly fewer postings."""
+    from textgraphs_spark.operators import blocking as B
+
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    fast = B.tfidf_cosine_pairs(ents, threshold=0.5).orderBy("left_id", "right_id")
+    brute = B.tfidf_cosine_pairs(
+        ents, threshold=0.5, prefix_filter=False
+    ).orderBy("left_id", "right_id")
+    assert [r.asDict() for r in fast.collect()] == [
+        r.asDict() for r in brute.collect()
+    ]
+
+
+def test_tfidf_prefix_index_smaller_and_reorder_invariant(spark):
+    """The prefix index drops postings (the pruning does work), and a
+    token reordering scores cosine 1.0 — the channel's raison d'etre."""
+    from pyspark.sql import Window
+
+    from textgraphs_spark.operators import blocking as B
+
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    u = B.tfidf_unit_vectors(ents)
+    full = u.count()
+    wspec = (
+        Window.partitionBy("rid")
+        .orderBy(F.asc("df"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    head = F.coalesce(F.sum(F.col("u") * F.col("u")).over(wspec), F.lit(0.0))
+    pref = u.withColumn("_h", head).filter(
+        F.lit(1.0) - F.col("_h") > 0.5 * 0.5 - 1e-12
+    ).count()
+    assert pref < full
+
+    two = spark.createDataFrame(
+        [("a", "John Smith"), ("b", "Smith John"), ("c", "Jane Smith")],
+        ["entity_key", "surface"],
+    )
+    got = {
+        (r.left_id, r.right_id): r.cosine
+        for r in B.tfidf_cosine_pairs(two, threshold=0.2).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    # shares only the ubiquitous 'smith' token -> well under the reorder pair
+    assert got[("a", "c")] < 0.5
+
+
+def test_split_overmerged_nests_and_rederives(eval_run, spark):
+    """Strict subclusters nest inside loose clusters (member counts
+    reconcile), splitting only appears for clusters holding a strict
+    edge gap, and a brute-force union-find over the strict edges
+    rederives the same census."""
+    ents, parts = eval_run
+    out = E.split_overmerged(
+        parts["assignments"], parts["match_scores"], strict_similarity=0.95
+    ).collect()
+    sizes = {
+        r.cluster_id: r.n_members
+        for r in parts["assignments"].groupBy("cluster_id").count()
+        .withColumnRenamed("count", "n_members").collect()
+    }
+    for r in out:
+        assert r.n_members == sizes[r.cluster_id]
+        assert 1 <= r.largest_subcluster <= r.n_members
+        assert r.is_split == (r.n_subclusters > 1)
+        assert r.n_subclusters <= r.n_members
+
+    # brute-force union-find rederivation on the driver
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = parts["match_scores"].filter(F.col("score") >= 0.95).collect()
+    for e in edges:
+        parent[find(e.left_id)] = find(e.right_id)
+    assign = parts["assignments"].collect()
+    from collections import defaultdict
+
+    subs = defaultdict(set)
+    members = defaultdict(int)
+    for a in assign:
+        subs[a.cluster_id].add(find(a.entity_key))
+        members[a.cluster_id] += 1
+    expect = {
+        c: len(s) for c, s in subs.items() if members[c] >= 2
+    }
+    assert {r.cluster_id: r.n_subclusters for r in out} == expect

@@ -1149,3 +1149,180 @@ SELECT stage, n_candidates, covered_true_pairs,
 FROM per, tot
 ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine channel study + over-merge split audit
+# ---------------------------------------------------------------------------
+
+def tfidf_pair_study(
+    entities: DataFrame,
+    *,
+    threshold: float = 0.5,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """The TF-IDF token-cosine channel (blocking.tfidf_cosine_pairs)
+    measured on the labeled corpus: every pair at cosine >= threshold,
+    labeled true/false — (left_id, right_id, cosine, is_true).
+
+    Weighted-token evidence is the channel that recovers token
+    REORDERINGS — the reversed 'Last First' variants score cosine 1.0
+    against their 'First Last' base (identical token multiset), where
+    the positional name key blocks them apart — while agreement on a
+    ubiquitous last name alone stays under threshold because idf
+    down-weights it. The oracle computes the UNFILTERED inverted-index
+    join, so a green hash additionally witnesses that the AllPairs
+    prefix pruning is lossless on this corpus.
+    """
+    from ..operators.blocking import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(entities, threshold=threshold)
+    truth = entities.select("entity_key", truth_col)
+    return (
+        pairs.join(
+            truth.select(F.col("entity_key").alias("left_id"),
+                         F.col(truth_col).alias("_lt")), "left_id")
+        .join(
+            truth.select(F.col("entity_key").alias("right_id"),
+                         F.col(truth_col).alias("_rt")), "right_id")
+        .select(
+            "left_id", "right_id", "cosine",
+            (F.col("_lt") == F.col("_rt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_tfidf_pairs_sql(*, n_base: int = 150, n_twin: int = 30,
+                       threshold: float = 0.5) -> str:
+    """Oracle for tfidf_pair_study: the EXACT all-pairs inverted-index
+    cosine join (no prefix filter) — hash-green means the Spark prefix
+    pruning dropped nothing."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+tok AS (
+  SELECT entity_key, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT entity_key,
+           unnest(list_filter(string_split_regex(lower(surface), '[^\\p{{L}}0-9]+'),
+                              x -> x <> '')) AS token
+    FROM entities
+  ) t
+  GROUP BY entity_key, t.token
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM entities),
+w AS (
+  SELECT entity_key, tok.token, tf * ln(1 + n_total / df) AS w
+  FROM tok JOIN dfreq USING (token), n
+),
+nrm AS (SELECT entity_key, sqrt(sum(w * w)) AS nm FROM w GROUP BY entity_key),
+u AS (
+  SELECT w.entity_key, token, w / nm AS u
+  FROM w JOIN nrm USING (entity_key) WHERE nm > 0
+),
+pairs AS (
+  SELECT a.entity_key AS left_id, b.entity_key AS right_id,
+         sum(a.u * b.u) AS cos
+  FROM u a JOIN u b ON a.token = b.token AND a.entity_key < b.entity_key
+  GROUP BY a.entity_key, b.entity_key
+)
+SELECT p.left_id, p.right_id, round(p.cos, 6) AS cosine,
+       (lt.truth_id = rt.truth_id) AS is_true
+FROM pairs p
+JOIN entities lt ON lt.entity_key = p.left_id
+JOIN entities rt ON rt.entity_key = p.right_id
+WHERE round(p.cos, 9) >= {threshold}
+ORDER BY left_id, right_id
+"""
+
+
+def split_overmerged(
+    assignments: DataFrame,
+    match_scores: DataFrame,
+    *,
+    strict_similarity: float = 0.95,
+) -> DataFrame:
+    """Over-merge repair audit: recluster each loose cluster's members
+    over only the match edges at score >= ``strict_similarity`` and
+    report how every non-singleton cluster decomposes —
+    (cluster_id, n_members, n_subclusters, largest_subcluster,
+    is_split).
+
+    Transitive closure merges A~B~C even when A-C never matched;
+    ``cluster_cohesion`` FLAGS such chains, this measures the repair:
+    strict edges are a subset of loose edges, so strict components
+    nest inside loose clusters and the decomposition is well-defined —
+    the subcluster census is exactly what splitting at the stricter
+    threshold would produce. Members with no strict edge become
+    singleton subclusters.
+
+    Scale shape: one filter over the already-materialized match edges,
+    the same components_over_keys closure the pipeline runs (128-bit
+    ids), then two vocabulary-sized aggregates. No pair or member list
+    is ever collected.
+    """
+    from ..operators.components import components_over_keys
+
+    strict = match_scores.filter(
+        F.col("score") >= strict_similarity
+    ).select("left_id", "right_id")
+    sub = components_over_keys(strict).withColumnRenamed("cluster_id", "sub_id")
+    per = (
+        assignments.select("entity_key", "cluster_id")
+        .join(sub, "entity_key", "left")
+        .withColumn("sub_id", F.coalesce("sub_id", F.col("entity_key")))
+        .groupBy("cluster_id", "sub_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per.groupBy("cluster_id")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.count("*").alias("n_subclusters"),
+            F.max("n").alias("largest_subcluster"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .withColumn("is_split", F.col("n_subclusters") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+def er_split_overmerged_sql(*, n_base: int = 150, n_twin: int = 30,
+                            min_similarity: float = 0.9,
+                            strict_similarity: float = 0.95) -> str:
+    """Oracle for split_overmerged over the eval-corpus clustering: a
+    SECOND recursive closure over the strict-edge subset of the same
+    pair_scores the loose clustering used."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+smatch AS MATERIALIZED (
+  SELECT left_id, right_id FROM pair_scores WHERE score >= {strict_similarity}
+),
+sedges AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM smatch
+  UNION SELECT right_id, left_id FROM smatch
+),
+sreach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities
+  UNION
+  SELECT e.b, x.r FROM sreach x JOIN sedges e ON e.a = x.node
+),
+scomp AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS sub_id FROM sreach GROUP BY node
+),
+per AS (
+  SELECT a.cluster_id, s.sub_id, CAST(count(*) AS BIGINT) AS n
+  FROM assignments a JOIN scomp s USING (entity_key)
+  GROUP BY a.cluster_id, s.sub_id
+)
+SELECT cluster_id,
+       CAST(sum(n) AS BIGINT) AS n_members,
+       CAST(count(*) AS BIGINT) AS n_subclusters,
+       max(n) AS largest_subcluster,
+       count(*) > 1 AS is_split
+FROM per
+GROUP BY cluster_id
+HAVING sum(n) >= 2
+ORDER BY cluster_id
+"""
