@@ -1104,6 +1104,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, parts = _eval_parts(spark)
         return split_overmerged(parts["assignments"], parts["match_scores"])
 
+    def er_bcubed(spark, sf_dir):
+        # B-cubed precision/recall/F1 — the per-RECORD clustering metric
+        # next to pairwise F1; three vocabulary-sized contingency aggs,
+        # so the metric itself runs at 10^12 entities
+        from textgraphs_spark.plans.er_eval import bcubed_metrics
+
+        ents, parts = _eval_parts(spark)
+        return bcubed_metrics(
+            parts["assignments"], ents.select("entity_key", "truth_id")
+        )
+
+    def er_soft_tfidf(spark, sf_dir):
+        # Cohen's soft-TF-IDF over the name-key channel: JW-close
+        # (>= 0.9) tokens contribute their full idf weight, so typo'd
+        # first names score near 1.0 where exact-token cosine sees only
+        # the shared last name; JW via the Arrow-batched parity kernel
+        from textgraphs_spark.plans.er_eval import eval_entities, soft_tfidf_study
+
+        return soft_tfidf_study(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1227,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_meta_blocking": er_meta_blocking,
         "er_tfidf_pairs": er_tfidf_pairs,
         "er_split_overmerged": er_split_overmerged,
+        "er_bcubed": er_bcubed,
+        "er_soft_tfidf": er_soft_tfidf,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1691,8 +1713,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_meta_blocking_sql, er_sorted_neighborhood_sql,
-        er_split_overmerged_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
+        er_bcubed_sql, er_meta_blocking_sql, er_soft_tfidf_sql,
+        er_sorted_neighborhood_sql, er_split_overmerged_sql,
+        er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
@@ -1745,6 +1768,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_meta_blocking": er_meta_blocking_sql(),
         "er_tfidf_pairs": er_tfidf_pairs_sql(),
         "er_split_overmerged": er_split_overmerged_sql(),
+        "er_bcubed": er_bcubed_sql(),
+        "er_soft_tfidf": er_soft_tfidf_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

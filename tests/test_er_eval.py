@@ -528,3 +528,86 @@ def test_split_overmerged_nests_and_rederives(eval_run, spark):
         c: len(s) for c, s in subs.items() if members[c] >= 2
     }
     assert {r.cluster_id: r.n_subclusters for r in out} == expect
+
+
+def test_bcubed_hand_computed(spark):
+    """clusters {a,b,c},{d,e} vs truth {a,b},{c,d},{e}:
+    per-record P = (2/3, 2/3, 1/3, 1/2, 1/2) -> mean 0.533333;
+    per-record R = (1, 1, 1/2, 1/2, 1) -> mean 0.8."""
+    assign = spark.createDataFrame(
+        [("a", "C1"), ("b", "C1"), ("c", "C1"), ("d", "C2"), ("e", "C2")],
+        ["entity_key", "cluster_id"],
+    )
+    truth = spark.createDataFrame(
+        [("a", "T1"), ("b", "T1"), ("c", "T2"), ("d", "T2"), ("e", "T3")],
+        ["entity_key", "truth_id"],
+    )
+    row = E.bcubed_metrics(assign, truth).collect()[0]
+    assert row.n_records == 5
+    assert row.bcubed_precision == pytest.approx(8 / 15, abs=1e-6)
+    assert row.bcubed_recall == pytest.approx(0.8, abs=1e-6)
+    p, r = 8 / 15, 0.8
+    assert row.bcubed_f1 == pytest.approx(2 * p * r / (p + r), abs=1e-6)
+
+
+def test_bcubed_perfect_clustering(spark):
+    """Clustering == truth gives P = R = F1 = 1 (incl. singletons)."""
+    assign = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")], ["entity_key", "cluster_id"]
+    )
+    truth = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")], ["entity_key", "truth_id"]
+    )
+    row = E.bcubed_metrics(assign, truth).collect()[0]
+    assert (row.bcubed_precision, row.bcubed_recall, row.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_soft_tfidf_typo_beats_exact_cosine(spark):
+    """The showcase: 'Jhon Smith' vs 'John Smith' share no exact first
+    token, so TF-IDF cosine sees only the common last name — but the
+    typo'd tokens are JW-close, so soft-TF-IDF recovers nearly the
+    full weight. A last-name-only pair stays low under both."""
+    from textgraphs_spark.operators.blocking import tfidf_cosine_pairs
+    from textgraphs_spark.operators.scoring import soft_tfidf_scores
+
+    recs = spark.createDataFrame(
+        [("a", "John Smith"), ("b", "Jhon Smith"), ("c", "Mary Smith"),
+         ("d", "John Carter")],
+        ["entity_key", "surface"],
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], ["left_id", "right_id"]
+    )
+    soft = {
+        (r.left_id, r.right_id): r.soft_tfidf
+        for r in soft_tfidf_scores(recs, cand).collect()
+    }
+    cos = {
+        (r.left_id, r.right_id): r.cosine
+        for r in tfidf_cosine_pairs(recs, threshold=0.01).collect()
+    }
+    assert soft[("a", "b")] > 0.9
+    assert cos.get(("a", "b"), 0.0) < 0.5        # exact cosine: smith only
+    assert soft[("a", "c")] < 0.5                # truly different people
+    assert soft[("a", "b")] > soft[("a", "c")]
+
+
+def test_soft_tfidf_directional_symmetry(spark):
+    """The averaged score is symmetric: swapping pair orientation
+    (relabeling which record is left/right) does not change it."""
+    from textgraphs_spark.operators.scoring import soft_tfidf_scores
+
+    recs = spark.createDataFrame(
+        [("a", "John Smith"), ("b", "Smith Jhon")], ["entity_key", "surface"]
+    )
+    fwd = soft_tfidf_scores(
+        recs, spark.createDataFrame([("a", "b")], ["left_id", "right_id"])
+    ).collect()[0].soft_tfidf
+    rev = soft_tfidf_scores(
+        recs.withColumn(
+            "entity_key",
+            F.when(F.col("entity_key") == "a", "z").otherwise("b"),
+        ),
+        spark.createDataFrame([("b", "z")], ["left_id", "right_id"]),
+    ).collect()[0].soft_tfidf
+    assert fwd == rev

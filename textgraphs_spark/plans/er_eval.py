@@ -1326,3 +1326,204 @@ GROUP BY cluster_id
 HAVING sum(n) >= 2
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# B-cubed clustering metrics + soft-TF-IDF scorer study
+# ---------------------------------------------------------------------------
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    truth: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin '98; the per-RECORD
+    clustering metric next to pairwise F1) — one row: (n_records,
+    bcubed_precision, bcubed_recall, bcubed_f1).
+
+    Per record, precision = the fraction of its predicted cluster that
+    shares its truth entity; recall = the fraction of its truth entity
+    captured by its cluster; B-cubed is the average over records.
+    Unlike pairwise F1, singletons count and giant clusters cannot
+    dominate quadratically. From the (cluster, truth) contingency
+    cells: precision = sum n_ct^2 / n_c over cells / N, recall =
+    sum n_ct^2 / n_t / N — so like clustering_metrics it needs only
+    THREE vocabulary-sized aggregates; no per-record or per-pair row
+    set ever materializes, and the metric itself runs at 10^12
+    entities.
+    """
+    j = assignments.select("entity_key", "cluster_id").join(
+        truth.select("entity_key", truth_col), "entity_key"
+    )
+    cells = j.groupBy("cluster_id", truth_col).agg(F.count("*").alias("n_ct"))
+    nc = cells.groupBy("cluster_id").agg(F.sum("n_ct").alias("n_c"))
+    nt = cells.groupBy(truth_col).agg(F.sum("n_ct").alias("n_t"))
+    sums = (
+        cells.join(nc, "cluster_id")
+        .join(nt, truth_col)
+        .agg(
+            F.sum("n_ct").alias("n_records"),
+            F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_c")).alias("_sp"),
+            F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_t")).alias("_sr"),
+        )
+    )
+    p = F.col("_sp") / F.col("n_records")
+    r = F.col("_sr") / F.col("n_records")
+    return sums.select(
+        "n_records",
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
+def er_bcubed_sql(*, n_base: int = 150, n_twin: int = 30,
+                  min_similarity: float = 0.9) -> str:
+    """Oracle for bcubed_metrics over the eval-corpus clustering."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+cells AS (
+  SELECT a.cluster_id, e.truth_id, CAST(count(*) AS BIGINT) AS n_ct
+  FROM assignments a JOIN entities e USING (entity_key)
+  GROUP BY a.cluster_id, e.truth_id
+),
+nc AS (SELECT cluster_id, sum(n_ct) AS n_c FROM cells GROUP BY cluster_id),
+nt AS (SELECT truth_id, sum(n_ct) AS n_t FROM cells GROUP BY truth_id),
+sums AS (
+  SELECT CAST(sum(n_ct) AS BIGINT) AS n_records,
+         sum(n_ct * n_ct / n_c) AS sp,
+         sum(n_ct * n_ct / n_t) AS sr
+  FROM cells JOIN nc USING (cluster_id) JOIN nt USING (truth_id)
+)
+SELECT n_records,
+       round(sp / n_records, 6) AS bcubed_precision,
+       round(sr / n_records, 6) AS bcubed_recall,
+       round(2 * (sp / n_records) * (sr / n_records)
+             / (sp / n_records + sr / n_records), 6) AS bcubed_f1
+FROM sums
+"""
+
+
+def soft_tfidf_study(
+    entities: DataFrame,
+    *,
+    theta: float = 0.9,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Cohen's soft-TF-IDF scored over the name-key blocking channel —
+    (left_id, right_id, soft_tfidf, is_true).
+
+    The name key ('last token | first initial') blocks the typo pairs
+    ('Jhon Smith' ~ 'John Smith') that exact-token cosine cannot see
+    past — and soft-TF-IDF is the scorer built for exactly them: the
+    typo'd first names are JW-close (>= theta), so they contribute
+    their full idf weight and the pair scores near 1.0, while pairs
+    agreeing only on the common last name stay low. Candidate
+    generation is the plain name-channel equi-join (no salting — the
+    oracle mirrors it exactly); scoring is operators.scoring.
+    soft_tfidf_scores.
+    """
+    from ..operators.scoring import soft_tfidf_scores
+    from .er_pipeline import blocked_keys
+
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"), use_minhash=False
+    ).select("bkey", "entity_key")
+    cand = (
+        bk.select("bkey", F.col("entity_key").alias("left_id"))
+        .join(bk.select("bkey", F.col("entity_key").alias("right_id")), "bkey")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    scores = soft_tfidf_scores(entities, cand, theta=theta)
+    truth = entities.select("entity_key", truth_col)
+    return (
+        scores.join(
+            truth.select(F.col("entity_key").alias("left_id"),
+                         F.col(truth_col).alias("_lt")), "left_id")
+        .join(
+            truth.select(F.col("entity_key").alias("right_id"),
+                         F.col(truth_col).alias("_rt")), "right_id")
+        .select(
+            "left_id", "right_id", "soft_tfidf",
+            (F.col("_lt") == F.col("_rt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_soft_tfidf_sql(*, n_base: int = 150, n_twin: int = 30,
+                      theta: float = 0.9) -> str:
+    """Oracle for soft_tfidf_study: name-channel candidates (chan_key
+    from the shared blocking CTEs), TF-IDF unit weights, token-pair JW
+    via jaro_winkler_similarity with the same total argmax tie-break,
+    directional sums averaged."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
+  FROM chan_key a JOIN chan_key b
+    ON a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+tok AS (
+  SELECT entity_key, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT entity_key,
+           unnest(list_filter(string_split_regex(lower(surface), '[^\\p{{L}}0-9]+'),
+                              x -> x <> '')) AS token
+    FROM entities
+  ) t
+  GROUP BY entity_key, t.token
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM entities),
+w AS (
+  SELECT entity_key, tok.token, tf * ln(1 + n_total / df) AS w
+  FROM tok JOIN dfreq USING (token), n
+),
+nrm AS (SELECT entity_key, sqrt(sum(w * w)) AS nm FROM w GROUP BY entity_key),
+u AS (
+  SELECT w.entity_key, token, w / nm AS u
+  FROM w JOIN nrm USING (entity_key) WHERE nm > 0
+),
+tp AS MATERIALIZED (
+  SELECT c.left_id, c.right_id, a.token AS ta, a.u AS wa,
+         b.token AS tb, b.u AS wb,
+         jaro_winkler_similarity(a.token, b.token) AS jw
+  FROM cand c
+  JOIN u a ON a.entity_key = c.left_id
+  JOIN u b ON b.entity_key = c.right_id
+),
+ab AS (
+  SELECT left_id, right_id, sum(wa * wb * jw) AS s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY left_id, right_id, ta
+                                 ORDER BY jw DESC, wb DESC, tb ASC) AS rn
+    FROM tp
+  ) WHERE rn = 1 AND jw >= {theta}
+  GROUP BY left_id, right_id
+),
+ba AS (
+  SELECT left_id, right_id, sum(wa * wb * jw) AS s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY left_id, right_id, tb
+                                 ORDER BY jw DESC, wa DESC, ta ASC) AS rn
+    FROM tp
+  ) WHERE rn = 1 AND jw >= {theta}
+  GROUP BY left_id, right_id
+)
+SELECT c.left_id, c.right_id,
+       round((coalesce(ab.s, 0) + coalesce(ba.s, 0)) / 2, 6) AS soft_tfidf,
+       (lt.truth_id = rt.truth_id) AS is_true
+FROM cand c
+LEFT JOIN ab USING (left_id, right_id)
+LEFT JOIN ba USING (left_id, right_id)
+JOIN entities lt ON lt.entity_key = c.left_id
+JOIN entities rt ON rt.entity_key = c.right_id
+ORDER BY left_id, right_id
+"""
