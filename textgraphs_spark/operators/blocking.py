@@ -394,6 +394,7 @@ def tfidf_cosine_pairs(
     text_col: str = "surface",
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """All record pairs with TF-IDF token cosine >= ``threshold`` —
     (left_id, right_id, cosine), EXACT, via AllPairs-style prefix
@@ -422,11 +423,19 @@ def tfidf_cosine_pairs(
     never trusts the prune. Per-record prefix marking is one window
     partitioned by rid (records are tiny; rid is never hot).
 
+    ``materialize=True`` (EAGER + BATCH-ONLY, like ``candidate_pairs``)
+    localCheckpoints the unit-vector table: it feeds the prefix index
+    AND both verify sides, so the lazy form re-derives the tf/df/norm
+    agg chain three times — at 10^12 docs that is two redundant corpus
+    scans. Streaming callers pass ``materialize=False``.
+
     Returns cosine rounded to 6 (hash-stable across summation orders).
     """
     from pyspark.sql import Window
 
     u = tfidf_unit_vectors(records, id_col=id_col, text_col=text_col)
+    if materialize:
+        u = u.localCheckpoint()
     if prefix_filter:
         wspec = (
             Window.partitionBy("rid")
