@@ -1124,6 +1124,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return soft_tfidf_study(eval_entities(spark))
 
+    def er_clustering_agreement(spark, sf_dir):
+        # ARI + NMI between the loose (0.9) clustering and the strict
+        # (0.95) subclustering, from contingency cells only — how much
+        # the threshold choice matters, measured at 10^12-entity cost
+        from textgraphs_spark.plans.er_eval import (
+            clustering_agreement, strict_subclusters,
+        )
+
+        _, parts = _eval_parts(spark)
+        a = parts["assignments"].select("entity_key", "cluster_id")
+        b = (
+            a.select("entity_key")
+            .join(strict_subclusters(parts["match_scores"]), "entity_key", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
+        )
+        return clustering_agreement(a, b)
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1249,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_split_overmerged": er_split_overmerged,
         "er_bcubed": er_bcubed,
         "er_soft_tfidf": er_soft_tfidf,
+        "er_clustering_agreement": er_clustering_agreement,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # the flagship ER / extraction family
@@ -1713,9 +1731,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_bcubed_sql, er_meta_blocking_sql, er_soft_tfidf_sql,
-        er_sorted_neighborhood_sql, er_split_overmerged_sql,
-        er_threshold_sweep_sql, er_tfidf_pairs_sql,
+        er_bcubed_sql, er_clustering_agreement_sql, er_meta_blocking_sql,
+        er_soft_tfidf_sql, er_sorted_neighborhood_sql,
+        er_split_overmerged_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
@@ -1770,6 +1788,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_split_overmerged": er_split_overmerged_sql(),
         "er_bcubed": er_bcubed_sql(),
         "er_soft_tfidf": er_soft_tfidf_sql(),
+        "er_clustering_agreement": er_clustering_agreement_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

@@ -611,3 +611,55 @@ def test_soft_tfidf_directional_symmetry(spark):
         spark.createDataFrame([("b", "z")], ["left_id", "right_id"]),
     ).collect()[0].soft_tfidf
     assert fwd == rev
+
+
+def test_clustering_agreement_hand_computed(spark):
+    """A = {a,b,c},{d,e} vs B = {a,b},{c},{d,e}: cells n_ij = 2,1,2 →
+    index = 1+0+1 = 2; EA = 3+1 = 4, EB = 1+0+1 = 2, C(5,2) = 10 →
+    exp = 0.8, max = 3 → ARI = (2-0.8)/(3-0.8) = 6/11."""
+    a = spark.createDataFrame(
+        [("a", "A1"), ("b", "A1"), ("c", "A1"), ("d", "A2"), ("e", "A2")],
+        ["entity_key", "cluster_id"],
+    )
+    b = spark.createDataFrame(
+        [("a", "B1"), ("b", "B1"), ("c", "B2"), ("d", "B3"), ("e", "B3")],
+        ["entity_key", "cluster_id"],
+    )
+    row = E.clustering_agreement(a, b).collect()[0]
+    assert row.n_records == 5
+    assert row.ari == pytest.approx(6 / 11, abs=1e-6)
+    # sklearn-checked NMI for this fixture (sqrt normalization)
+    import math
+
+    n = 5
+    h_a = -(3 / n) * math.log(3 / n) - (2 / n) * math.log(2 / n)
+    h_b = (
+        -(2 / n) * math.log(2 / n)
+        - (1 / n) * math.log(1 / n)
+        - (2 / n) * math.log(2 / n)
+    )
+    mi = (
+        (2 / n) * math.log(n * 2 / (3 * 2))
+        + (1 / n) * math.log(n * 1 / (3 * 1))
+        + (2 / n) * math.log(n * 2 / (2 * 2))
+    )
+    assert row.nmi == pytest.approx(mi / math.sqrt(h_a * h_b), abs=1e-6)
+
+
+def test_clustering_agreement_identity_and_symmetry(eval_run, spark):
+    """Self-agreement is exactly 1/1; the metric is symmetric in its
+    two arguments (ARI and NMI both are)."""
+    _, parts = eval_run
+    a = parts["assignments"].select("entity_key", "cluster_id")
+    b = (
+        a.select("entity_key")
+        .join(E.strict_subclusters(parts["match_scores"]), "entity_key", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
+    )
+    self_row = E.clustering_agreement(a, a).collect()[0]
+    assert (self_row.ari, self_row.nmi) == (1.0, 1.0)
+    ab = E.clustering_agreement(a, b).collect()[0]
+    ba = E.clustering_agreement(b, a).collect()[0]
+    assert (ab.ari, ab.nmi) == (ba.ari, ba.nmi)
+    # strict refines loose -> positive but imperfect agreement
+    assert 0.0 < ab.ari < 1.0

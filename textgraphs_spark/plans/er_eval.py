@@ -1237,6 +1237,22 @@ ORDER BY left_id, right_id
 """
 
 
+def strict_subclusters(
+    match_scores: DataFrame, *, strict_similarity: float = 0.95
+) -> DataFrame:
+    """(entity_key, cluster_id) from connected components over only the
+    match edges at score >= ``strict_similarity`` — the strict
+    reclustering shared by the split audit and the agreement metric.
+    Entities with no strict edge are absent; callers coalesce them to
+    singleton clusters (their own key)."""
+    from ..operators.components import components_over_keys
+
+    return components_over_keys(
+        match_scores.filter(F.col("score") >= strict_similarity)
+        .select("left_id", "right_id")
+    )
+
+
 def split_overmerged(
     assignments: DataFrame,
     match_scores: DataFrame,
@@ -1262,15 +1278,13 @@ def split_overmerged(
     ids), then two vocabulary-sized aggregates. No pair or member list
     is ever collected.
     """
-    from ..operators.components import components_over_keys
-
-    strict = match_scores.filter(
-        F.col("score") >= strict_similarity
-    ).select("left_id", "right_id")
-    sub = components_over_keys(strict).withColumnRenamed("cluster_id", "sub_id")
     per = (
         assignments.select("entity_key", "cluster_id")
-        .join(sub, "entity_key", "left")
+        .join(
+            strict_subclusters(match_scores, strict_similarity=strict_similarity)
+            .withColumnRenamed("cluster_id", "sub_id"),
+            "entity_key", "left",
+        )
         .withColumn("sub_id", F.coalesce("sub_id", F.col("entity_key")))
         .groupBy("cluster_id", "sub_id")
         .agg(F.count("*").alias("n"))
@@ -1526,4 +1540,128 @@ LEFT JOIN ba USING (left_id, right_id)
 JOIN entities lt ON lt.entity_key = c.left_id
 JOIN entities rt ON rt.entity_key = c.right_id
 ORDER BY left_id, right_id
+"""
+
+
+def clustering_agreement(
+    a_assign: DataFrame,
+    b_assign: DataFrame,
+) -> DataFrame:
+    """Agreement between two clusterings of the same records — one row
+    (n_records, ari, nmi): Adjusted Rand Index (Hubert & Arabie '85)
+    and normalized mutual information (sqrt normalization), both from
+    the A x B contingency cells.
+
+    This is the measurement behind threshold / model choices: how
+    different are the clusterings two configurations produce, beyond
+    chance? ARI 1 = identical partitions, ~0 = random relabeling.
+    Everything reduces to the contingency table and its margins —
+    three vocabulary-sized aggregates joined into 1-row frames, the
+    clustering_metrics / bcubed envelope — so comparing two 10^12-
+    entity clusterings costs three hash aggs, never a pair set.
+
+    NaN guards: ARI's denominator is 0 only when both partitions are
+    all-singletons or one cluster (returned NULL via nullif); NMI's
+    when either partition has zero entropy (single cluster).
+    """
+    j = a_assign.select("entity_key", F.col("cluster_id").alias("_ca")).join(
+        b_assign.select("entity_key", F.col("cluster_id").alias("_cb")),
+        "entity_key",
+    )
+    cells = j.groupBy("_ca", "_cb").agg(F.count("*").alias("n_ij"))
+    rows = cells.groupBy("_ca").agg(F.sum("n_ij").alias("n_a"))
+    cols = cells.groupBy("_cb").agg(F.sum("n_ij").alias("n_b"))
+
+    def c2(c):
+        return F.col(c) * (F.col(c) - 1) / 2.0
+
+    idx = cells.agg(
+        F.sum("n_ij").alias("n"), F.sum(c2("n_ij")).alias("_idx")
+    )
+    ea = rows.agg(F.sum(c2("n_a")).alias("_ea"))
+    eb = cols.agg(F.sum(c2("n_b")).alias("_eb"))
+    # mutual information and entropies off the same margins
+    mi = (
+        cells.join(rows, "_ca").join(cols, "_cb")
+        .crossJoin(F.broadcast(idx.select("n")))
+        .agg(F.sum(
+            (F.col("n_ij") / F.col("n"))
+            * F.log(F.col("n") * F.col("n_ij") / (F.col("n_a") * F.col("n_b")))
+        ).alias("_mi"))
+    )
+    ha = rows.crossJoin(F.broadcast(idx.select("n"))).agg(
+        (-F.sum((F.col("n_a") / F.col("n")) * F.log(F.col("n_a") / F.col("n"))))
+        .alias("_ha")
+    )
+    hb = cols.crossJoin(F.broadcast(idx.select("n"))).agg(
+        (-F.sum((F.col("n_b") / F.col("n")) * F.log(F.col("n_b") / F.col("n"))))
+        .alias("_hb")
+    )
+    one = (
+        idx.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(mi)).crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    total = c2("n")
+    exp = F.col("_ea") * F.col("_eb") / total
+    ari = (F.col("_idx") - exp) / F.nullif(
+        (F.col("_ea") + F.col("_eb")) / 2.0 - exp, F.lit(0.0)
+    )
+    nmi = F.col("_mi") / F.nullif(
+        F.sqrt(F.col("_ha") * F.col("_hb")), F.lit(0.0)
+    )
+    return one.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def er_clustering_agreement_sql(*, n_base: int = 150, n_twin: int = 30,
+                                min_similarity: float = 0.9,
+                                strict_similarity: float = 0.95) -> str:
+    """Oracle for clustering_agreement between the loose (0.9) clusters
+    and the strict (0.95) subclusters — the two closures from the
+    split-audit oracle, reduced to ARI + NMI."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+smatch AS MATERIALIZED (
+  SELECT left_id, right_id FROM pair_scores WHERE score >= {strict_similarity}
+),
+sedges AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM smatch
+  UNION SELECT right_id, left_id FROM smatch
+),
+sreach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities
+  UNION
+  SELECT e.b, x.r FROM sreach x JOIN sedges e ON e.a = x.node
+),
+scomp AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS sub_id FROM sreach GROUP BY node
+),
+cells AS (
+  SELECT a.cluster_id AS ca, s.sub_id AS cb, CAST(count(*) AS BIGINT) AS n_ij
+  FROM assignments a JOIN scomp s USING (entity_key)
+  GROUP BY a.cluster_id, s.sub_id
+),
+rmarg AS (SELECT ca, sum(n_ij) AS n_a FROM cells GROUP BY ca),
+cmarg AS (SELECT cb, sum(n_ij) AS n_b FROM cells GROUP BY cb),
+tot AS (
+  SELECT sum(n_ij) AS n, sum(n_ij * (n_ij - 1) / 2.0) AS idx FROM cells
+),
+easum AS (SELECT sum(n_a * (n_a - 1) / 2.0) AS ea FROM rmarg),
+ebsum AS (SELECT sum(n_b * (n_b - 1) / 2.0) AS eb FROM cmarg),
+misum AS (
+  SELECT sum((n_ij / n) * ln(n * n_ij / (n_a * n_b))) AS mi
+  FROM cells JOIN rmarg USING (ca) JOIN cmarg USING (cb), tot
+),
+hasum AS (SELECT -sum((n_a / n) * ln(n_a / n)) AS ha FROM rmarg, tot),
+hbsum AS (SELECT -sum((n_b / n) * ln(n_b / n)) AS hb FROM cmarg, tot)
+SELECT CAST(n AS BIGINT) AS n_records,
+       round((idx - ea * eb / (n * (n - 1) / 2.0))
+             / nullif((ea + eb) / 2.0 - ea * eb / (n * (n - 1) / 2.0), 0.0),
+             6) AS ari,
+       round(mi / nullif(sqrt(ha * hb), 0.0), 6) AS nmi
+FROM tot, easum, ebsum, misum, hasum, hbsum
 """
