@@ -663,3 +663,50 @@ def test_clustering_agreement_identity_and_symmetry(eval_run, spark):
     assert (ab.ari, ab.nmi) == (ba.ari, ba.nmi)
     # strict refines loose -> positive but imperfect agreement
     assert 0.0 < ab.ari < 1.0
+
+
+def test_tfidf_dirty_data_twin_parity(spark):
+    """Unicode (non-ASCII letters must tokenize identically under
+    \\p{L}), NULL and empty surfaces, punctuation-only, and duplicate
+    token multisets — the Spark prefix-filtered engine must reproduce
+    the DuckDB unfiltered inverted-index twin row for row."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("a", "José García"),
+        ("b", "Jose Garcia"),
+        ("c", "GARCÍA  josé"),          # reorder + case + double space
+        ("d", None),                     # NULL surface -> dropped
+        ("e", ""),                       # empty -> dropped
+        ("f", "!!! ···"),               # tokenizes to nothing -> dropped
+        ("g", "müller 北京 müller"),     # CJK letters + repeated token (tf=2)
+        ("h", "北京 mueller"),
+        ("i", "o'brien-smith"),          # punctuation splits
+        ("j", "obrien smith"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_key", "surface"])
+    from textgraphs_spark.operators.blocking import tfidf_cosine_pairs
+
+    sdf = spark.createDataFrame(pdf)
+    mine = (
+        tfidf_cosine_pairs(sdf, threshold=0.3)
+        .orderBy("left_id", "right_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("src", pdf)
+    twin = con.execute(f"""WITH
+{E.tfidf_pairs_ctes('src')}
+SELECT left_id, right_id, round(cos, 6) AS cosine
+FROM pairs WHERE round(cos, 9) >= 0.3
+ORDER BY left_id, right_id
+""").df()
+    assert mine.values.tolist() == twin.values.tolist(), (
+        mine.to_dict("records"), twin.to_dict("records"),
+    )
+    got_pairs = {(r.left_id, r.right_id): r.cosine for r in mine.itertuples()}
+    # the reorder/case/whitespace variant is token-identical -> cosine 1
+    assert got_pairs[("a", "c")] == 1.0
+    # accent-stripped vs accented share NO token under \p{L} tokenizing
+    assert ("a", "b") not in got_pairs or got_pairs[("a", "b")] < 1.0

@@ -1193,25 +1193,24 @@ def tfidf_pair_study(
     )
 
 
-def er_tfidf_pairs_sql(*, n_base: int = 150, n_twin: int = 30,
-                       threshold: float = 0.5) -> str:
-    """Oracle for tfidf_pair_study: the EXACT all-pairs inverted-index
-    cosine join (no prefix filter) — hash-green means the Spark prefix
-    pruning dropped nothing."""
-    return f"""WITH
-{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
-tok AS (
+def tfidf_pairs_ctes(src: str) -> str:
+    """CTE chain ``{src}(entity_key, surface)`` → ``pairs(left_id,
+    right_id, cos)`` — the UNFILTERED inverted-index TF-IDF cosine
+    join, the exactness baseline the prefix-filtered engine must
+    reproduce. Shared by the eval oracle and the dirty-data fuzz
+    tests (which run it against arbitrary registered tables)."""
+    return f"""tok AS (
   SELECT entity_key, t.token, CAST(count(*) AS BIGINT) AS tf
   FROM (
     SELECT entity_key,
            unnest(list_filter(string_split_regex(lower(surface), '[^\\p{{L}}0-9]+'),
                               x -> x <> '')) AS token
-    FROM entities
+    FROM {src}
   ) t
   GROUP BY entity_key, t.token
 ),
 dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM entities),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM {src}),
 w AS (
   SELECT entity_key, tok.token, tf * ln(1 + n_total / df) AS w
   FROM tok JOIN dfreq USING (token), n
@@ -1226,7 +1225,17 @@ pairs AS (
          sum(a.u * b.u) AS cos
   FROM u a JOIN u b ON a.token = b.token AND a.entity_key < b.entity_key
   GROUP BY a.entity_key, b.entity_key
-)
+)"""
+
+
+def er_tfidf_pairs_sql(*, n_base: int = 150, n_twin: int = 30,
+                       threshold: float = 0.5) -> str:
+    """Oracle for tfidf_pair_study: the EXACT all-pairs inverted-index
+    cosine join (no prefix filter) — hash-green means the Spark prefix
+    pruning dropped nothing."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{tfidf_pairs_ctes('entities')}
 SELECT p.left_id, p.right_id, round(p.cos, 6) AS cosine,
        (lt.truth_id = rt.truth_id) AS is_true
 FROM pairs p
@@ -1484,27 +1493,7 @@ cand AS MATERIALIZED (
   FROM chan_key a JOIN chan_key b
     ON a.bkey = b.bkey AND a.entity_key < b.entity_key
 ),
-tok AS (
-  SELECT entity_key, t.token, CAST(count(*) AS BIGINT) AS tf
-  FROM (
-    SELECT entity_key,
-           unnest(list_filter(string_split_regex(lower(surface), '[^\\p{{L}}0-9]+'),
-                              x -> x <> '')) AS token
-    FROM entities
-  ) t
-  GROUP BY entity_key, t.token
-),
-dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM entities),
-w AS (
-  SELECT entity_key, tok.token, tf * ln(1 + n_total / df) AS w
-  FROM tok JOIN dfreq USING (token), n
-),
-nrm AS (SELECT entity_key, sqrt(sum(w * w)) AS nm FROM w GROUP BY entity_key),
-u AS (
-  SELECT w.entity_key, token, w / nm AS u
-  FROM w JOIN nrm USING (entity_key) WHERE nm > 0
-),
+{tfidf_pairs_ctes('entities')},
 tp AS MATERIALIZED (
   SELECT c.left_id, c.right_id, a.token AS ta, a.u AS wa,
          b.token AS tb, b.u AS wb,
