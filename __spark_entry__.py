@@ -186,6 +186,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir)
         ).orderBy("node")
 
+    def graph_harmonic(spark, sf_dir):
+        # HyperBall harmonic centrality: per-node HLL distance-ball
+        # sketches, one merge round per hop — O(2^lg_k) state per node
+        # regardless of reach, THE 10^12-node centrality shape. Sparse
+        # sketches are exact at this scale, so the all-pairs-BFS oracle
+        # value-matches; at real scale it is approximate by design
+        from textgraphs_spark.operators.graphops import harmonic_centrality
+
+        return harmonic_centrality(
+            _lemma_graph_edges(spark, sf_dir).select("src", "dst")
+        ).orderBy("node")
+
     def graph_link_prediction(spark, sf_dir):
         # Jaccard link prediction with the hub stop-node cut engaged
         # (max_degree=40 fires on the organic lemma graph: hot lemmas
@@ -1280,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": corpus_pagerank,
         "communities_label_prop": communities_label_prop,
         "graph_triangles": graph_triangles,
+        "graph_harmonic": graph_harmonic,
         "graph_link_prediction": graph_link_prediction,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
@@ -1715,9 +1728,10 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_oracle import (
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
-        extract_mentions_sql, kcore_sql, label_propagation_sql,
-        lemma_edges_sql, lemma_nodes_sql, link_prediction_sql,
-        personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
+        extract_mentions_sql, harmonic_centrality_sql, kcore_sql,
+        label_propagation_sql, lemma_edges_sql, lemma_nodes_sql,
+        link_prediction_sql, personalized_pagerank_sql, ranked_phrases_sql,
+        triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -1755,6 +1769,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "corpus_pagerank": corpus_pagerank_sql(),
         "communities_label_prop": label_propagation_sql(),
         "graph_triangles": triangle_counts_sql(),
+        "graph_harmonic": harmonic_centrality_sql(),
         "graph_link_prediction": link_prediction_sql(
             min_common=2, max_degree=40
         ),

@@ -1,6 +1,7 @@
 """Graph operators: distance-gated entity pairs, label propagation,
 TTL bootstrap source."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from textgraphs_spark.operators.graphops import entity_pairs_within_distance, label_propagation
@@ -206,3 +207,52 @@ def test_kcore_cascade_and_empty(spark):
     assert kcore(edges, k=3).count() == 0
     k2 = {r.node: r.core_deg for r in kcore(edges, k=2).collect()}
     assert k2 == {i: 2 for i in range(6)}
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    """Path a-b-c-d: harmonic(a) = 1 + 1/2 + 1/3 = 1.833333;
+    harmonic(b) = 1 + 1 + 1/2 = 2.5; disconnected e-f: each 1.0 and
+    n_reachable 2 (unreachable nodes contribute 0, no infinity)."""
+    from textgraphs_spark.operators.graphops import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")], ["src", "dst"]
+    )
+    rows = {r.node: r for r in harmonic_centrality(edges).collect()}
+    assert rows["a"].harmonic == pytest.approx(1 + 0.5 + 1 / 3, abs=1e-6)
+    assert rows["b"].harmonic == pytest.approx(2.5, abs=1e-6)
+    assert rows["a"].n_reachable == 4
+    assert rows["e"].harmonic == 1.0 and rows["e"].n_reachable == 2
+
+
+def test_harmonic_centrality_matches_exact_bfs(spark):
+    """On a random-ish deterministic graph the sketch path must equal a
+    driver-side exact BFS (sparse HLL estimates are exact here)."""
+    from collections import deque
+
+    from textgraphs_spark.operators.graphops import harmonic_centrality
+
+    pairs = [
+        (f"n{i:02d}", f"n{(i * 7 + 3) % 40:02d}") for i in range(40)
+    ] + [(f"n{i:02d}", f"n{(i + 1) % 25:02d}") for i in range(25)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r.node: (r.harmonic, r.n_reachable)
+           for r in harmonic_centrality(edges).collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in adj:
+        dist = {v: 0}
+        dq = deque([v])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        h = sum(1.0 / d for d in dist.values() if d > 0)
+        assert got[v][1] == len(dist), v
+        assert got[v][0] == pytest.approx(h, abs=1e-6), v

@@ -432,3 +432,81 @@ def kcore(
     return edges.sparkSession.createDataFrame(
         [], "node string, core_deg long"
     ) if n_alive == 0 else survivors
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 16,
+    lg_k: int = 14,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, 2013) —
+    (node, harmonic, n_reachable): ``sum over reachable u != v of
+    1 / d(v, u)``, the centrality that handles disconnected graphs
+    (unreachable nodes contribute 0, no infinite-distance pathology).
+
+    THE at-scale centrality algorithm: each node carries one mergeable
+    HLL sketch of its distance-t ball; one iteration = merge every
+    neighbor's ball (edge-keyed shuffle + node-keyed `hll_union_agg`)
+    and credit the newly reached mass ``(est_t - est_{t-1}) / t``.
+    Per-node state is a few KB REGARDLESS of reach — exact-neighborhood
+    BFS state is O(reachable set) per node and dies on 10^12-node
+    graphs, HyperBall's is O(2^lg_k). Balls localCheckpoint each round
+    (the pagerank lineage discipline) and the loop stops early when a
+    1-row delta agg hits zero (every ball closed).
+
+    At sandbox scale the Datasketches sparse representation keeps every
+    estimate EXACT (the `daily_distinct_sketches` exactness envelope:
+    lg_k=14 is exact well past these ball cardinalities), so the DuckDB
+    all-pairs-BFS oracle value-matches; at 10^12 nodes the counts are
+    approximate by design with ~0.8% relative error.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        und.select(F.col("a").alias("node")).distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball"))
+        .withColumn("est", F.hll_sketch_estimate("ball"))
+        .withColumn("harmonic", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for t in range(1, max_iter + 1):
+        nbr = und.join(
+            state.select(F.col("node").alias("b"), "ball"), "b"
+        ).select(F.col("a").alias("node"), "ball")
+        merged = (
+            state.select("node", "ball").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.hll_union_agg("ball").alias("_ball"))
+        )
+        nxt = (
+            state.drop("ball")
+            .join(merged, "node")
+            .withColumn("_est", F.hll_sketch_estimate("_ball"))
+            .select(
+                "node",
+                F.col("_ball").alias("ball"),
+                F.col("_est").alias("est"),
+                (
+                    F.col("harmonic")
+                    + (F.col("_est") - F.col("est")) / F.lit(float(t))
+                ).alias("harmonic"),
+                (F.col("_est") - F.col("est")).alias("_delta"),
+            )
+            .localCheckpoint()
+        )
+        state = nxt.drop("_delta")
+        if (nxt.agg(F.sum("_delta")).collect()[0][0] or 0.0) == 0.0:
+            break
+    return state.select(
+        "node",
+        F.round("harmonic", 6).alias("harmonic"),
+        F.col("est").cast("long").alias("n_reachable"),
+    )

@@ -1118,3 +1118,49 @@ WHERE rank > 0
 ORDER BY round(rank, 9) DESC, node
 LIMIT {top}
 """
+
+
+def harmonic_centrality_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 8
+) -> str:
+    """Oracle for graphops.harmonic_centrality over the lemma graph of
+    doc_id < max_docs: exact all-pairs BFS distances via a bounded
+    recursive CTE, then per-distance counts summed as cnt/d — the SAME
+    term sequence the HyperBall loop accumulates ((est_t − est_{t−1})/t
+    with exact sparse-mode estimates), so the doubles agree to the
+    last ulp, not just after rounding. max_iter bounds the recursive
+    expansion (cycles re-emit (src, node) at every same-parity depth,
+    so the cap is the cost knob): 8 = 2x the measured diameter (4) of
+    the sf0.01 lemma graph; a too-small cap cannot silently pass —
+    n_reachable would drop below the engine's and the hash would go
+    red."""
+    return f"""WITH RECURSIVE
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_key AS a, dst_key AS b FROM edge_rows
+    UNION ALL SELECT dst_key, src_key FROM edge_rows
+  )
+),
+reach(src, node, d) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.src, u.b, r.d + 1
+  FROM reach r JOIN und u ON u.a = r.node
+  WHERE r.d < {max_iter}
+),
+mind AS MATERIALIZED (
+  SELECT src, node, min(d) AS d FROM reach GROUP BY src, node
+),
+perd AS (
+  SELECT src, d, CAST(count(*) AS DOUBLE) AS cnt
+  FROM mind WHERE d > 0 GROUP BY src, d
+)
+SELECT m.src AS node,
+       round(coalesce(p.h, 0.0), 6) AS harmonic,
+       m.n AS n_reachable
+FROM (SELECT src, CAST(count(*) AS BIGINT) AS n FROM mind GROUP BY src) m
+LEFT JOIN (SELECT src, sum(cnt / d) AS h FROM perd GROUP BY src) p
+  ON p.src = m.src
+ORDER BY node
+"""
