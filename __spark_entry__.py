@@ -198,6 +198,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir).select("src", "dst")
         ).orderBy("node")
 
+    def graph_reach_curve(spark, sf_dir):
+        # HyperANF neighborhood function off the same ball-sketch loop:
+        # pairs-within-t curve + the 90% effective diameter (first
+        # reached_90 row); per-round cost = the convergence probe it
+        # already shares with harmonic centrality
+        from textgraphs_spark.operators.graphops import neighborhood_function
+
+        return neighborhood_function(
+            _lemma_graph_edges(spark, sf_dir).select("src", "dst")
+        ).orderBy("t")
+
     def graph_link_prediction(spark, sf_dir):
         # Jaccard link prediction with the hub stop-node cut engaged
         # (max_degree=40 fires on the organic lemma graph: hot lemmas
@@ -1293,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities_label_prop": communities_label_prop,
         "graph_triangles": graph_triangles,
         "graph_harmonic": graph_harmonic,
+        "graph_reach_curve": graph_reach_curve,
         "graph_link_prediction": graph_link_prediction,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
@@ -1730,8 +1742,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, harmonic_centrality_sql, kcore_sql,
         label_propagation_sql, lemma_edges_sql, lemma_nodes_sql,
-        link_prediction_sql, personalized_pagerank_sql, ranked_phrases_sql,
-        triangle_counts_sql,
+        link_prediction_sql, neighborhood_function_sql,
+        personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
         entity_pairs_sql as entity_pairs_oracle_sql,
@@ -1770,6 +1782,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "communities_label_prop": label_propagation_sql(),
         "graph_triangles": triangle_counts_sql(),
         "graph_harmonic": harmonic_centrality_sql(),
+        "graph_reach_curve": neighborhood_function_sql(),
         "graph_link_prediction": link_prediction_sql(
             min_common=2, max_degree=40
         ),

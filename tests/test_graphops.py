@@ -256,3 +256,21 @@ def test_harmonic_centrality_matches_exact_bfs(spark):
         h = sum(1.0 / d for d in dist.values() if d > 0)
         assert got[v][1] == len(dist), v
         assert got[v][0] == pytest.approx(h, abs=1e-6), v
+
+
+def test_neighborhood_function_hand_computed(spark):
+    """Path a-b-c-d (ordered pairs): t=1 -> 6, t=2 -> 10, t=3 -> 12;
+    fracs 0.5, 10/12, 1.0; reached_90 first true at t=3 (the 90%%
+    effective diameter)."""
+    from textgraphs_spark.operators.graphops import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    rows = {r.t: r for r in neighborhood_function(edges).collect()}
+    assert [rows[t].reachable_pairs for t in (1, 2, 3)] == [6, 10, 12]
+    assert rows[1].frac == 0.5
+    assert rows[2].frac == pytest.approx(10 / 12, abs=1e-6)
+    assert rows[3].frac == 1.0
+    assert [rows[t].reached_90 for t in (1, 2, 3)] == [False, False, True]
+    assert 4 not in rows  # loop stopped at convergence

@@ -510,3 +510,70 @@ def harmonic_centrality(
         F.round("harmonic", 6).alias("harmonic"),
         F.col("est").cast("long").alias("n_reachable"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 16,
+    lg_k: int = 14,
+) -> DataFrame:
+    """HyperANF neighborhood function (Boldi/Rosa/Vigna, 2011) —
+    (t, reachable_pairs, frac, reached_90): for each hop count t, how
+    many ordered pairs u != v sit within distance t, the fraction of
+    the final reach, and the monotone 90%%-reached flag whose FIRST
+    true row is the classic 90%% effective diameter.
+
+    Same ball-sketch loop as ``harmonic_centrality`` (KB-sized state
+    per node, one merge round per hop, early stop on a zero global
+    delta); the per-round global total is already a 1-row aggregate,
+    so the curve costs nothing beyond the convergence probe it shares.
+    The curve itself is diameter-bounded (one row per hop), assembled
+    driver-side like every convergence loop in this package.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        und.select(F.col("a").alias("node")).distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball"))
+        .withColumn("est", F.hll_sketch_estimate("ball"))
+        .localCheckpoint()
+    )
+    n_nodes = state.count()
+    totals: list[tuple[int, float]] = []
+    prev_total = float(n_nodes)
+    for t in range(1, max_iter + 1):
+        nbr = und.join(
+            state.select(F.col("node").alias("b"), "ball"), "b"
+        ).select(F.col("a").alias("node"), "ball")
+        state = (
+            state.select("node", "ball").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.hll_union_agg("ball").alias("ball"))
+            .withColumn("est", F.hll_sketch_estimate("ball"))
+            .localCheckpoint()
+        )
+        total = state.agg(F.sum("est")).collect()[0][0]
+        if total == prev_total:
+            break
+        totals.append((t, total - n_nodes))  # ordered pairs, self excluded
+        prev_total = total
+    final = totals[-1][1] if totals else 0.0
+    # half-AWAY rounding (what Spark's and DuckDB's round() do; Python's
+    # built-in rounds half-even and would diverge on exact halves)
+    import math
+
+    rows = [
+        (t, int(p), math.floor(p / final * 1e6 + 0.5) / 1e6, p >= 0.9 * final)
+        for t, p in totals
+    ]
+    return edges.sparkSession.createDataFrame(
+        rows, "t int, reachable_pairs long, frac double, reached_90 boolean"
+    )

@@ -1164,3 +1164,43 @@ LEFT JOIN (SELECT src, sum(cnt / d) AS h FROM perd GROUP BY src) p
   ON p.src = m.src
 ORDER BY node
 """
+
+
+def neighborhood_function_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 8
+) -> str:
+    """Oracle for graphops.neighborhood_function: exact all-pairs BFS
+    (the harmonic-centrality reach CTE), pairs cumulated per distance;
+    frac rounds to 6 like the engine."""
+    return f"""WITH RECURSIVE
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_key AS a, dst_key AS b FROM edge_rows
+    UNION ALL SELECT dst_key, src_key FROM edge_rows
+  )
+),
+reach(src, node, d) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT r.src, u.b, r.d + 1
+  FROM reach r JOIN und u ON u.a = r.node
+  WHERE r.d < {max_iter}
+),
+mind AS MATERIALIZED (
+  SELECT src, node, min(d) AS d FROM reach GROUP BY src, node
+),
+perd AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM mind WHERE d > 0 GROUP BY d
+),
+cum AS (
+  SELECT d AS t, sum(cnt) OVER (ORDER BY d) AS pairs FROM perd
+),
+tot AS (SELECT max(pairs) AS total FROM cum)
+SELECT CAST(t AS INT) AS t,
+       CAST(pairs AS BIGINT) AS reachable_pairs,
+       round(pairs / total, 6) AS frac,
+       pairs >= 0.9 * total AS reached_90
+FROM cum, tot
+ORDER BY t
+"""
