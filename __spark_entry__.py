@@ -1292,6 +1292,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clustering_agreement": er_clustering_agreement,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
+        # graph-analytics + winnowing additions: no driver record yet,
+        # so they precede the flagship family (r1+r2+r3 green records)
+        # under the least-recently-verified-first ordering
+        "graph_triangles": graph_triangles,
+        "graph_harmonic": graph_harmonic,
+        "graph_reach_curve": graph_reach_curve,
+        "graph_link_prediction": graph_link_prediction,
+        "graph_kcore": graph_kcore,
+        "graph_ppr": graph_ppr,
+        "winnow_fingerprints": winnow_fingerprints_q,
+        "dedup_winnow": dedup_winnow,
         # the flagship ER / extraction family
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
@@ -1302,12 +1313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": er_incremental,
         "corpus_pagerank": corpus_pagerank,
         "communities_label_prop": communities_label_prop,
-        "graph_triangles": graph_triangles,
-        "graph_harmonic": graph_harmonic,
-        "graph_reach_curve": graph_reach_curve,
-        "graph_link_prediction": graph_link_prediction,
-        "graph_kcore": graph_kcore,
-        "graph_ppr": graph_ppr,
         "gor_affinity": gor_affinity,
         # dedup family
         "dedup_exact": dedup_exact,
@@ -1317,8 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simhash_fingerprints": simhash_fingerprints,
         "dedup_minhash_clusters": dedup_minhash_clusters,
-        "winnow_fingerprints": winnow_fingerprints_q,
-        "dedup_winnow": dedup_winnow,
         # corpus-curation family
         "doc_repetition_signals": doc_repetition_signals,
         "boilerplate_ngrams": boilerplate_ngrams,
