@@ -409,6 +409,10 @@ def soft_tfidf_scores(
         .join(ua, "left_id")
         .join(ub, "right_id")
         .withColumn("jw", jaro_winkler_udf(F.col("ta"), F.col("tb")))
+        # EAGER: both directional reductions read this frame — without
+        # the checkpoint the Arrow JW kernel (and the whole unit-vector
+        # chain) runs twice, once per direction
+        .localCheckpoint()
     )
 
     def directional(part_tok, part_w, other_w):
