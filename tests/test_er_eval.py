@@ -445,9 +445,13 @@ def test_tfidf_prefix_filter_lossless(spark):
     brute = B.tfidf_cosine_pairs(
         ents, threshold=0.5, prefix_filter=False
     ).orderBy("left_id", "right_id")
-    assert [r.asDict() for r in fast.collect()] == [
-        r.asDict() for r in brute.collect()
-    ]
+    lazy = B.tfidf_cosine_pairs(
+        ents, threshold=0.5, materialize=False
+    ).orderBy("left_id", "right_id")
+    want = [r.asDict() for r in brute.collect()]
+    assert [r.asDict() for r in fast.collect()] == want
+    # the streaming-caller (no-checkpoint) path is value-identical too
+    assert [r.asDict() for r in lazy.collect()] == want
 
 
 def test_tfidf_prefix_index_smaller_and_reorder_invariant(spark):
