@@ -1164,6 +1164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return clustering_agreement(a, b)
 
+    def er_review_queue(spark, sf_dir):
+        # the Fellegi-Sunter THIRD decision class: gray-zone posteriors
+        # routed to clerical review, most-ambiguous-first — the queue
+        # every production linkage system ships; posterior table joins
+        # back broadcast-side, the zone filter is map-only
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_weights import fs_review_queue
+
+        return fs_review_queue(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1290,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_bcubed": er_bcubed,
         "er_soft_tfidf": er_soft_tfidf,
         "er_clustering_agreement": er_clustering_agreement,
+        "er_review_queue": er_review_queue,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # graph-analytics + winnowing additions: no driver record yet,
@@ -1766,7 +1777,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
-        fs_tf_adjustments_sql,
+        fs_review_queue_sql, fs_tf_adjustments_sql,
     )
 
     return {
@@ -1820,6 +1831,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_bcubed": er_bcubed_sql(),
         "er_soft_tfidf": er_soft_tfidf_sql(),
         "er_clustering_agreement": er_clustering_agreement_sql(),
+        "er_review_queue": fs_review_queue_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

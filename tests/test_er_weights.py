@@ -250,3 +250,35 @@ def test_tf_adjustments_hand_math_and_direction(spark):
     by_tf = sorted(rows, key=lambda r: r["tf"])
     adjs = [r["tf_adjustment"] for r in by_tf]
     assert adjs == sorted(adjs, reverse=True)
+
+
+def test_review_queue_reconciles_with_classification(spark):
+    """Queue membership == candidate pairs whose pattern posterior sits
+    in the zone; ambiguity ordering is monotone; the zone boundaries
+    partition candidates three ways (link / possible / non-link)."""
+    from textgraphs_spark.plans.er_eval import eval_entities
+    from textgraphs_spark.plans.er_weights import (
+        comparison_patterns, fs_match_weights, fs_review_queue,
+    )
+
+    ents = eval_entities(spark, n_base=40, n_twin=8)
+    lo, hi = 0.01, 0.99
+    queue = fs_review_queue(ents, lo=lo, hi=hi).collect()
+    weights = {
+        (r.g_exact, r.g_strong, r.g_last): r.posterior
+        for r in fs_match_weights(ents).collect()
+    }
+    feats = comparison_patterns(ents, keep_pairs=True).collect()
+    expect = {
+        (f.left_id, f.right_id)
+        for f in feats
+        if lo <= weights[(f.g_exact, f.g_strong, f.g_last)] <= hi
+    }
+    assert {(r.left_id, r.right_id) for r in queue} == expect
+    ambs = [r.ambiguity for r in queue]
+    assert ambs == sorted(ambs)
+    for r in queue:
+        assert abs(r.ambiguity - abs(r.posterior - 0.5)) < 1e-6
+        assert lo <= r.posterior <= hi
+    # three-way partition: some candidates fall outside the zone too
+    assert 0 < len(queue) < len(feats)

@@ -652,3 +652,105 @@ SELECT x.surface, s.n_entities, round(s._tf, 6) AS tf, x.n_exact_pairs,
 FROM exact x JOIN sfreq s USING (surface), p{iters} p
 ORDER BY x.surface
 """
+
+
+def fs_review_queue(
+    entities: DataFrame,
+    *,
+    max_block_size: int = 200,
+    strong: float = 0.95,
+    iters: int = 5,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Clerical-review queue (the Fellegi–Sunter THIRD decision class):
+    candidate pairs whose EM posterior lands in the gray zone
+    [``lo``, ``hi``] (defaults chosen where this model's two
+    middle gamma patterns live: strong-only ~0.96 and last-only ~0.07 —
+    exactly the chain-evidence pairs a steward should see),
+    ranked most-ambiguous-first — (left_id, right_id,
+    left_surface, right_surface, g_exact, g_strong, g_last, posterior,
+    ambiguity). FS's original framework is three-way — link, non-link,
+    and POSSIBLE link routed to human review; every production linkage
+    system ships this queue, sized by where the thresholds sit.
+
+    100 TB shape: identical to classification — the pattern/EM side is
+    vocabulary-free, the <= 2^k-row posterior table joins back
+    broadcast-side, the gray-zone filter is map-only, and surfaces ride
+    the pair frame from blocking (no extra corpus join). The queue a
+    steward actually reads is a LIMIT over this frame; the full frame
+    stays distributed. Boundary compares use round(posterior, 9) so the
+    zone edges are engine-identical.
+    """
+    feats = comparison_patterns(
+        entities, max_block_size=max_block_size, strong=strong, keep_pairs=True
+    ).localCheckpoint(eager=False)
+    patterns = feats.groupBy(*FEATURES).agg(F.count("*").alias("n_pairs"))
+    params = em_params(patterns.localCheckpoint(eager=False), iters=iters)
+    pm, pu = _pattern_products()
+    lam = F.col("lam")
+    w = lam * pm / (lam * pm + (F.lit(1.0) - lam) * pu)
+    post = (
+        patterns.crossJoin(F.broadcast(params))
+        .select(*FEATURES, w.alias("posterior"))
+    )
+    surf = entities.select("entity_key", "surface")
+    rp = F.round("posterior", 9)
+    return (
+        feats.join(F.broadcast(post), list(FEATURES))
+        .filter((rp >= lo) & (rp <= hi))
+        .join(
+            surf.select(F.col("entity_key").alias("left_id"),
+                        F.col("surface").alias("left_surface")), "left_id")
+        .join(
+            surf.select(F.col("entity_key").alias("right_id"),
+                        F.col("surface").alias("right_surface")), "right_id")
+        .select(
+            "left_id", "right_id", "left_surface", "right_surface",
+            *FEATURES,
+            F.round("posterior", 6).alias("posterior"),
+            F.round(F.abs(F.col("posterior") - 0.5), 6).alias("ambiguity"),
+        )
+        .orderBy("ambiguity", "left_id", "right_id")
+    )
+
+
+def fs_review_queue_sql(
+    *, n_base: int = 150, n_twin: int = 30, strong: float = 0.95,
+    iters: int = 5, lo: float = 0.01, hi: float = 0.99,
+) -> str:
+    """Oracle for fs_review_queue: the shared feats/EM chain, posterior
+    per pattern, gray-zone filter, surfaces joined back."""
+    from .er_eval import eval_entities_cte
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    pm = " * ".join(
+        f"(CASE WHEN {g} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
+        for i, g in enumerate(FEATURES, start=1)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN {g} = 1 THEN u{i} ELSE 1.0 - u{i} END)"
+        for i, g in enumerate(FEATURES, start=1)
+    )
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+{_feats_ctes(strong, with_truth=False)},
+{_em_ctes(iters)},
+post AS (
+  SELECT g_exact, g_strong, g_last,
+         lam * {pm} / (lam * {pm} + (1.0 - lam) * {pu}) AS posterior
+  FROM pat, p{iters}
+)
+SELECT f.left_id, f.right_id, le.surface AS left_surface,
+       re.surface AS right_surface, f.g_exact, f.g_strong, f.g_last,
+       round(p.posterior, 6) AS posterior,
+       round(abs(p.posterior - 0.5), 6) AS ambiguity
+FROM feats f
+JOIN post p USING (g_exact, g_strong, g_last)
+JOIN entities le ON le.entity_key = f.left_id
+JOIN entities re ON re.entity_key = f.right_id
+WHERE round(p.posterior, 9) >= {lo} AND round(p.posterior, 9) <= {hi}
+ORDER BY ambiguity, left_id, right_id
+"""
