@@ -1174,6 +1174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fs_review_queue(eval_entities(spark))
 
+    def er_monge_elkan(spark, sf_dir):
+        # the other classic hybrid scorer, on the SAME name-channel
+        # candidates as er_soft_tfidf: mean-of-max JW, unweighted and
+        # threshold-free — rates initialed short forms (~0.89) that
+        # idf-weighting mutes (~0.13); one Arrow JW pass, symmetrized
+        from textgraphs_spark.plans.er_eval import eval_entities, monge_elkan_study
+
+        return monge_elkan_study(eval_entities(spark))
+
     def er_fs_weights(spark, sf_dir):
         # Fellegi-Sunter match weights by unsupervised EM: candidate
         # pairs -> 3-bit comparison vectors -> one <=2^3-row pattern agg
@@ -1301,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_soft_tfidf": er_soft_tfidf,
         "er_clustering_agreement": er_clustering_agreement,
         "er_review_queue": er_review_queue,
+        "er_monge_elkan": er_monge_elkan,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
         # graph-analytics + winnowing additions: no driver record yet,
@@ -1772,7 +1782,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_meta_blocking_sql,
-        er_soft_tfidf_sql, er_sorted_neighborhood_sql,
+        er_monge_elkan_sql, er_soft_tfidf_sql, er_sorted_neighborhood_sql,
         er_split_overmerged_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
@@ -1832,6 +1842,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_soft_tfidf": er_soft_tfidf_sql(),
         "er_clustering_agreement": er_clustering_agreement_sql(),
         "er_review_queue": fs_review_queue_sql(),
+        "er_monge_elkan": er_monge_elkan_sql(),
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),

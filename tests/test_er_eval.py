@@ -714,3 +714,52 @@ ORDER BY left_id, right_id
     assert got_pairs[("a", "c")] == 1.0
     # accent-stripped vs accented share NO token under \p{L} tokenizing
     assert ("a", "b") not in got_pairs or got_pairs[("a", "b")] < 1.0
+
+
+def test_monge_elkan_hand_computed_and_occurrence_weighting(spark):
+    """'John Smith' vs 'Jhon Smith': ME = (jw(john,jhon)+1)/2 per side.
+    Repeated tokens count per OCCURRENCE: 'smith smith jones' vs
+    'smith' averages over 3 positions, not 2 distinct tokens."""
+    from textgraphs_spark.operators.scoring import (
+        jaro_winkler, monge_elkan_scores,
+    )
+
+    recs = spark.createDataFrame(
+        [("a", "John Smith"), ("b", "Jhon Smith"),
+         ("c", "smith smith jones"), ("d", "smith")],
+        ["entity_key", "surface"],
+    )
+    cand = spark.createDataFrame([("a", "b"), ("c", "d")],
+                                 ["left_id", "right_id"])
+    got = {(r.left_id, r.right_id): r.monge_elkan
+           for r in monge_elkan_scores(recs, cand).collect()}
+    jw = jaro_winkler("john", "jhon")
+    expect_ab = ((jw + 1.0) / 2 + (jw + 1.0) / 2) / 2
+    assert got[("a", "b")] == pytest.approx(expect_ab, abs=1e-6)
+    # c->d: positions (smith 1.0, smith 1.0, jw(jones, smith)) / 3
+    js = jaro_winkler("jones", "smith")
+    expect_cd = ((2.0 + js) / 3 + 1.0) / 2
+    assert got[("c", "d")] == pytest.approx(expect_cd, abs=1e-6)
+
+
+def test_monge_elkan_vs_soft_tfidf_on_initialed_forms(eval_run, spark):
+    """The comparison the twin studies exist for: on initialed true
+    pairs ('J Smith' ~ 'John Smith') unweighted mean-of-max scores
+    high while idf-weighted soft-TF-IDF stays low."""
+    from textgraphs_spark.operators.scoring import soft_tfidf_scores
+    from textgraphs_spark.operators.scoring import monge_elkan_scores
+
+    ents, _ = eval_run
+    # variant layout: index n_true + t is truth t's INITIALED form
+    # (n_true = n_base + n_twin = 48 for this fixture)
+    cand = spark.createDataFrame([("e00000", "e00048")],
+                                 ["left_id", "right_id"])
+    surf = {r.entity_key: r.surface for r in ents.collect()}
+    assert surf["e00048"].split()[0] == surf["e00000"].split()[0][:1], (
+        "fixture drift: e00048 should be the initialed form of e00000"
+    )
+    me = monge_elkan_scores(ents, cand).collect()[0].monge_elkan
+    st = soft_tfidf_scores(ents, cand).collect()[0].soft_tfidf
+    assert me > 0.75
+    assert st < 0.5
+    assert me > st

@@ -440,3 +440,68 @@ def soft_tfidf_scores(
             ).alias("soft_tfidf"),
         )
     )
+
+
+def monge_elkan_scores(
+    records: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "entity_key",
+    text_col: str = "surface",
+) -> DataFrame:
+    """Monge–Elkan similarity over candidate pairs — (left_id,
+    right_id, monge_elkan): for each token of one side, its best JW
+    against the other side, AVERAGED over that side's tokens; the two
+    directional means are averaged again (the symmetric form). The
+    other classic hybrid scorer next to soft-TF-IDF: unweighted — every
+    token counts equally, so it rates short/long surface pairs that
+    idf-weighting mutes — and threshold-free: near-misses contribute
+    their actual JW instead of falling off a close/not-close cliff.
+
+    Same shape as ``soft_tfidf_scores``: tokens explode per side, ONE
+    Arrow-batched JW pass over the (pair, token, token) rows (eager
+    checkpoint — both directional reductions read it), max via
+    (pair, token)-keyed aggregation, mean via pair-keyed aggregation.
+    Token multiplicity is per OCCURRENCE (the original definition
+    averages over the token sequence, not the distinct set).
+    """
+    from .textquality import tokens_col
+
+    tok = records.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    ta = tok.select(F.col("rid").alias("left_id"), F.col("pos").alias("pa"),
+                    F.col("token").alias("ta"))
+    tb = tok.select(F.col("rid").alias("right_id"), F.col("pos").alias("pb"),
+                    F.col("token").alias("tb"))
+    tp = (
+        candidates.select("left_id", "right_id")
+        .join(ta, "left_id")
+        .join(tb, "right_id")
+        .withColumn("jw", jaro_winkler_udf(F.col("ta"), F.col("tb")))
+        .localCheckpoint()
+    )
+
+    def direction(pos_col):
+        return (
+            tp.groupBy("left_id", "right_id", pos_col)
+            .agg(F.max("jw").alias("_best"))
+            .groupBy("left_id", "right_id")
+            .agg(F.avg("_best").alias("_mean"))
+        )
+
+    ab = direction("pa").withColumnRenamed("_mean", "_mab")
+    ba = direction("pb").withColumnRenamed("_mean", "_mba")
+    return (
+        candidates.select("left_id", "right_id")
+        .join(ab, ["left_id", "right_id"], "left")
+        .join(ba, ["left_id", "right_id"], "left")
+        .select(
+            "left_id", "right_id",
+            F.round(
+                (F.coalesce("_mab", F.lit(0.0)) + F.coalesce("_mba", F.lit(0.0)))
+                / 2.0, 6,
+            ).alias("monge_elkan"),
+        )
+    )

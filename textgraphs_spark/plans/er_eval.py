@@ -1654,3 +1654,101 @@ SELECT CAST(n AS BIGINT) AS n_records,
        round(mi / nullif(sqrt(ha * hb), 0.0), 6) AS nmi
 FROM tot, easum, ebsum, misum, hasum, hbsum
 """
+
+
+def monge_elkan_study(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Monge–Elkan (mean-of-max JW, symmetrized) scored over the SAME
+    name-channel candidates as ``soft_tfidf_study`` — (left_id,
+    right_id, monge_elkan, is_true). Running both hybrid scorers on one
+    candidate set is the comparison that picks between them: soft-TF-IDF
+    discounts common tokens by idf, Monge–Elkan weighs every token
+    occurrence equally and has no close/not-close threshold cliff.
+    """
+    from ..operators.scoring import monge_elkan_scores
+    from .er_pipeline import blocked_keys
+
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"), use_minhash=False
+    ).select("bkey", "entity_key")
+    cand = (
+        bk.select("bkey", F.col("entity_key").alias("left_id"))
+        .join(bk.select("bkey", F.col("entity_key").alias("right_id")), "bkey")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    return (
+        monge_elkan_scores(entities, cand)
+        .join(
+            truth.select(F.col("entity_key").alias("left_id"),
+                         F.col(truth_col).alias("_lt")), "left_id")
+        .join(
+            truth.select(F.col("entity_key").alias("right_id"),
+                         F.col(truth_col).alias("_rt")), "right_id")
+        .select(
+            "left_id", "right_id", "monge_elkan",
+            (F.col("_lt") == F.col("_rt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_monge_elkan_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for monge_elkan_study: name-channel candidates, per-
+    OCCURRENCE token positions (aligned double-unnest), token-pair JW
+    via jaro_winkler_similarity, per-position max, per-side mean,
+    directions averaged."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
+  FROM chan_key a JOIN chan_key b
+    ON a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+tokp AS (
+  SELECT entity_key, unnest(ls) AS token,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM (
+    SELECT entity_key,
+           list_filter(string_split_regex(lower(surface), '[^\\p{{L}}0-9]+'),
+                       x -> x <> '') AS ls
+    FROM entities
+  )
+),
+tp AS MATERIALIZED (
+  SELECT c.left_id, c.right_id, a.pos AS pa, b.pos AS pb,
+         jaro_winkler_similarity(a.token, b.token) AS jw
+  FROM cand c
+  JOIN tokp a ON a.entity_key = c.left_id
+  JOIN tokp b ON b.entity_key = c.right_id
+),
+ab AS (
+  SELECT left_id, right_id, avg(best) AS m FROM (
+    SELECT left_id, right_id, pa, max(jw) AS best
+    FROM tp GROUP BY left_id, right_id, pa
+  ) GROUP BY left_id, right_id
+),
+ba AS (
+  SELECT left_id, right_id, avg(best) AS m FROM (
+    SELECT left_id, right_id, pb, max(jw) AS best
+    FROM tp GROUP BY left_id, right_id, pb
+  ) GROUP BY left_id, right_id
+)
+SELECT c.left_id, c.right_id,
+       round((coalesce(ab.m, 0) + coalesce(ba.m, 0)) / 2, 6) AS monge_elkan,
+       (lt.truth_id = rt.truth_id) AS is_true
+FROM cand c
+LEFT JOIN ab USING (left_id, right_id)
+LEFT JOIN ba USING (left_id, right_id)
+JOIN entities lt ON lt.entity_key = c.left_id
+JOIN entities rt ON rt.entity_key = c.right_id
+ORDER BY left_id, right_id
+"""
