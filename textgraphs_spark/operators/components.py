@@ -92,8 +92,9 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
     driver trivially and the O(log n) distributed rounds would cost more
     in stage latency than the entire computation. Same contract as the
     distributed path (component = min node id). Handles long ids and
-    struct-of-long ids (arriving as per-row dicts, compared as tuples —
-    Python tuple order == Spark struct order for long fields).
+    struct-of-long ids (arriving as dicts under Arrow, Row objects
+    without; both compared as tuples — Python tuple order == Spark
+    struct order for long fields).
     """
     id_type = e.schema["src"].dataType
     is_struct = isinstance(id_type, T.StructType)
@@ -107,7 +108,12 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
 
     for a, b in e.toPandas().itertuples(index=False):
         if is_struct:
-            a, b = tuple(a.values()), tuple(b.values())
+            # Arrow-enabled sessions deliver struct cells as dicts;
+            # default (non-Arrow) sessions deliver pyspark Row objects,
+            # which have no .values() but iterate their field values in
+            # schema order — both shapes reduce to the same ordered tuple
+            a = tuple(a.values()) if isinstance(a, dict) else tuple(a)
+            b = tuple(b.values()) if isinstance(b, dict) else tuple(b)
         else:
             a, b = int(a), int(b)
         parent.setdefault(a, a)

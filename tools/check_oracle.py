@@ -10,7 +10,14 @@ values hashed dtype-sensitively (DuckDB HUGEINT → object dtype is a
 MISMATCH against Spark's int64, as the driver scored
 documents_quality_gate/events_sessionize in round 1).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Round 5: `--plain` runs the sweep on a DEFAULT-config SparkSession
+(no get_spark tuning — Arrow OFF, stock shuffle partitions) — the
+driver's actual environment. Round 4 proved the comparator alone is not
+enough: a struct-shape bug (components.py Row-vs-dict) was invisible
+under the repo's Arrow-enabled helper and red on the driver. Close a
+round only when BOTH sweeps are green.
+
+Usage: python tools/check_oracle.py [--plain] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -99,10 +106,25 @@ def compare(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    if plain:
+        # driver-faithful session: stock defaults (Arrow OFF, 200 shuffle
+        # partitions, 10 MB broadcast threshold) — only master + UI set
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle_check_plain")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
