@@ -763,3 +763,26 @@ def test_monge_elkan_vs_soft_tfidf_on_initialed_forms(eval_run, spark):
     assert me > 0.75
     assert st < 0.5
     assert me > st
+
+
+def test_hybrid_scorers_materialize_knob_value_identical(spark):
+    """materialize=False (the streaming-safe lazy path) must return the
+    same scores as the default eager path — the knob trades recompute
+    for batch-only localCheckpoint, never values (ADVICE r4: both
+    scorers need the same escape hatch blocking.tfidf_cosine_pairs
+    documents)."""
+    from textgraphs_spark.operators.scoring import (
+        monge_elkan_scores, soft_tfidf_scores,
+    )
+
+    recs = spark.createDataFrame(
+        [("a", "john smith"), ("b", "jon smith"), ("c", "mary jones")],
+        ["entity_key", "surface"],
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], ["left_id", "right_id"]
+    )
+    for fn in (soft_tfidf_scores, monge_elkan_scores):
+        eager = sorted(map(tuple, fn(recs, cand).collect()))
+        lazy = sorted(map(tuple, fn(recs, cand, materialize=False).collect()))
+        assert eager == lazy, fn.__name__

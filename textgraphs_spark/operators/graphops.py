@@ -30,6 +30,12 @@ PAIR_SCHEMA = T.StructType([
 ])
 
 MAX_SKIP = 11  # reference defaults.py:22
+# HyperBall/HyperANF round cap, shared with the DuckDB oracle generators
+# (plans/er_oracle.py imports it as the BFS depth cap) so engine and
+# oracle can never silently desynchronize on a deeper-diameter corpus:
+# the engine stops early at the ball fixpoint, the oracle explores to
+# the same bound, and min-distances at the fixpoint are cap-invariant
+BALL_MAX_ITER = 16
 
 
 def entity_pairs_within_distance(
@@ -439,7 +445,7 @@ def harmonic_centrality(
     *,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 16,
+    max_iter: int = BALL_MAX_ITER,
     lg_k: int = 14,
 ) -> DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna, 2013) —
@@ -517,7 +523,7 @@ def neighborhood_function(
     *,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 16,
+    max_iter: int = BALL_MAX_ITER,
     lg_k: int = 14,
 ) -> DataFrame:
     """HyperANF neighborhood function (Boldi/Rosa/Vigna, 2011) —

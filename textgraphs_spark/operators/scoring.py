@@ -375,6 +375,7 @@ def soft_tfidf_scores(
     id_col: str = "entity_key",
     text_col: str = "surface",
     theta: float = 0.9,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cohen/Ravikumar/Fienberg soft-TF-IDF over candidate pairs —
     (left_id, right_id, soft_tfidf): TF-IDF weighted token agreement
@@ -409,11 +410,14 @@ def soft_tfidf_scores(
         .join(ua, "left_id")
         .join(ub, "right_id")
         .withColumn("jw", jaro_winkler_udf(F.col("ta"), F.col("tb")))
-        # EAGER: both directional reductions read this frame — without
-        # the checkpoint the Arrow JW kernel (and the whole unit-vector
-        # chain) runs twice, once per direction
-        .localCheckpoint()
     )
+    if materialize:
+        # EAGER + BATCH-ONLY (localCheckpoint, same knob as
+        # blocking.tfidf_cosine_pairs): both directional reductions read
+        # this frame — without the checkpoint the Arrow JW kernel (and
+        # the whole unit-vector chain) runs twice, once per direction.
+        # Streaming callers pass materialize=False and pay the recompute.
+        tp = tp.localCheckpoint()
 
     def directional(part_tok, part_w, other_w):
         wspec = Window.partitionBy("left_id", "right_id", part_tok).orderBy(
@@ -448,6 +452,7 @@ def monge_elkan_scores(
     *,
     id_col: str = "entity_key",
     text_col: str = "surface",
+    materialize: bool = True,
 ) -> DataFrame:
     """Monge–Elkan similarity over candidate pairs — (left_id,
     right_id, monge_elkan): for each token of one side, its best JW
@@ -460,7 +465,8 @@ def monge_elkan_scores(
 
     Same shape as ``soft_tfidf_scores``: tokens explode per side, ONE
     Arrow-batched JW pass over the (pair, token, token) rows (eager
-    checkpoint — both directional reductions read it), max via
+    checkpoint under ``materialize=True`` — both directional reductions
+    read it; streaming callers pass False), max via
     (pair, token)-keyed aggregation, mean via pair-keyed aggregation.
     Token multiplicity is per OCCURRENCE (the original definition
     averages over the token sequence, not the distinct set).
@@ -480,8 +486,10 @@ def monge_elkan_scores(
         .join(ta, "left_id")
         .join(tb, "right_id")
         .withColumn("jw", jaro_winkler_udf(F.col("ta"), F.col("tb")))
-        .localCheckpoint()
     )
+    if materialize:
+        # EAGER + BATCH-ONLY, same knob as soft_tfidf_scores — see there
+        tp = tp.localCheckpoint()
 
     def direction(pos_col):
         return (

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from ..nlp import lex
 from ..operators.blocking import minhash_xor_constants
+from ..operators.graphops import BALL_MAX_ITER
 
 
 def _inlist(words) -> str:
@@ -1121,7 +1122,7 @@ LIMIT {top}
 
 
 def harmonic_centrality_sql(
-    table: str = "documents", *, max_docs: int = 50, max_iter: int = 8
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = BALL_MAX_ITER
 ) -> str:
     """Oracle for graphops.harmonic_centrality over the lemma graph of
     doc_id < max_docs: exact all-pairs BFS distances via a bounded
@@ -1130,10 +1131,12 @@ def harmonic_centrality_sql(
     with exact sparse-mode estimates), so the doubles agree to the
     last ulp, not just after rounding. max_iter bounds the recursive
     expansion (cycles re-emit (src, node) at every same-parity depth,
-    so the cap is the cost knob): 8 = 2x the measured diameter (4) of
-    the sf0.01 lemma graph; a too-small cap cannot silently pass —
-    n_reachable would drop below the engine's and the hash would go
-    red."""
+    so the cap is the cost knob). The cap is the ENGINE'S
+    BALL_MAX_ITER — imported, not copied — so a corpus whose diameter
+    outgrows any hand-picked number can never desynchronize the two
+    sides; min-distances already at their fixpoint are unchanged by a
+    deeper cap, and a too-small cap cannot silently pass (n_reachable
+    would drop below the engine's and the hash would go red)."""
     return f"""WITH RECURSIVE
 {graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
 und AS MATERIALIZED (
@@ -1167,7 +1170,7 @@ ORDER BY node
 
 
 def neighborhood_function_sql(
-    table: str = "documents", *, max_docs: int = 50, max_iter: int = 8
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = BALL_MAX_ITER
 ) -> str:
     """Oracle for graphops.neighborhood_function: exact all-pairs BFS
     (the harmonic-centrality reach CTE), pairs cumulated per distance;
