@@ -1263,87 +1263,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # redundant with other green entries (plain TPC-H rollups, simple
     # event windows) sit at the tail.
     return {
-        # never in any driver record (r1-r3): the two round-3 oracles
-        # built for the fuzzy-fallback and engaged-salting paths
-        "kg_linking_second_pass": kg_linking_second_pass,
-        "salted_blocking_pairs": salted_blocking_pairs,
-        # green in r2 but rotated out of the r3 sample
-        "entity_pairs": entity_pairs,
-        "kg_linking": kg_linking,
-        "kg_sameas_edges": kg_sameas_edges,
-        "relation_inf_edges": relation_inf_edges,
-        "ranked_phrases_pages": ranked_phrases_pages,
-        "wordcloud_weights": wordcloud_weights,
-        "region_nation_rollup": region_nation_rollup,
-        "events_distinct_rollup": events_distinct_rollup,
-        "events_sessionize": events_sessionize,
-        "events_session_window": events_session_window,
-        "events_asof_attribution": events_asof_attribution,
-        "events_value_buckets": events_value_buckets,
-        # new in round 4 (never driver-verified yet)
-        "boilerplate_removal": boilerplate_removal,
-        "stratified_sample": stratified_sample,
-        "pii_signals": pii_signals,
-        "pii_redact": pii_redact,
-        "dedup_paragraphs": dedup_paragraphs,
-        "host_stats": host_stats,
-        "url_host_filter": url_host_filter,
-        "events_ntile_scalable": events_ntile_scalable,
-        "per_source_cap_windowless": per_source_cap_windowless,
-        "cross_doc_repetition": cross_doc_repetition,
-        "er_eval_blocked": er_eval_blocked,
-        "er_eval_clusters": er_eval_clusters,
-        "er_golden_records": er_golden_records,
-        "er_cluster_cohesion": er_cluster_cohesion,
-        "er_threshold_sweep": er_threshold_sweep,
-        "er_blocking_stats": er_blocking_stats,
-        "er_fs_weights": er_fs_weights,
-        "er_fs_classify": er_fs_classify,
-        "er_fs_clusters": er_fs_clusters,
-        "er_fs_tf_adjustments": er_fs_tf_adjustments,
-        "er_channel_recall": er_channel_recall,
-        "er_sorted_neighborhood": er_sorted_neighborhood,
-        "er_meta_blocking": er_meta_blocking,
-        "er_tfidf_pairs": er_tfidf_pairs,
-        "er_split_overmerged": er_split_overmerged,
-        "er_bcubed": er_bcubed,
-        "er_soft_tfidf": er_soft_tfidf,
-        "er_clustering_agreement": er_clustering_agreement,
-        "er_review_queue": er_review_queue,
-        "er_monge_elkan": er_monge_elkan,
-        "lm_xent_buckets": lm_xent_buckets,
-        "lm_xent_bucket_stats": lm_xent_bucket_stats,
-        # graph-analytics + winnowing additions: no driver record yet,
-        # so they precede the flagship family (r1+r2+r3 green records)
-        # under the least-recently-verified-first ordering
-        "graph_triangles": graph_triangles,
-        "graph_harmonic": graph_harmonic,
-        "graph_reach_curve": graph_reach_curve,
-        "graph_link_prediction": graph_link_prediction,
+        # round-5 ordering (least-recently-driver-verified first):
+        # (a) never in any driver record — added after the r4 snapshot
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
         "dedup_winnow": dedup_winnow,
-        # the flagship ER / extraction family
+        # (b) red in CORRECTNESS_r04 (struct-id union-find under the
+        # driver's non-Arrow session) — the fix must be proven green
+        "er_eval_clusters": er_eval_clusters,
+        "er_golden_records": er_golden_records,
+        "er_cluster_cohesion": er_cluster_cohesion,
+        "er_fs_clusters": er_fs_clusters,
+        "er_split_overmerged": er_split_overmerged,
+        "er_bcubed": er_bcubed,
+        "er_clustering_agreement": er_clustering_agreement,
+        # (c) green r3 but routed through code changed since (struct-id
+        # CC fast path / minhash semi-join prune)
+        "er_clusters": er_clusters,
+        "er_ranked_clusters": er_ranked_clusters,
+        "er_incremental": er_incremental,
+        "dedup_minhash_clusters": dedup_minhash_clusters,
+        "communities_label_prop": communities_label_prop,
+        # (d) green r4 but touched this round (shared HyperBall cap,
+        # scorer materialize knob)
+        "er_soft_tfidf": er_soft_tfidf,
+        "er_monge_elkan": er_monge_elkan,
+        "graph_harmonic": graph_harmonic,
+        "graph_reach_curve": graph_reach_curve,
+        # (e) stale: green in r2/r3 records, not re-sampled since
         "extract_mentions": extract_mentions,
         "lemma_nodes": lemma_nodes,
         "lemma_edges": lemma_edges,
         "ranked_phrases": ranked_phrases,
-        "er_clusters": er_clusters,
-        "er_ranked_clusters": er_ranked_clusters,
-        "er_incremental": er_incremental,
         "corpus_pagerank": corpus_pagerank,
-        "communities_label_prop": communities_label_prop,
         "gor_affinity": gor_affinity,
-        # dedup family
         "dedup_exact": dedup_exact,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "simhash_fingerprints": simhash_fingerprints,
-        "dedup_minhash_clusters": dedup_minhash_clusters,
-        # corpus-curation family
         "doc_repetition_signals": doc_repetition_signals,
         "boilerplate_ngrams": boilerplate_ngrams,
         "decontaminate_overlap": decontaminate_overlap,
@@ -1355,15 +1315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap_scalable": per_source_cap_scalable,
         "doc_lm_xent": doc_lm_xent,
         "pack_sequences": pack_sequences,
-        # similarity / ANN family
         "knn_cosine": knn_cosine,
         "ann_cosine": ann_cosine,
         "ann_ivf": ann_ivf,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
-        # text-signal family
         "lang_id": lang_id,
-        # tail: r3-green generics, redundant with the families above
         "quality_score": quality_score,
         "token_count": token_count,
         "multimodal_features": multimodal_features,
@@ -1380,6 +1337,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "distinct_supplier_part_pairs": distinct_supplier_part_pairs,
         "top_parts_by_revenue": top_parts_by_revenue,
+        # (f) green in the r4 record on unchanged code — most recently
+        # verified, so last
+        "kg_linking_second_pass": kg_linking_second_pass,
+        "salted_blocking_pairs": salted_blocking_pairs,
+        "entity_pairs": entity_pairs,
+        "kg_linking": kg_linking,
+        "kg_sameas_edges": kg_sameas_edges,
+        "relation_inf_edges": relation_inf_edges,
+        "ranked_phrases_pages": ranked_phrases_pages,
+        "wordcloud_weights": wordcloud_weights,
+        "region_nation_rollup": region_nation_rollup,
+        "events_distinct_rollup": events_distinct_rollup,
+        "events_sessionize": events_sessionize,
+        "events_session_window": events_session_window,
+        "events_asof_attribution": events_asof_attribution,
+        "events_value_buckets": events_value_buckets,
+        "boilerplate_removal": boilerplate_removal,
+        "stratified_sample": stratified_sample,
+        "pii_signals": pii_signals,
+        "pii_redact": pii_redact,
+        "dedup_paragraphs": dedup_paragraphs,
+        "host_stats": host_stats,
+        "url_host_filter": url_host_filter,
+        "events_ntile_scalable": events_ntile_scalable,
+        "per_source_cap_windowless": per_source_cap_windowless,
+        "cross_doc_repetition": cross_doc_repetition,
+        "er_eval_blocked": er_eval_blocked,
+        "er_threshold_sweep": er_threshold_sweep,
+        "er_blocking_stats": er_blocking_stats,
+        "er_fs_weights": er_fs_weights,
+        "er_fs_classify": er_fs_classify,
+        "er_fs_tf_adjustments": er_fs_tf_adjustments,
+        "er_channel_recall": er_channel_recall,
+        "er_sorted_neighborhood": er_sorted_neighborhood,
+        "er_meta_blocking": er_meta_blocking,
+        "er_tfidf_pairs": er_tfidf_pairs,
+        "er_review_queue": er_review_queue,
+        "lm_xent_buckets": lm_xent_buckets,
+        "lm_xent_bucket_stats": lm_xent_bucket_stats,
+        "graph_triangles": graph_triangles,
+        "graph_link_prediction": graph_link_prediction,
     }
 
 
