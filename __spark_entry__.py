@@ -254,6 +254,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=3
         ).orderBy("node")
 
+    def graph_clustering_coeff(spark, sf_dir):
+        # local clustering coefficient (transitivity per node): oriented
+        # triangle count + one degree agg + one join; exact-BIGINT
+        # numerator/denominator so the single rounded division is
+        # bit-equal to the DuckDB twin
+        from textgraphs_spark.operators.graphops import clustering_coefficient
+
+        return clustering_coefficient(
+            _lemma_graph_edges(spark, sf_dir)
+        ).orderBy("node")
+
+    def graph_assortativity(spark, sf_dir):
+        # Newman degree assortativity from EXACT BIGINT moment sums over
+        # the doubled edge list — no incremental co-moment float drift
+        # between engines; one row out
+        from textgraphs_spark.operators.graphops import degree_assortativity
+
+        return degree_assortativity(_lemma_graph_edges(spark, sf_dir))
+
+    def graph_ktruss(spark, sf_dir):
+        # k-truss edge peel (k=4: every edge in >= 2 triangles within
+        # the subgraph) — the edge-cohesion companion to graph_kcore;
+        # per-round oriented triangle tally, fixpoint via 1-row probe
+        from textgraphs_spark.operators.graphops import ktruss
+
+        return ktruss(
+            _lemma_graph_edges(spark, sf_dir), k=4
+        ).orderBy("a", "b")
+
+    def er_phonetic_blocking(spark, sf_dir):
+        # sound-alike blocking channel (simplified-Russell code of the
+        # last token + first initial) — the misspelling-recall channel;
+        # the IDENTICAL key expression runs in the DuckDB twin
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, phonetic_blocking_metrics,
+        )
+
+        return phonetic_blocking_metrics(eval_entities(spark))
+
+    def er_suffix_blocking(spark, sf_dir):
+        # Aizawa-Oyama suffix blocking evaluated on the labeled corpus:
+        # the prefix-corruption channel (truncated first tokens) the
+        # positional name key splits apart; stop-suffix cap at 12 is the
+        # pair budget AND the skew story (oversized blocks dropped,
+        # recall loss measured here, never silent)
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, suffix_blocking_metrics,
+        )
+
+        return suffix_blocking_metrics(eval_entities(spark))
+
+    def dedup_containment(spark, sf_dir):
+        # Broder containment |A∩B|/min(|A|,|B|) over word 3-grams — the
+        # subset-dup channel (quoted paragraph inside a longer page)
+        # Jaccard structurally misses; same inverted-index shape and
+        # salting cap as dedup_ngram_jaccard
+        return D.ngram_containment_pairs(
+            _docs(spark, sf_dir), block_col="source", n=3, threshold=0.6
+        )
+
     def gor_affinity(spark, sf_dir):
         cust = _t(spark, sf_dir, "customer").join(
             _t(spark, sf_dir, "nation"),
@@ -1264,7 +1324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # event windows) sit at the tail.
     return {
         # round-5 ordering (least-recently-driver-verified first):
-        # (a) never in any driver record — added after the r4 snapshot
+        # (a) never in any driver record — round-5 additions, then the
+        # four added after the r4 snapshot
+        "er_suffix_blocking": er_suffix_blocking,
+        "er_phonetic_blocking": er_phonetic_blocking,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "graph_assortativity": graph_assortativity,
+        "graph_ktruss": graph_ktruss,
+        "dedup_containment": dedup_containment,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
@@ -1761,10 +1828,11 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         ann_oracle_sql, ivf_oracle_sql, near_dup_lsh_oracle_sql,
     )
     from textgraphs_spark.plans.er_oracle import (
+        assortativity_sql, clustering_coefficient_sql,
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, harmonic_centrality_sql, kcore_sql,
-        label_propagation_sql, lemma_edges_sql, lemma_nodes_sql,
-        link_prediction_sql, neighborhood_function_sql,
+        ktruss_sql, label_propagation_sql, lemma_edges_sql,
+        lemma_nodes_sql, link_prediction_sql, neighborhood_function_sql,
         personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
     )
     from textgraphs_spark.plans.pages_oracle import (
@@ -1780,8 +1848,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_meta_blocking_sql,
-        er_monge_elkan_sql, er_soft_tfidf_sql, er_sorted_neighborhood_sql,
-        er_split_overmerged_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
+        er_monge_elkan_sql, er_phonetic_blocking_sql, er_soft_tfidf_sql,
+        er_sorted_neighborhood_sql, er_split_overmerged_sql,
+        er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
@@ -1810,6 +1879,11 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         ),
         "graph_kcore": kcore_sql(k=3),
         "graph_ppr": personalized_pagerank_sql(),
+        "graph_clustering_coeff": clustering_coefficient_sql(),
+        "graph_assortativity": assortativity_sql(),
+        "graph_ktruss": ktruss_sql(k=4),
+        "er_suffix_blocking": er_suffix_blocking_sql(),
+        "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
@@ -1975,6 +2049,27 @@ SELECT left_id, right_id,
        round(CASE WHEN uni > 0 THEN inter * 1.0 / uni ELSE 0.0 END, 6) AS jaccard
 FROM pairs
 WHERE CASE WHEN uni > 0 THEN inter * 1.0 / uni ELSE 0.0 END >= 0.2
+""",
+        "dedup_containment": f"""
+WITH d AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+  FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         least(len(a.grams), len(b.grams)) AS mn
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id,
+       round(inter * 1.0 / mn, 6) AS containment
+FROM pairs
+WHERE mn > 0 AND inter * 1.0 / mn >= 0.6
 """,
         "knn_cosine": """
 WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),

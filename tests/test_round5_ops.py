@@ -1,0 +1,219 @@
+"""Round-5 operator tests: clustering coefficient, degree
+assortativity, suffix blocking, n-gram containment.
+
+Each pins hand-computable values on tiny synthetic graphs/corpora —
+the oracle sweep covers corpus-scale value parity, these cover the
+semantics the oracle can't isolate (known-topology coefficients,
+subset-dup vs resemblance separation, prefix-corruption recall)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.dedup import (
+    ngram_containment_pairs, ngram_jaccard_pairs,
+)
+from textgraphs_spark.operators.graphops import (
+    clustering_coefficient, degree_assortativity,
+)
+from textgraphs_spark.plans.er_eval import suffix_blocking_metrics
+
+
+def test_clustering_coefficient_known_graph(spark):
+    # triangle a-b-c plus pendant d hanging off a:
+    #   b, c: deg 2, 1 triangle -> coeff 1.0
+    #   a:    deg 3, 1 triangle -> 2*1/(3*2) = 0.333333
+    #   d:    deg 1 -> omitted (undefined)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["deg"] == 3 and got["a"]["triangles"] == 1
+    assert got["a"]["coeff"] == 0.333333
+    assert got["b"]["coeff"] == 1.0 and got["c"]["coeff"] == 1.0
+
+
+def test_clustering_coefficient_zero_triangles(spark):
+    # path a-b-c: b has deg 2, 0 triangles -> coeff 0.0 (left-join fill)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    assert set(got) == {"b"}
+    assert got["b"]["triangles"] == 0 and got["b"]["coeff"] == 0.0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star: every edge joins deg-3 hub to deg-1 leaf -> r = -1 exactly
+    edges = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d")], "src string, dst string"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: all degrees 2, zero variance -> undefined -> NULL
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["assortativity"] is None
+
+
+def test_suffix_blocking_catches_prefix_corruption(spark):
+    # 'werner herzog' vs 'w herzog': the positional name key channel and
+    # any prefix-anchored key miss nothing here, but the point is the
+    # SHARED SUFFIX 'herzog' (len >= 5) blocks them together; the
+    # unrelated pair shares no >=5 suffix
+    ents = spark.createDataFrame(
+        [
+            ("e1", "Werner Herzog", 1),
+            ("e2", "W. Herzog", 1),
+            ("e3", "Lotte Eisner", 2),
+            ("e4", "Klaus Kinski", 3),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    row = suffix_blocking_metrics(ents, min_len=5, max_block=4).collect()[0]
+    assert row["covered_true_pairs"] == 1      # the herzog pair
+    assert row["pair_completeness"] == 1.0     # it is the only true pair
+    assert row["n_candidates"] >= 1
+
+
+def test_suffix_blocking_stop_suffix_cap(spark):
+    # every surface ends in 'common' -> that suffix's block (and its
+    # 5-char tail 'ommon') holds all 5 records; max_block=3 drops both,
+    # so ONLY pairs sharing a rarer (longer) suffix survive: the twins.
+    # The letter just before 'common' differs across non-twins, so no
+    # accidental longer suffix is shared.
+    ents = spark.createDataFrame(
+        [
+            ("e1", "zzkaren common", 1),
+            ("e2", "zzkaren common", 1),
+            ("e3", "qqlouis common", 2),
+            ("e4", "rrmarie common", 3),
+            ("e5", "ssnigel common", 4),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    row = suffix_blocking_metrics(ents, min_len=5, max_block=3).collect()[0]
+    assert row["n_candidates"] == 1
+    assert row["covered_true_pairs"] == 1
+
+
+def test_containment_finds_subset_dup_jaccard_misses(spark):
+    base = "alpha beta gamma delta epsilon zeta"
+    long = base + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, long, "s"), (3, "unrelated words entirely here", "s")],
+        "doc_id long, text string, source string",
+    )
+    cont = {
+        (r["left_id"], r["right_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, n=3, threshold=0.9, block_col="source"
+        ).collect()
+    }
+    # every trigram of the short doc appears in the long one
+    assert cont == {(1, 2): 1.0}
+    # resemblance on the same pair is low: Jaccard misses it at 0.5
+    jac = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, block_col="source"
+    ).collect()
+    assert all({r["left_id"], r["right_id"]} != {1, 2} for r in jac)
+
+
+def test_containment_requires_positive_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        ngram_containment_pairs(docs, threshold=0.0)
+
+
+def test_containment_short_docs_empty_grams(spark):
+    # docs shorter than n tokens have EMPTY gram sets (the sequence(1,0)
+    # guard) -> no pairs, never a phantom 1.0
+    docs = spark.createDataFrame(
+        [(1, "ab", "s"), (2, "ab", "s")],
+        "doc_id long, text string, source string",
+    )
+    assert ngram_containment_pairs(docs, n=3, threshold=0.1).count() == 0
+
+
+def test_ktruss_peels_pendant_triangle(spark):
+    # two K4-ish blocks? keep it minimal: K4 on {a,b,c,d} is a 4-truss
+    # (every edge closes 2 triangles); a pendant triangle {d,e,f} has
+    # edge support 1 everywhere, so k=4 peels it entirely — INCLUDING
+    # the shared corner d's spokes
+    from textgraphs_spark.operators.graphops import ktruss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pend = [("d", "e"), ("d", "f"), ("e", "f")]
+    edges = spark.createDataFrame(k4 + pend, "src string, dst string")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(edges, k=4).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_cascading_peel(spark):
+    # triangle chain a-b-c, b-c-d, c-d-e: every edge has support 1,
+    # so k=4 empties the graph — and the empty frame has the schema
+    from textgraphs_spark.operators.graphops import ktruss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+         ("c", "e"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = ktruss(edges, k=4)
+    assert out.count() == 0
+    assert out.columns == ["a", "b", "support"]
+    # k=3 (support >= 1) keeps all 7 edges of the triangle chain
+    assert ktruss(edges, k=3).count() == 7
+
+
+def test_phonetic_blocking_sound_alikes(spark):
+    # johnson/jonson and smith/smyth key together phonetically while
+    # every exact last_tok key splits them; the unrelated pair stays
+    # apart -> completeness 1.0 with exactly 2 candidates
+    from textgraphs_spark.plans.er_eval import phonetic_blocking_metrics
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "Mary Johnson", 1),
+            ("e2", "Mary Jonson", 1),
+            ("e3", "John Smith", 2),
+            ("e4", "Jon Smyth", 2),
+            ("e5", "Klaus Kinski", 3),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    row = phonetic_blocking_metrics(ents).collect()[0]
+    assert row["n_candidates"] == 2
+    assert row["covered_true_pairs"] == 2
+    assert row["pair_completeness"] == 1.0
+
+
+def test_phonetic_expr_parity_spark_vs_duckdb(spark):
+    # the SAME expression text modulo the 'g' flag must produce the
+    # SAME keys in both engines — the parity-by-construction claim
+    import duckdb
+
+    from textgraphs_spark.operators.blocking import phonetic_expr
+
+    toks = ["johnson", "jonson", "smith", "smyth", "herzog", "kinski",
+            "eisner", "a", "zzz", "aeiou"]
+    sdf = spark.createDataFrame([(t,) for t in toks], "t string").selectExpr(
+        "t", f"{phonetic_expr('t')} AS k"
+    )
+    got_spark = {r["t"]: r["k"] for r in sdf.collect()}
+    vals = ", ".join(f"('{t}')" for t in toks)
+    got_duck = dict(duckdb.sql(
+        f"SELECT t, {phonetic_expr('t', duck=True)} FROM (VALUES {vals}) v(t)"
+    ).fetchall())
+    assert got_spark == got_duck

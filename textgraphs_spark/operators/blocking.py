@@ -50,6 +50,31 @@ def normalize_names(entities: DataFrame) -> DataFrame:
     )
 
 
+# Russell/Soundex consonant classes: b f p v → 1, c g j k q s x z → 2,
+# d t → 3, l → 4, m n → 5, r → 6, vowels + h/w/y → 0 (dropped)
+_PHON_SRC = "abcdefghijklmnopqrstuvwxyz"
+_PHON_DST = "01230120022455012623010202"
+
+
+def phonetic_expr(col: str, *, duck: bool = False) -> str:
+    """Simplified Russell-style phonetic code of an already-normalized
+    (lowercase alpha) token column, as ONE SQL expression valid in both
+    Spark SQL and DuckDB (``duck=True`` adds the 'g' regexp flag DuckDB
+    needs for replace-all; Spark replaces all by default): first letter
+    + soundex consonant classes of the rest, adjacent same-class runs
+    collapsed, vowel class dropped, truncated to 4. Deliberately NOT
+    the full Soundex h/w boundary rule — the identical expression runs
+    in both engines, so cross-engine parity is by construction, and the
+    channel's recall is measured by its metrics row, never assumed.
+    'johnson' and 'jonson' both key to j525; 'smith'/'smyth' to s53."""
+    g = ", 'g'" if duck else ""
+    codes = f"translate(substring({col}, 2), '{_PHON_SRC}', '{_PHON_DST}')"
+    for d in "123456":
+        codes = f"regexp_replace({codes}, '{d}{d}+', '{d}'{g})"
+    codes = f"regexp_replace({codes}, '0', ''{g})"
+    return f"substring(concat(substring({col}, 1, 1), {codes}), 1, 4)"
+
+
 def block_keys(entities: DataFrame) -> DataFrame:
     """entities(entity_key, surface, ...) → (block_key, entity_key, ...)."""
     e = normalize_names(entities)

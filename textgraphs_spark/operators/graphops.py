@@ -277,6 +277,24 @@ def triangle_counts(
     # (often a full corpus extraction) once PER REFERENCE (a .explain
     # audit showed 45 corpus scans on the lemma-graph query without this)
     e = _normalized_edges(edges, src, dst).localCheckpoint()
+    tri = _oriented_triangles(e)
+    # attribute each triangle to all three corners, then one hash agg
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_node
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the normalized edge set (a, b) exactly
+    once as (u, y, z), via degree-ordered orientation (see
+    triangle_counts for the O(m^1.5) bound rationale). ``e`` must
+    already be distinct undirected edges with a < b, materialized by the
+    caller (it is read by the degree agg and both orientation joins)."""
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -320,16 +338,7 @@ def triangle_counts(
     closing = oriented.select(
         F.col("u").alias("y"), F.col("v").alias("z")
     )
-    tri = wedges.join(closing, ["y", "z"]).select("u", "y", "z")
-    # attribute each triangle to all three corners, then one hash agg
-    per_node = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("triangles"))
-    )
-    return per_node
+    return wedges.join(closing, ["y", "z"]).select("u", "y", "z")
 
 
 def link_prediction_jaccard(
@@ -583,3 +592,158 @@ def neighborhood_function(
     return edges.sparkSession.createDataFrame(
         rows, "t int, reachable_pairs long, frac double, reached_90 boolean"
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node of the simple undirected
+    graph: ``2 * T(v) / (deg(v) * (deg(v) - 1))`` for nodes of degree
+    >= 2 (below that the ratio is undefined, and those nodes are
+    omitted). The transitivity signal next to ``triangle_counts`` —
+    the reference reads per-node clustering off its NetworkX lemma
+    graph surface (SURVEY §2.9 graph analytics); here it is triangles
+    (degree-ordered oriented count, wedge join bounded by m^1.5) plus
+    one vocabulary-sized degree agg and one left join. No adjacency
+    list is ever materialized, so the operator holds at web scale.
+
+    Float discipline: triangles and degree are exact BIGINTs in both
+    engines; the single division is formed identically on both sides
+    and rounded to 6, so the DuckDB twin is bit-equal.
+
+    Returns (node, deg, triangles, coeff), deg >= 2 only.
+    """
+    e = _normalized_edges(edges, src, dst).localCheckpoint()  # feeds deg + tri
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(e, src="a", dst="b")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+            F.round(
+                F.coalesce(F.col("triangles"), F.lit(0).cast("long")) * 2.0
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over both directed realizations of every
+    undirected edge. One row out: (n_edges, assortativity) — positive
+    on hub-to-hub graphs (social cores), negative on hub-to-leaf
+    topologies (stars, web link farms); the single-number mixing
+    diagnostic for the aggregated lemma graph.
+
+    Cross-engine exactness: degrees are integers, so the five moments
+    (Σx, Σy, Σxy, Σx², Σy²) are aggregated as EXACT BIGINT sums — no
+    incremental co-moment recursion whose float associativity differs
+    between engines — and the closed-form correlation is one identical
+    double expression on both sides, rounded to 6. At 10^12 edges the
+    BIGINT moments would saturate; there the same plan runs with the
+    sums cast to double pre-agg (deterministic per-engine, documented
+    trade).
+
+    Shape: one degree agg, two keyed joins of the doubled edge list
+    against it, one global 6-column agg (map-side partial) — three
+    shuffles total, no skew surface (degree rows are vocabulary-sized).
+    A regular graph (zero degree variance) yields NULL by definition.
+    """
+    e = _normalized_edges(edges, src, dst).localCheckpoint()  # feeds deg + pairs
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    doubled = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    j = doubled.join(
+        deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), "x"
+    ).join(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), "y")
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nd, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return m.select(
+        F.expr("n DIV 2").alias("n_edges"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round((nd * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 6),
+        ).alias("assortativity"),
+    )
+
+
+def ktruss(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    k: int = 4, max_iter: int = 50,
+) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge
+    closes >= k-2 triangles WITHIN the subgraph — the edge-cohesion
+    companion to ``kcore`` (a k-truss is always inside the (k-1)-core,
+    but strictly stronger: it demands triangle evidence per EDGE, the
+    signal community-detection and spam-farm analyses use when degree
+    alone over-credits hub spokes).
+
+    Distributed peel: each round enumerates triangles of the surviving
+    edge set via the same degree-ordered orientation as
+    ``triangle_counts`` (wedge join bounded by m^1.5), tallies per-edge
+    support with one hash agg (each triangle credits its three edges),
+    drops edges below k-2, and stops at the fixed point (1-row count
+    probe, the pagerank/kcore convergence pattern). Peeling a converged
+    truss recomputes identical supports, so extra rounds are no-ops and
+    a fixed-depth oracle unrolling agrees with the converged result.
+
+    Returns (a, b, support) with a < b, support >= k - 2.
+    """
+    e = _normalized_edges(edges, src, dst).localCheckpoint()
+    n_alive = e.count()
+    sup = None
+    for _ in range(max_iter):
+        tri = _oriented_triangles(e)
+        # triangle corners are DEGREE-ordered (the orientation), not
+        # lexicographic — re-normalize each credited edge to a < b or
+        # the next round's keys (and the output contract) drift
+        sup = (
+            tri.select(F.col("u").alias("p"), F.col("y").alias("q"))
+            .unionAll(tri.select(F.col("u").alias("p"), F.col("z").alias("q")))
+            .unionAll(tri.select(F.col("y").alias("p"), F.col("z").alias("q")))
+            .select(
+                F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        n_next = sup.count()
+        e = sup.select("a", "b")
+        if n_next == n_alive:
+            return sup
+        n_alive = n_next
+        if n_alive == 0:
+            break
+    return edges.sparkSession.createDataFrame(
+        [], "a string, b string, support long"
+    ) if n_alive == 0 else sup

@@ -1752,3 +1752,243 @@ JOIN entities lt ON lt.entity_key = c.left_id
 JOIN entities rt ON rt.entity_key = c.right_id
 ORDER BY left_id, right_id
 """
+
+
+def suffix_blocking_metrics(
+    entities: DataFrame,
+    *,
+    min_len: int = 5,
+    max_block: int = 12,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005) evaluated against
+    labels: every suffix of length >= ``min_len`` of the space-stripped
+    normalized surface is a blocking key, suffixes shared by more than
+    ``max_block`` records are dropped (the classical stop-suffix rule —
+    a suffix that common is non-discriminative and would quadratically
+    dominate the pair budget), and the candidates are the DISTINCT
+    intra-block pairs. One metrics row out: (min_len, max_block,
+    n_candidates, covered_true_pairs, pair_completeness).
+
+    Why it earns a place next to the key/LSH/sorted-neighborhood
+    channels: suffix blocking catches PREFIX corruption — truncated
+    first tokens, dropped honorifics, OCR damage at the head of the
+    string — which the positional name key (last_tok|first_init)
+    splits apart and sorted-neighborhood only covers when the damage
+    sorts nearby.
+
+    100 TB shape: the suffix explode is linear in total key length
+    (bounded: normalized names, not documents); the per-suffix census
+    is one hash agg; the stop-suffix rule caps every block at
+    ``max_block`` so the self-join budget is <= C(max_block, 2) per
+    surviving suffix — the cap IS the skew story, no salting needed
+    because oversized blocks are dropped (recall loss measured here,
+    never silent at production call sites which warn). The pair
+    distinct and the label joins are vocabulary-sized.
+    """
+    from ..operators import blocking as B
+
+    e = B.normalize_names(entities.select("entity_key", "surface")).select(
+        "entity_key", F.regexp_replace("norm", " ", "").alias("k")
+    )
+    # IF-guard: sequence(1, 0) counts DOWN in Spark (sign-inferred step),
+    # so short keys must yield an EMPTY suffix set, not [1, 0] indices
+    sfx = e.select(
+        "entity_key",
+        F.explode(
+            F.expr(
+                f"IF(length(k) >= {int(min_len)},"
+                f" transform(sequence(1, length(k) - {int(min_len)} + 1),"
+                f" i -> substring(k, i)),"
+                f" cast(array() as array<string>))"
+            )
+        ).alias("sfx"),
+    ).localCheckpoint()  # feeds the census AND both sides of the pair join
+    blocks = (
+        sfx.groupBy("sfx")
+        .agg(F.count("*").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= int(max_block)))
+        .select("sfx")
+    )
+    kept = sfx.join(blocks, "sfx")
+    pairs = (
+        kept.select("sfx", F.col("entity_key").alias("l"))
+        .join(kept.select("sfx", F.col("entity_key").alias("r")), "sfx")
+        .filter(F.col("l") < F.col("r"))
+        .select("l", "r")
+        .distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    lab = pairs.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.lit(int(min_len)).alias("min_len"),
+        F.lit(int(max_block)).alias("max_block"),
+        "n_candidates",
+        "covered_true_pairs",
+        F.round(
+            F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+def er_suffix_blocking_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_len: int = 5,
+    max_block: int = 12,
+) -> str:
+    """Oracle for suffix_blocking_metrics over eval_entities."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+keyed AS (
+  SELECT entity_key, truth_id,
+         replace(lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g')), ' ', '') AS k
+  FROM entities
+),
+sfx AS MATERIALIZED (
+  SELECT entity_key, truth_id, k[i:] AS sfx
+  FROM keyed,
+       unnest(range(1, greatest(length(k) - {int(min_len)} + 1, 0) + 1)) AS t(i)
+),
+blocks AS (
+  SELECT sfx FROM (SELECT sfx, count(*) AS bn FROM sfx GROUP BY sfx)
+  WHERE bn BETWEEN 2 AND {int(max_block)}
+),
+kept AS (SELECT s.* FROM sfx s JOIN blocks b ON b.sfx = s.sfx),
+pairs AS (
+  SELECT DISTINCT a.entity_key AS l, b.entity_key AS r,
+         a.truth_id AS lt, b.truth_id AS rt
+  FROM kept a JOIN kept b ON a.sfx = b.sfx AND a.entity_key < b.entity_key
+),
+per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt = rt THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered_true_pairs
+  FROM pairs
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT CAST({int(min_len)} AS INT) AS min_len,
+       CAST({int(max_block)} AS INT) AS max_block,
+       n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+"""
+
+
+def phonetic_blocking_metrics(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Phonetic blocking evaluated against labels: block key =
+    simplified-Russell code of the last token (see
+    ``blocking.phonetic_expr`` — the IDENTICAL SQL expression runs in
+    the DuckDB twin, so parity is by construction) + first initial —
+    the sound-alike channel (johnson/jonson, smith/smyth) the exact
+    last_tok key splits apart while JW scoring would still accept.
+    One metrics row: (n_candidates, covered_true_pairs,
+    pair_completeness), the same contract as the sorted-neighborhood
+    and suffix channels so the three are directly comparable.
+
+    100 TB shape: key derivation is map-only codegen (translate +
+    bounded regexp chain), the census/self-join is the standard
+    blocked-pair shape — skew bounded because phonetic keys subdivide
+    by first initial and production callers pass the result through
+    ``blocking.candidate_pairs``'s salting cap; here the raw channel is
+    measured without a cap so the metrics expose its true budget.
+    """
+    from ..operators import blocking as B
+    from ..operators.blocking import phonetic_expr
+
+    e = B.normalize_names(entities.select("entity_key", "surface"))
+    keyed = e.select(
+        "entity_key",
+        F.concat_ws(
+            "|", F.expr(phonetic_expr("last_tok")), F.col("first_init")
+        ).alias("bkey"),
+    )
+    pairs = (
+        keyed.select("bkey", F.col("entity_key").alias("l"))
+        .join(keyed.select("bkey", F.col("entity_key").alias("r")), "bkey")
+        .filter(F.col("l") < F.col("r"))
+        .select("l", "r")
+        .distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    lab = pairs.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "n_candidates",
+        "covered_true_pairs",
+        F.round(
+            F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+def er_phonetic_blocking_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for phonetic_blocking_metrics over eval_entities."""
+    from ..operators.blocking import phonetic_expr
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+keyed AS (
+  SELECT entity_key, truth_id,
+         string_split_regex(trim(lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g'))), ' +') AS toks
+  FROM entities
+),
+bk AS MATERIALIZED (
+  SELECT entity_key, truth_id,
+         concat_ws('|', {phonetic_expr("toks[len(toks)]", duck=True)},
+                   substr(toks[1], 1, 1)) AS bkey
+  FROM keyed
+),
+pairs AS (
+  SELECT DISTINCT a.entity_key AS l, b.entity_key AS r,
+         a.truth_id AS lt, b.truth_id AS rt
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt = rt THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered_true_pairs
+  FROM pairs
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+"""

@@ -1207,3 +1207,134 @@ SELECT CAST(t AS INT) AS t,
 FROM cum, tot
 ORDER BY t
 """
+
+
+def clustering_coefficient_sql(
+    table: str = "documents", *, max_docs: int = 50
+) -> str:
+    """Oracle for graphops.clustering_coefficient over the lemma graph
+    of doc_id < max_docs: naive ordered-triple triangle enumeration
+    (exact at oracle scale) left-joined onto degrees; the Spark
+    operator's oriented count must tally identically and the single
+    rounded division is bit-equal (exact BIGINT numerator/denominator
+    on both sides)."""
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       round(coalesce(p.triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+         AS coeff
+FROM deg d LEFT JOIN pern p ON p.node = d.node
+WHERE d.deg >= 2
+ORDER BY d.node
+"""
+
+
+def assortativity_sql(
+    table: str = "documents", *, max_docs: int = 50
+) -> str:
+    """Oracle for graphops.degree_assortativity over the lemma graph of
+    doc_id < max_docs: exact BIGINT moment sums over the doubled edge
+    list, then the identical closed-form Pearson expression (cast to
+    double in the same places as the Spark side) rounded to 6."""
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+doubled AS (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+),
+j AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM doubled
+  JOIN deg dx ON dx.node = doubled.x
+  JOIN deg dy ON dy.node = doubled.y
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dx) AS DOUBLE) AS sx,
+         CAST(sum(dy) AS DOUBLE) AS sy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(dy * dy) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT cnt // 2 AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+            ELSE NULL END AS assortativity
+FROM m
+"""
+
+
+def ktruss_sql(
+    table: str = "documents", *, max_docs: int = 50,
+    k: int = 4, rounds: int = 8,
+) -> str:
+    """Oracle for graphops.ktruss over the lemma graph of doc_id <
+    max_docs: the edge peel unrolled ``rounds`` times with naive
+    triangle enumeration per round (exact at oracle scale). The fixed
+    point is stable — peeling a converged truss recomputes identical
+    supports — so any unroll depth >= the true peel depth matches the
+    Spark operator's converged result (kcore_sql precedent)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = f"te{i - 1}"
+        steps.append(f"""tri{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+sup{i} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i}
+  ) GROUP BY a, b HAVING count(*) >= {k - 2}
+),
+te{i} AS MATERIALIZED (SELECT a, b FROM sup{i})""")
+    chain = ",\n".join(steps)
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+te0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+{chain}
+SELECT a, b, support FROM sup{rounds} ORDER BY a, b
+"""
