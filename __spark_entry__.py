@@ -273,6 +273,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_assortativity(_lemma_graph_edges(spark, sf_dir))
 
+    def graph_hits(spark, sf_dir):
+        # Kleinberg HITS hubs & authorities over the DIRECTED lemma
+        # graph — fixed 8 L2-normalized rounds so the unrolled oracle is
+        # step-identical; norms ride as broadcast 1-row cross joins
+        from textgraphs_spark.operators.pagerank import hits
+
+        return hits(
+            _lemma_graph_edges(spark, sf_dir), max_iter=8
+        ).orderBy("node")
+
+    def doc_readability(spark, sf_dir):
+        # Flesch reading ease + type-token ratio: map-only codegen over
+        # the canonical tokenization; exact-integer counts, bit-equal
+        # rounded ratios, NULL where undefined
+        from textgraphs_spark.operators.textquality import readability
+
+        return readability(_docs(spark, sf_dir))
+
     def graph_ktruss(spark, sf_dir):
         # k-truss edge peel (k=4: every edge in >= 2 triangles within
         # the subgraph) — the edge-cohesion companion to graph_kcore;
@@ -1331,7 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": graph_clustering_coeff,
         "graph_assortativity": graph_assortativity,
         "graph_ktruss": graph_ktruss,
+        "graph_hits": graph_hits,
         "dedup_containment": dedup_containment,
+        "doc_readability": doc_readability,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
@@ -1830,7 +1850,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_oracle import (
         assortativity_sql, clustering_coefficient_sql,
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
-        extract_mentions_sql, harmonic_centrality_sql, kcore_sql,
+        extract_mentions_sql, harmonic_centrality_sql, hits_sql, kcore_sql,
         ktruss_sql, label_propagation_sql, lemma_edges_sql,
         lemma_nodes_sql, link_prediction_sql, neighborhood_function_sql,
         personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
@@ -1882,6 +1902,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "graph_clustering_coeff": clustering_coefficient_sql(),
         "graph_assortativity": assortativity_sql(),
         "graph_ktruss": ktruss_sql(k=4),
+        "graph_hits": hits_sql(max_iter=8),
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "ranked_phrases": ranked_phrases_sql(),
@@ -2105,6 +2126,29 @@ SELECT doc_id,
        len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_ws_tokens,
        length(text) AS n_chars
 FROM documents
+""",
+        "doc_readability": f"""
+WITH d AS (
+  SELECT doc_id, text, {toks_u} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                              s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(toks,
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))),
+              0) AS BIGINT) AS n_syllables,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0
+            THEN round(206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables / n_words), 6) END AS flesch,
+       CASE WHEN n_words > 0
+            THEN round(n_distinct / n_words, 6) END AS ttr
+FROM c
 """,
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -217,3 +217,64 @@ def test_phonetic_expr_parity_spark_vs_duckdb(spark):
         f"SELECT t, {phonetic_expr('t', duck=True)} FROM (VALUES {vals}) v(t)"
     ).fetchall())
     assert got_spark == got_duck
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    # step-identical 8-round L2-normalized HITS in numpy must agree to
+    # the rounded 6 decimals — the pagerank-vs-numpy parity pattern
+    import numpy as np
+
+    from textgraphs_spark.operators.pagerank import hits
+
+    edge_list = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a2", "a1"),
+                 ("h2", "x"), ("x", "a2")]
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edge_list:
+        A[idx[s], idx[d]] = 1.0
+    hub = np.ones(len(nodes))
+    for _ in range(8):
+        auth = A.T @ hub
+        auth = auth / np.sqrt((auth ** 2).sum())
+        hub = A @ auth
+        hub = hub / np.sqrt((hub ** 2).sum())
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r["node"]: (r["authority"], r["hub"]) for r in hits(edges).collect()}
+    for n in nodes:
+        assert got[n][0] == round(float(auth[idx[n]]), 6), n
+        assert got[n][1] == round(float(hub[idx[n]]), 6), n
+    # structure: a1 is the dominant authority, h1 the dominant hub
+    assert got["a1"][0] == max(v[0] for v in got.values())
+    assert got["h1"][1] == max(v[1] for v in got.values())
+
+
+def test_readability_hand_computed(spark):
+    from textgraphs_spark.operators.textquality import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6          # one vowel group per word
+    # 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert r1["flesch"] == 119.19
+    assert r1["ttr"] == 0.833333           # 5 distinct / 6
+    r2 = got[2]                            # empty text: NULLs, zero counts
+    assert r2["n_words"] == 0 and r2["flesch"] is None and r2["ttr"] is None
+
+
+def test_readability_syllable_floor(spark):
+    # a word with no vowels still counts >= 1 syllable ('rhythm' minus
+    # its y? use 'zzz'), and multi-group words count their groups
+    from textgraphs_spark.operators.textquality import readability
+
+    docs = spark.createDataFrame(
+        [(1, "zzz beautiful")], "doc_id long, text string"
+    )
+    r = readability(docs).collect()[0]
+    # zzz -> 1 (floor); beautiful -> eau, i, u -> 3
+    assert r["n_syllables"] == 4

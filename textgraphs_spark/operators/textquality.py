@@ -143,3 +143,60 @@ def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
         F.md5(norm).alias("norm_hash"),
         F.length(text_col).alias("n_chars"),
     )
+
+
+def readability(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + type-token ratio per document — the two
+    classic training-data quality signals next to the composite score:
+    Flesch RE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    words) with syllables estimated as vowel-group runs (>= 1 per
+    word, the standard heuristic), sentences as non-empty [.!?]-split
+    segments; TTR = distinct tokens / tokens (lexical diversity — LM
+    training filters drop both extremes: boilerplate repeats low, OCR
+    garbage high).
+
+    One map-only whole-stage-codegen projection — zero shuffles, zero
+    Python — over the same canonical tokenization as every other text
+    signal. Counts are exact integers in both engines, the two ratio
+    expressions are formed identically and rounded to 6, so the DuckDB
+    twin is bit-equal. NULL (not a sentinel) where undefined: flesch
+    needs words AND sentences, ttr needs words.
+    """
+    toks = tokens_col(text_col)
+    n_words = F.size(toks).cast("long")
+    n_sents = F.size(
+        F.expr(f"filter(split({text_col}, '[.!?]+'), s -> trim(s) <> '')")
+    ).cast("long")
+    n_syll = F.expr(
+        "aggregate(_toks, 0L, (acc, w) ->"
+        " acc + greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1))"
+    )
+    flesch = F.when(
+        (F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+            6,
+        ),
+    )
+    ttr = F.when(
+        F.col("n_words") > 0,
+        F.round(F.col("n_distinct") / F.col("n_words"), 6),
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            n_sents.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+        )
+        .select(
+            id_col, "n_words", "n_sentences", "n_syllables",
+            flesch.alias("flesch"), ttr.alias("ttr"),
+        )
+    )

@@ -1338,3 +1338,52 @@ te0 AS MATERIALIZED (
 {chain}
 SELECT a, b, support FROM sup{rounds} ORDER BY a, b
 """
+
+
+def hits_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 8,
+) -> str:
+    """Oracle for pagerank.hits over the lemma graph of doc_id <
+    max_docs: the fixed-round auth→hub update unrolled step-identically
+    (same L2 norms, same coalesce-to-zero for sink/source nodes), so
+    the only cross-engine difference is double-sum association order —
+    absorbed by round(,6) exactly as the PageRank chain's is."""
+    parts = [f"""{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+h_e AS MATERIALIZED (
+  SELECT DISTINCT src_key AS src, dst_key AS dst
+  FROM edge_rows WHERE src_key <> dst_key
+),
+h_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM h_e UNION ALL SELECT dst FROM h_e
+  )
+),
+h_h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM h_nodes)"""]
+    for k in range(1, max_iter + 1):
+        parts.append(f"""h_ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS v
+  FROM h_h{k - 1} h JOIN h_e e ON h.node = e.src
+  GROUP BY e.dst
+),
+h_an{k} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS s FROM h_ar{k}),
+h_a{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.v, 0.0) / (SELECT s FROM h_an{k}) AS auth
+  FROM h_nodes n LEFT JOIN h_ar{k} r ON n.node = r.node
+),
+h_hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS v
+  FROM h_a{k} a JOIN h_e e ON a.node = e.dst
+  GROUP BY e.src
+),
+h_hn{k} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS s FROM h_hr{k}),
+h_h{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.v, 0.0) / (SELECT s FROM h_hn{k}) AS hub
+  FROM h_nodes n LEFT JOIN h_hr{k} r ON n.node = r.node
+)""")
+    chain = ",\n".join(parts)
+    return f"""WITH
+{chain}
+SELECT a.node, round(a.auth, 6) AS authority, round(h.hub, 6) AS hub
+FROM h_a{max_iter} a JOIN h_h{max_iter} h ON a.node = h.node
+ORDER BY a.node
+"""
