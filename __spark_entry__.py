@@ -853,6 +853,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (click_us - F.col("asof_ts_us")).alias("latency_us"),
         ).orderBy("click_id")
 
+    def events_funnel(spark, sf_dir):
+        # view -> click -> purchase first-qualifying-chain funnel: one
+        # conditional min per step (keyed shuffles), counts stitched
+        # with a broadcast cross join — never a per-user sequence sort
+        from textgraphs_spark.operators.analytics import funnel_counts
+
+        return funnel_counts(
+            _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        ).orderBy("step")
+
+    def events_cohort_retention(spark, sf_dir):
+        # weekly cohort x offset retention triangle; exact unix-micro
+        # week arithmetic so both engines agree bit-for-bit
+        from textgraphs_spark.operators.analytics import cohort_retention
+
+        return cohort_retention(_t(spark, sf_dir, "events")).orderBy(
+            "cohort_us", "week_offset"
+        )
+
     def events_value_buckets(spark, sf_dir):
         from textgraphs_spark.operators.analytics import range_bucket_join
 
@@ -1352,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "dedup_containment": dedup_containment,
         "doc_readability": doc_readability,
+        "events_funnel": events_funnel,
+        "events_cohort_retention": events_cohort_retention,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
@@ -2327,6 +2348,49 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY click_id
+""",
+        "events_funnel": """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS et,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+s1 AS (SELECT u, min(us) AS t FROM ev WHERE et = 'view' GROUP BY u),
+s2 AS (SELECT e.u, min(e.us) AS t FROM ev e
+       JOIN s1 ON e.u = s1.u AND e.us > s1.t
+       WHERE e.et = 'click' GROUP BY e.u),
+s3 AS (SELECT e.u, min(e.us) AS t FROM ev e
+       JOIN s2 ON e.u = s2.u AND e.us > s2.t
+       WHERE e.et = 'purchase' GROUP BY e.u),
+counts AS (
+  SELECT 1 AS step, 'view' AS event_type,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+)
+SELECT c.step, c.event_type, c.n_users,
+       round(c.n_users * 1.0 / f.n_first, 6) AS conv_from_first,
+       round(c.n_users * 1.0 / p.n_prev, 6) AS conv_from_prev
+FROM counts c
+CROSS JOIN (SELECT n_users AS n_first FROM counts WHERE step = 1) f
+LEFT JOIN (SELECT step + 1 AS step, n_users AS n_prev FROM counts) p
+  ON p.step = c.step
+ORDER BY c.step
+""",
+        "events_cohort_retention": """
+WITH uw AS (
+  SELECT user_id AS u,
+         epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS wus
+  FROM events
+),
+cohort AS (SELECT u, min(wus) AS cus FROM uw GROUP BY u),
+active AS (SELECT DISTINCT u, wus FROM uw)
+SELECT c.cus AS cohort_us,
+       (a.wus - c.cus) // 604800000000 AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c ON a.u = c.u
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
         "events_value_buckets": """
 WITH buckets(bucket, lo, hi) AS (

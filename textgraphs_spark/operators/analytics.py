@@ -157,3 +157,113 @@ def range_bucket_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return df.join(F.broadcast(buckets), cond, "inner")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered multi-step funnel with first-qualifying-chain semantics:
+    a user reaches step i+1 when they have a step-i+1 event STRICTLY
+    AFTER their earliest qualifying step-i time. One row per step:
+    (step, event_type, n_users, conv_from_first, conv_from_prev) —
+    conv_from_prev is NULL on step 1.
+
+    Scale shape: one conditional min-agg per step, each a keyed shuffle
+    on the user column joined against the (user-cardinality) previous
+    frontier — never a per-user event-sequence sort or a window over
+    the raw event stream, so a hot user costs one min, not a sort. The
+    per-step counts are 1-row aggregates stitched with a broadcast
+    cross join + a |steps|-row self-join; timestamps compare as exact
+    unix micros (the events_asof_attribution convention — no double
+    rounding at engine boundaries).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    ).localCheckpoint()  # read once per step
+    frontier = (
+        ev.filter(F.col("et") == steps[0]).groupBy("u").agg(F.min("us").alias("t"))
+    )
+    rows = [
+        frontier.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"), "n_users"
+        )
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        frontier = (
+            ev.filter(F.col("et") == st)
+            .join(frontier, "u")
+            .filter(F.col("us") > F.col("t"))
+            .groupBy("u")
+            .agg(F.min("us").alias("t"))
+        ).localCheckpoint()  # feeds its count AND the next step's join
+        rows.append(
+            frontier.agg(F.count("*").alias("n_users")).select(
+                F.lit(i).alias("step"), F.lit(st).alias("event_type"), "n_users"
+            )
+        )
+    counts = rows[0]
+    for r in rows[1:]:
+        counts = counts.unionAll(r)
+    counts = counts.localCheckpoint()  # 3 tiny branches below
+    first = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    prev = counts.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("n_prev")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .join(F.broadcast(prev), "step", "left")
+        .select(
+            "step", "event_type", "n_users",
+            F.round(F.col("n_users") / F.col("n_first"), 6).alias("conv_from_first"),
+            F.round(F.col("n_users") / F.col("n_prev"), 6).alias("conv_from_prev"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    FIRST event; one row per (cohort_week, week_offset) with the count
+    of cohort members active that week — the triangular matrix every
+    growth/engagement dashboard draws, and for a training-data
+    pipeline the freshness-mix diagnostic per crawl cohort.
+
+    Scale shape: one min-agg per user (keyed shuffle), one distinct
+    over (user, week) — vocabulary-sized output — and one join back on
+    the user key; the offset is exact integer arithmetic on unix
+    micros of Monday-truncated weeks (both engines truncate to Monday,
+    and 7-day alignment makes the integer division exact), so the
+    DuckDB twin is bit-equal with no date-function drift.
+
+    Returns (cohort_us, week_offset, n_users): cohort week start as
+    unix micros, offset in whole weeks >= 0.
+    """
+    wk = F.unix_micros(F.date_trunc("week", F.col(ts_col).cast("timestamp")))
+    uw = events.select(
+        F.col(user_col).alias("u"), wk.alias("wus")
+    ).localCheckpoint()  # feeds the cohort agg AND the activity set
+    cohort = uw.groupBy("u").agg(F.min("wus").alias("cus"))
+    active = uw.distinct()
+    return (
+        active.join(cohort, "u")
+        .groupBy(
+            F.col("cus").alias("cohort_us"),
+            F.expr("(wus - cus) DIV 604800000000").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
