@@ -301,6 +301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def er_five_channel_recall(spark, sf_dir):
+        # the capstone budget-vs-recall table: all five blocking
+        # channels + union (name/minhash/skeleton production trio +
+        # round-5 suffix and phonetic), distinct pre-salting candidates
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, five_channel_recall,
+        )
+
+        return five_channel_recall(eval_entities(spark))
+
     def er_phonetic_blocking(spark, sf_dir):
         # sound-alike blocking channel (simplified-Russell code of the
         # last token + first initial) — the misspelling-recall channel;
@@ -499,6 +509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style perplexity filter, unigram form: per-doc cross-
         # entropy against the corpus token distribution
         return WD.unigram_cross_entropy(_docs(spark, sf_dir))
+
+    def doc_lm_xent2(spark, sf_dir):
+        # order-2 companion: bigram cross-entropy catches common-word
+        # salad whose ADJACENCIES are rare; MLE self-scoring, so every
+        # scored bigram has count >= 1 and no smoothing enters the gate
+        return WD.bigram_cross_entropy(_docs(spark, sf_dir))
 
     def pack_sequences(spark, sf_dir):
         # pretraining sequence-packing plan: token spans in fixed-length
@@ -1365,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four added after the r4 snapshot
         "er_suffix_blocking": er_suffix_blocking,
         "er_phonetic_blocking": er_phonetic_blocking,
+        "er_five_channel_recall": er_five_channel_recall,
         "graph_clustering_coeff": graph_clustering_coeff,
         "graph_assortativity": graph_assortativity,
         "graph_ktruss": graph_ktruss,
@@ -1373,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": doc_readability,
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
+        "doc_lm_xent2": doc_lm_xent2,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
@@ -1888,7 +1906,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_bcubed_sql, er_clustering_agreement_sql, er_meta_blocking_sql,
+        er_bcubed_sql, er_clustering_agreement_sql,
+        er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_phonetic_blocking_sql, er_soft_tfidf_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
@@ -1926,6 +1945,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "graph_hits": hits_sql(max_iter=8),
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
+        "er_five_channel_recall": er_five_channel_recall_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
@@ -2010,6 +2030,27 @@ FROM d LEFT JOIN s ON d.doc_id = s.doc_id
         "per_source_cap": per_source_cap_sql,
         "per_source_cap_scalable": per_source_cap_threshold_sql,
         "doc_lm_xent": doc_lm_xent_sql,
+        "doc_lm_xent2": f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks[i] AS p, toks[i + 1] AS t
+  FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+),
+freq AS (SELECT p, t, count(*) AS c FROM b GROUP BY p, t),
+hist AS (SELECT p, count(*) AS ch FROM b GROUP BY p),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln(freq.c / hist.ch)), 6) AS xent2
+  FROM b
+  JOIN freq ON b.p = freq.p AND b.t = freq.t
+  JOIN hist ON b.p = hist.p
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(scored.n_bigrams, greatest(len(d.toks) - 1, 0)) AS n_bigrams,
+       scored.xent2 AS xent2
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+""",
         "pack_sequences": pack_sequences_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""

@@ -331,3 +331,53 @@ def test_cohort_retention_triangle(spark):
     offsets = sorted((k[1], v) for k, v in got.items())
     assert offsets == [(0, 1), (0, 1), (1, 1)]  # two week-0 cells, one return
     assert len({k[0] for k in got}) == 2        # two distinct cohorts
+
+
+def test_bigram_xent_word_salad_scores_high(spark):
+    # three docs of the SAME unigram distribution; doc 3 scrambles the
+    # adjacencies. Unigram xent cannot separate it; bigram xent must.
+    from textgraphs_spark.operators.webdata import (
+        bigram_cross_entropy, unigram_cross_entropy,
+    )
+
+    normal = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, normal), (2, normal), (3, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["xent"] for r in unigram_cross_entropy(docs).collect()}
+    bi = {r["doc_id"]: r["xent2"] for r in bigram_cross_entropy(docs).collect()}
+    assert uni[3] == uni[1]            # unigram-blind to order
+    assert bi[3] > bi[1]               # bigram catches the salad
+    assert bi[1] == bi[2]
+
+
+def test_bigram_xent_short_docs(spark):
+    from textgraphs_spark.operators.webdata import bigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_cross_entropy(docs).collect()}
+    assert got[1]["n_bigrams"] == 0 and got[1]["xent2"] is None
+    assert got[2]["n_bigrams"] == 0 and got[2]["xent2"] is None
+    assert got[3]["n_bigrams"] == 1    # its lone bigram: P = 1 -> xent 0
+    assert got[3]["xent2"] == 0.0
+
+
+def test_five_channel_recall_union_dominates(spark):
+    # union completeness >= every single channel's, and the frame has
+    # exactly the six expected channel rows
+    from textgraphs_spark.plans.er_eval import (
+        eval_entities, five_channel_recall,
+    )
+
+    rows = {r["channel"]: r for r in
+            five_channel_recall(eval_entities(spark, n_base=40, n_twin=10)).collect()}
+    assert set(rows) == {"name", "minhash", "skeleton", "suffix",
+                         "phonetic", "union"}
+    u = rows["union"]["pair_completeness"]
+    for ch, r in rows.items():
+        assert r["pair_completeness"] <= u + 1e-9, ch
+        assert r["n_candidates"] >= r["covered_true_pairs"]

@@ -70,6 +70,7 @@ __all__ = [
     "per_source_cap",
     "per_source_cap_threshold",
     "unigram_cross_entropy",
+    "bigram_cross_entropy",
     "pack_sequences",
 ]
 
@@ -1183,4 +1184,59 @@ def pack_sequences(
         "n_tokens",
         F.floor(start / seq_len).alias("seq_id"),
         F.pmod(start, F.lit(seq_len)).alias("offset"),
+    )
+
+
+def bigram_cross_entropy(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus BIGRAM LM —
+    (id, n_bigrams, xent2): mean surprisal −ln(c(prev,tok)/c_hist(prev))
+    over the document's bigram occurrences, in nats. The order-2
+    companion to ``unigram_cross_entropy``: unigram xent cannot see
+    scrambled word salad built from common words ("the of and the to"),
+    bigram xent scores it high because those ADJACENCIES are rare.
+    Self-scoring against the same corpus keeps every probability > 0
+    (each scored bigram was counted), so no smoothing constant enters
+    the cross-engine contract — same discipline as the unigram form.
+
+    Plan: one bigram explode (positions, not distinct) feeding a
+    bigram-count aggregate and a history-count aggregate (both
+    vocabulary²-bounded but occurrence-sparse), a two-key join of
+    occurrences back onto counts, and a per-doc aggregate. Same
+    no-funnel argument as unigram: joins fan out, aggregates
+    partial-combine. Docs with < 2 tokens carry n_bigrams 0 and NULL
+    xent2.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    bi = F.expr(
+        "IF(size(_toks) >= 2,"
+        " transform(sequence(1, size(_toks) - 1),"
+        "   i -> struct(element_at(_toks, i) AS p, element_at(_toks, i + 1) AS t)),"
+        " cast(array() as array<struct<p: string, t: string>>))"
+    )
+    occ = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(bi).alias("_b"))
+        .select(F.col(id_col), F.col("_b.p").alias("_p"), F.col("_b.t").alias("_t"))
+    )
+    freq = occ.groupBy("_p", "_t").agg(F.count("*").alias("_c"))
+    hist = occ.groupBy("_p").agg(F.count("*").alias("_ch"))
+    scored = (
+        occ.join(freq, ["_p", "_t"])
+        .join(hist, "_p")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("_c") / F.col("_ch"))), 6).alias("xent2"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("long").alias("_n"),
+    )
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.col("_n")).alias("n_bigrams"),
+        F.col("xent2"),
     )

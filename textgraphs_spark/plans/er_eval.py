@@ -1992,3 +1992,175 @@ SELECT n_candidates, covered_true_pairs,
        round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
 FROM per, tot
 """
+
+
+def five_channel_recall(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    hash_family: str = "md5",
+    min_len: int = 5,
+    max_block: int = 12,
+) -> DataFrame:
+    """The channel-recall study extended to ALL FIVE blocking channels —
+    'name', 'minhash', 'skeleton' (the production trio), plus the
+    round-5 'suffix' (prefix-corruption recall, stop-suffix rule
+    applied inside the channel) and 'phonetic' (sound-alike recall) —
+    and their 'union': per channel, distinct pre-salting candidate
+    pairs, covered true pairs, pair completeness. The capstone
+    measurement for the budget-vs-recall decision of which channels a
+    deployment enables; same shape and semantics as ``channel_recall``
+    (which stays the production trio's record).
+
+    100 TB shape: identical to channel_recall — one block table built
+    once, one (channel, key) equi-join, metrics as aggregates; the
+    suffix channel's stop-suffix cap bounds its blocks, the others are
+    measured pre-salting by design.
+    """
+    from ..operators import blocking as B
+    from ..operators.blocking import phonetic_expr
+    from .er_pipeline import blocked_keys
+
+    bk3 = blocked_keys(
+        entities.select("entity_key", "surface"),
+        use_minhash=True, use_skeleton=True, hash_family=hash_family,
+    ).select("channel", "bkey", "entity_key")
+    e = B.normalize_names(entities.select("entity_key", "surface")).localCheckpoint()
+    k = e.select("entity_key", F.regexp_replace("norm", " ", "").alias("k"))
+    sfx_all = k.select(
+        "entity_key",
+        F.explode(
+            F.expr(
+                f"IF(length(k) >= {int(min_len)},"
+                f" transform(sequence(1, length(k) - {int(min_len)} + 1),"
+                f" i -> substring(k, i)),"
+                f" cast(array() as array<string>))"
+            )
+        ).alias("bkey"),
+    ).localCheckpoint()  # census + channel rows
+    sfx_keep = (
+        sfx_all.groupBy("bkey")
+        .agg(F.count("*").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= int(max_block)))
+        .select("bkey")
+    )
+    chan_sfx = sfx_all.join(sfx_keep, "bkey").select(
+        F.lit("suffix").alias("channel"), "bkey", "entity_key"
+    )
+    chan_ph = e.select(
+        F.lit("phonetic").alias("channel"),
+        F.concat_ws(
+            "|", F.expr(phonetic_expr("last_tok")), F.col("first_init")
+        ).alias("bkey"),
+        "entity_key",
+    )
+    bk = bk3.unionByName(chan_sfx).unionByName(chan_ph).localCheckpoint()
+    a = bk.select("channel", "bkey", F.col("entity_key").alias("l"))
+    b = bk.select("channel", "bkey", F.col("entity_key").alias("r"))
+    pairs = (
+        a.join(b, ["channel", "bkey"])
+        .filter(F.col("l") < F.col("r"))
+        .select("channel", "l", "r")
+        .distinct()
+        .localCheckpoint()
+    )
+    allp = pairs.unionByName(
+        pairs.select(F.lit("union").alias("channel"), "l", "r").distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    lab = allp.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.groupBy("channel").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_candidates",
+            "covered_true_pairs",
+            F.round(
+                F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+            ).alias("pair_completeness"),
+        )
+        .orderBy("channel")
+    )
+
+
+def er_five_channel_recall_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_len: int = 5,
+    max_block: int = 12,
+) -> str:
+    """Oracle for five_channel_recall: the three-channel CTEs plus the
+    suffix and phonetic channel twins, same metrics tail."""
+    from ..operators.blocking import phonetic_expr
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{_THREE_CHANNEL_CTES},
+sk AS (SELECT entity_key, replace(norm, ' ', '') AS k FROM kparts),
+sfx_all AS MATERIALIZED (
+  SELECT entity_key, k[i:] AS bkey
+  FROM sk,
+       unnest(range(1, greatest(length(k) - {int(min_len)} + 1, 0) + 1)) AS u(i)
+),
+sfx_keep AS (
+  SELECT bkey FROM (SELECT bkey, count(*) AS bn FROM sfx_all GROUP BY bkey)
+  WHERE bn BETWEEN 2 AND {int(max_block)}
+),
+chan_sfx AS (
+  SELECT s.entity_key, s.bkey FROM sfx_all s JOIN sfx_keep kk ON kk.bkey = s.bkey
+),
+chan_ph AS (
+  SELECT entity_key,
+         concat_ws('|', {phonetic_expr("toks[len(toks)]", duck=True)},
+                   substr(toks[1], 1, 1)) AS bkey
+  FROM kparts
+),
+bl5 AS (
+  SELECT channel, entity_key, bkey FROM bl
+  UNION ALL SELECT 'suffix', entity_key, bkey FROM chan_sfx
+  UNION ALL SELECT 'phonetic', entity_key, bkey FROM chan_ph
+),
+cpairs AS MATERIALIZED (
+  SELECT DISTINCT a.channel, a.entity_key AS l, b.entity_key AS r
+  FROM bl5 a JOIN bl5 b
+    ON a.channel = b.channel AND a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+allp AS (
+  SELECT channel, l, r FROM cpairs
+  UNION ALL
+  SELECT DISTINCT 'union' AS channel, l, r FROM cpairs
+),
+per AS (
+  SELECT p.channel,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt.truth_id = rt.truth_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered_true_pairs
+  FROM allp p
+  JOIN entities lt ON lt.entity_key = p.l
+  JOIN entities rt ON rt.entity_key = p.r
+  GROUP BY p.channel
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT channel, n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+ORDER BY channel
+"""
