@@ -521,6 +521,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training sequences, 4 shard-parallel windows
         return WD.pack_sequences(_docs(spark, sf_dir), 512, n_shards=4)
 
+    def pack_efficiency(spark, sf_dir):
+        # padding-waste audit of the packing plan: per shard, docs,
+        # tokens, sequences and the tail-padding fraction (gapless
+        # concat-and-chunk pads only the final sequence per shard)
+        out = WD.pack_sequences(_docs(spark, sf_dir), 512, n_shards=4)
+        agg = out.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).withColumn("n_seqs", F.expr("(n_tokens + 511) DIV 512"))
+        return agg.select(
+            "shard", "n_docs", "n_tokens", "n_seqs",
+            F.when(
+                F.col("n_seqs") > 0,
+                F.round(
+                    (F.col("n_seqs") * 512 - F.col("n_tokens"))
+                    / (F.col("n_seqs") * 512),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("padding_frac"),
+        ).orderBy("shard")
+
     def lm_xent_buckets(spark, sf_dir):
         # CCNet-style head/middle/tail quality buckets: per-language
         # terciles of unigram cross-entropy. EXACT ntile semantics via
@@ -1287,6 +1308,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fs_review_queue(eval_entities(spark))
 
+    def er_dice(spark, sf_dir):
+        # the scorer-comparison floor: Sørensen–Dice token-set overlap
+        # on the SAME name-channel candidates as soft-TF-IDF and
+        # Monge–Elkan — pure set math, no character kernel
+        from textgraphs_spark.plans.er_eval import dice_study, eval_entities
+
+        return dice_study(eval_entities(spark))
+
     def er_monge_elkan(spark, sf_dir):
         # the other classic hybrid scorer, on the SAME name-channel
         # candidates as er_soft_tfidf: mean-of-max JW, unweighted and
@@ -1391,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "doc_lm_xent2": doc_lm_xent2,
+        "er_dice": er_dice,
+        "pack_efficiency": pack_efficiency,
         "graph_kcore": graph_kcore,
         "graph_ppr": graph_ppr,
         "winnow_fingerprints": winnow_fingerprints_q,
@@ -1787,6 +1818,25 @@ SELECT doc_id, shard, n_tokens, start // 512 AS seq_id, start % 512 AS offset
 FROM s
 """
 
+    pack_efficiency_sql = f"""
+WITH d AS (
+  SELECT {det_hash_sql('doc_id')} % 4 AS shard,
+         CAST(len({toks}) AS BIGINT) AS n
+  FROM documents
+),
+g AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST((sum(n) + 511) // 512 AS BIGINT) AS n_seqs
+  FROM d GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens, n_seqs,
+       CASE WHEN n_seqs > 0
+            THEN round((n_seqs * 512 - n_tokens) * 1.0 / (n_seqs * 512), 6)
+            ELSE 0.0 END AS padding_frac
+FROM g ORDER BY shard
+"""
+
     _h_doc = det_hash_sql("doc_id")
     _sample_threshold = int(0.2 * _LEHMER_P)
     corpus_sample_sql = f"""
@@ -1906,7 +1956,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
-        er_bcubed_sql, er_clustering_agreement_sql,
+        er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_phonetic_blocking_sql, er_soft_tfidf_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
@@ -1946,6 +1996,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
+        "er_dice": er_dice_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),
@@ -2052,6 +2103,7 @@ SELECT d.doc_id,
 FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """,
         "pack_sequences": pack_sequences_sql,
+        "pack_efficiency": pack_efficiency_sql,
         "doc_repetition_signals": repetition_sql,
         "boilerplate_ngrams": f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),

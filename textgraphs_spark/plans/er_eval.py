@@ -2164,3 +2164,95 @@ SELECT channel, n_candidates, covered_true_pairs,
 FROM per, tot
 ORDER BY channel
 """
+
+
+def dice_study(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Sørensen–Dice token-set similarity over the SAME name-channel
+    candidates as the soft-TF-IDF and Monge–Elkan studies — (left_id,
+    right_id, dice, is_true). The cheapest member of the scorer
+    comparison: pure set math (2·|A∩B| / (|A|+|B|)) on the distinct
+    normalized tokens, no character-level kernel at all — the floor
+    any fuzzier scorer must beat to justify its cost.
+
+    Scale: per-candidate array intersection over name-length token
+    sets (bounded small constants), map-side after the candidate join;
+    exact integer numerator/denominator so the rounded division is
+    bit-equal to the DuckDB twin.
+    """
+    from ..operators import blocking as B
+    from .er_pipeline import blocked_keys
+
+    bk = blocked_keys(
+        entities.select("entity_key", "surface"), use_minhash=False
+    ).select("bkey", "entity_key")
+    cand = (
+        bk.select("bkey", F.col("entity_key").alias("left_id"))
+        .join(bk.select("bkey", F.col("entity_key").alias("right_id")), "bkey")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    ts = B.normalize_names(entities.select("entity_key", "surface")).select(
+        "entity_key",
+        F.array_distinct(F.split(F.trim(F.col("norm")), " +")).alias("ts"),
+    )
+    truth = entities.select("entity_key", truth_col)
+    return (
+        cand.join(
+            ts.select(F.col("entity_key").alias("left_id"), F.col("ts").alias("lts")),
+            "left_id",
+        )
+        .join(
+            ts.select(F.col("entity_key").alias("right_id"), F.col("ts").alias("rts")),
+            "right_id",
+        )
+        .join(
+            truth.select(F.col("entity_key").alias("left_id"),
+                         F.col(truth_col).alias("_lt")), "left_id")
+        .join(
+            truth.select(F.col("entity_key").alias("right_id"),
+                         F.col(truth_col).alias("_rt")), "right_id")
+        .select(
+            "left_id", "right_id",
+            F.round(
+                2.0 * F.size(F.array_intersect("lts", "rts"))
+                / (F.size("lts") + F.size("rts")),
+                6,
+            ).alias("dice"),
+            (F.col("_lt") == F.col("_rt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_dice_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for dice_study: name-channel candidates, distinct-token
+    Dice from the shared kparts token arrays."""
+    from .er_oracle import blocking_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
+  FROM chan_key a JOIN chan_key b
+    ON a.bkey = b.bkey AND a.entity_key < b.entity_key
+),
+tsets AS (
+  SELECT entity_key, list_distinct(toks) AS ts FROM kparts
+)
+SELECT c.left_id, c.right_id,
+       round(2.0 * len(list_intersect(a.ts, b.ts))
+             / (len(a.ts) + len(b.ts)), 6) AS dice,
+       (lt.truth_id = rt.truth_id) AS is_true
+FROM cand c
+JOIN tsets a ON a.entity_key = c.left_id
+JOIN tsets b ON b.entity_key = c.right_id
+JOIN entities lt ON lt.entity_key = c.left_id
+JOIN entities rt ON rt.entity_key = c.right_id
+ORDER BY c.left_id, c.right_id
+"""
