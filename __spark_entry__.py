@@ -301,6 +301,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def token_concentration(spark, sf_dir):
+        # corpus-health concentration census of the token-frequency
+        # distribution (Gini / HHI / top-k share) — boilerplate floods
+        # and template farms read directly off these; exact-BIGINT
+        # moments, global_rank ordering (no single-task window)
+        from textgraphs_spark.operators.corpusstats import (
+            concentration_metrics, token_frequencies,
+        )
+
+        return concentration_metrics(
+            token_frequencies(_docs(spark, sf_dir)), key_col="tok",
+            weight_col="freq",
+        )
+
+    def corpus_zipf(spark, sf_dir):
+        # Zipf rank-frequency OLS fit over the corpus token table —
+        # slope near -1 is the natural-language sanity check; moments
+        # are vocabulary-sized sums, coefficients rounded to absorb
+        # cross-engine double-sum association drift
+        from textgraphs_spark.operators.corpusstats import zipf_fit
+
+        return zipf_fit(_docs(spark, sf_dir))
+
+    def vocab_growth(spark, sf_dir):
+        # Heaps-law vocabulary-growth curve at doubling doc-id
+        # checkpoints — WINDOWLESS prefix semantics (first-occurrence
+        # min-agg + broadcast range join), all-integer output
+        from textgraphs_spark.operators.corpusstats import vocab_growth as vg
+
+        return vg(_docs(spark, sf_dir))
+
     def er_five_channel_recall(spark, sf_dir):
         # the capstone budget-vs-recall table: all five blocking
         # channels + union (name/minhash/skeleton production trio +
@@ -1408,6 +1439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "token_concentration": token_concentration,
+        "corpus_zipf": corpus_zipf,
+        "vocab_growth": vocab_growth,
         "er_suffix_blocking": er_suffix_blocking,
         "er_phonetic_blocking": er_phonetic_blocking,
         "er_five_channel_recall": er_five_channel_recall,
@@ -1542,6 +1576,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _concentration_sql(toks_u: str) -> str:
+    """Oracle for corpusstats.concentration_metrics over the corpus
+    token-frequency table: ascending-rank Gini closed form, HHI, top-k
+    share — BIGINT moments, the divisions as the only floats."""
+    return f"""WITH counts AS (
+  SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks_u}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt, key) AS BIGINT) AS r
+  FROM counts
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(sum(r * cnt) AS BIGINT) AS s_rx,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s_x2,
+         CAST(max(cnt) AS BIGINT) AS mx
+  FROM ranked
+),
+topk AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS s_topk
+  FROM ranked, mom WHERE r > n_keys - 10
+)
+SELECT n_keys, total,
+       round((2.0 * s_rx - (n_keys + 1) * total) / (n_keys * total), 6) AS gini,
+       round(s_x2 * 1.0 / (total * total), 6) AS hhi,
+       round(mx * 1.0 / total, 6) AS top1_share,
+       round(coalesce(s_topk, 0) * 1.0 / total, 6) AS topk_share
+FROM mom, topk
+"""
+
+
+def _zipf_sql(toks_u: str) -> str:
+    """Oracle for corpusstats.zipf_fit: descending-frequency ranks
+    (ties by token), closed-form OLS slope/intercept of
+    ln(freq) ~ ln(rank); coefficients rounded to 6 like the engine."""
+    return f"""WITH freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks_u}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+  FROM freq
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
+         sum(ln(rank) * ln(freq)) AS sxy, sum(ln(rank) * ln(rank)) AS sxx
+  FROM ranked
+)
+SELECT n AS n_vocab, n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM mom
+"""
+
+
+def _vocab_growth_sql(toks_u: str) -> str:
+    """Oracle for corpusstats.vocab_growth — shares DEFAULT_CHECKPOINTS
+    with the engine (same-constant discipline: an engine-side checkpoint
+    change cannot silently desynchronize the oracle)."""
+    from textgraphs_spark.operators.corpusstats import DEFAULT_CHECKPOINTS
+
+    values = ", ".join(f"(CAST({c} AS BIGINT))" for c in DEFAULT_CHECKPOINTS)
+    return f"""WITH cps(ckpt) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id AS _doc, unnest({toks_u}) AS tok FROM documents
+),
+first_occ AS (
+  SELECT tok, CAST(min(_doc) AS BIGINT) AS first_doc FROM tok GROUP BY tok
+),
+vocab AS (
+  SELECT ckpt, CAST(count(*) AS BIGINT) AS vocab
+  FROM first_occ JOIN cps ON first_doc <= ckpt GROUP BY ckpt
+),
+perdoc AS (
+  SELECT CAST(doc_id AS BIGINT) AS _doc,
+         CAST(len({toks_u}) AS BIGINT) AS n_toks
+  FROM documents
+),
+seen AS (
+  SELECT ckpt, CAST(count(*) AS BIGINT) AS docs_seen,
+         CAST(sum(n_toks) AS BIGINT) AS tokens_seen
+  FROM perdoc JOIN cps ON _doc <= ckpt GROUP BY ckpt
+)
+SELECT s.ckpt, s.docs_seen, s.tokens_seen, v.vocab
+FROM seen s JOIN vocab v USING (ckpt)
+ORDER BY s.ckpt
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1993,6 +2125,9 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "graph_assortativity": assortativity_sql(),
         "graph_ktruss": ktruss_sql(k=4),
         "graph_hits": hits_sql(max_iter=8),
+        "token_concentration": _concentration_sql(toks_u),
+        "corpus_zipf": _zipf_sql(toks_u),
+        "vocab_growth": _vocab_growth_sql(toks_u),
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
