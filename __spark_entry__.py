@@ -301,6 +301,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def er_mutual_best(spark, sf_dir):
+        # reciprocal-best 1:1 assignment over the shared name-channel
+        # Dice scores: per-node best is a hash agg (min of a
+        # (-score, partner) struct), mutuality one keyed self-join —
+        # each record in at most one output pair, no windows
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, mutual_best_study,
+        )
+
+        return mutual_best_study(eval_entities(spark))
+
     def token_concentration(spark, sf_dir):
         # corpus-health concentration census of the token-frequency
         # distribution (Gini / HHI / top-k share) — boilerplate floods
@@ -1439,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "er_mutual_best": er_mutual_best,
         "token_concentration": token_concentration,
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
@@ -2090,7 +2102,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
-        er_monge_elkan_sql, er_phonetic_blocking_sql, er_soft_tfidf_sql,
+        er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
+        er_soft_tfidf_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
@@ -2132,6 +2145,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),
+        "er_mutual_best": er_mutual_best_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

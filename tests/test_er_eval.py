@@ -786,3 +786,44 @@ def test_hybrid_scorers_materialize_knob_value_identical(spark):
         eager = sorted(map(tuple, fn(recs, cand).collect()))
         lazy = sorted(map(tuple, fn(recs, cand, materialize=False).collect()))
         assert eager == lazy, fn.__name__
+
+
+def test_mutual_best_one_to_one_and_deterministic(spark):
+    """Reciprocal-best assignment invariants on the labeled corpus:
+    (a) each record appears in at most one matched pair (1:1), (b) the
+    matched set is a subset of the dice candidates at the threshold,
+    (c) re-running yields the identical pair set (tie-break is
+    deterministic: score desc, partner key asc)."""
+    ents = E.eval_entities(spark)
+    m1 = E.mutual_best_study(ents).collect()
+    keys = [k for r in m1 for k in (r["left_id"], r["right_id"])]
+    assert len(keys) == len(set(keys)), "a record matched twice"
+    assert all(r["dice"] >= 0.5 for r in m1)
+    m2 = E.mutual_best_study(ents).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+    # the matched set is a strict subset of the thresholded candidates
+    # (NOT asserted: precision dominance — the eval corpus's typo-twins
+    # create exact Dice ties by design, so the deterministic tie-break
+    # sometimes picks the twin; mutual-best trades recall for the 1:1
+    # guarantee, not for guaranteed precision)
+    d = E.dice_study(ents).filter(F.col("dice") >= 0.5).collect()
+    dset = {(r["left_id"], r["right_id"]) for r in d}
+    assert {(r["left_id"], r["right_id"]) for r in m1} < dset
+    assert sum(r["is_true"] for r in m1) > len(m1) / 2
+
+
+def test_mutual_best_tiny_triangle(spark):
+    """Three records where a's best is b (dice 1.0 mutual), c's best is
+    a but a prefers b -> only (a, b) survives; c is unmatched."""
+    ents = spark.createDataFrame(
+        [
+            ("e1", "alice stone", "", 1, 1, 0),
+            ("e2", "alice stone", "", 1, 1, 0),
+            ("e3", "alice north", "", 1, 1, 1),
+        ],
+        "entity_key string, surface string, label string, "
+        "mention_count long, doc_freq long, truth_id long",
+    )
+    got = E.mutual_best_study(ents).collect()
+    assert [(r["left_id"], r["right_id"]) for r in got] == [("e1", "e2")]
+    assert got[0]["dice"] == 1.0 and got[0]["is_true"]

@@ -2229,13 +2229,13 @@ def dice_study(
     )
 
 
-def er_dice_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
-    """Oracle for dice_study: name-channel candidates, distinct-token
-    Dice from the shared kparts token arrays."""
+def _dice_ctes(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Shared CTE chain ending in ``dice(left_id, right_id, dice,
+    is_true)`` — composed by the er_dice oracle and everything scored on
+    top of it (mutual-best matching), so the two oracles cannot drift."""
     from .er_oracle import blocking_ctes
 
-    return f"""WITH
-{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+    return f"""{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
 {blocking_ctes('entities')},
 cand AS MATERIALIZED (
   SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
@@ -2244,15 +2244,121 @@ cand AS MATERIALIZED (
 ),
 tsets AS (
   SELECT entity_key, list_distinct(toks) AS ts FROM kparts
+),
+dice AS MATERIALIZED (
+  SELECT c.left_id, c.right_id,
+         round(2.0 * len(list_intersect(a.ts, b.ts))
+               / (len(a.ts) + len(b.ts)), 6) AS dice,
+         (lt.truth_id = rt.truth_id) AS is_true
+  FROM cand c
+  JOIN tsets a ON a.entity_key = c.left_id
+  JOIN tsets b ON b.entity_key = c.right_id
+  JOIN entities lt ON lt.entity_key = c.left_id
+  JOIN entities rt ON rt.entity_key = c.right_id
+)"""
+
+
+def er_dice_sql(*, n_base: int = 150, n_twin: int = 30) -> str:
+    """Oracle for dice_study: name-channel candidates, distinct-token
+    Dice from the shared kparts token arrays."""
+    return f"""WITH
+{_dice_ctes(n_base=n_base, n_twin=n_twin)}
+SELECT left_id, right_id, dice, is_true
+FROM dice
+ORDER BY left_id, right_id
+"""
+
+
+def mutual_best_study(
+    entities: DataFrame,
+    *,
+    min_score: float = 0.5,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Reciprocal-best one-to-one matching over the shared name-channel
+    Dice scores: keep a candidate pair only when each side is the
+    other's single best-scoring partner (score desc, partner key asc on
+    ties — fully deterministic). The classic greedy-free 1:1 assignment
+    baseline for record linkage: no global matching solve, yet each
+    record appears in at most one output pair.
+
+    Scale: the per-node best is a hash AGGREGATE over the directed
+    candidate list (min of a (-score, partner) struct — map-side
+    partials absorb hot nodes), and mutuality is one self-join keyed by
+    node. No windows, no driver state; the candidate list itself is the
+    blocked (vocabulary-sized) frame, never all-pairs.
+
+    Reference parity: the strongest-edge selection mirrors how
+    textgraphs keeps the single best-probability alias match per query
+    (kg.py:530-550 _match_aliases: score every alias, sort desc, take
+    the head), lifted from per-query argmax to a symmetric pairwise
+    assignment.
+    """
+    p = dice_study(entities, truth_col=truth_col).filter(
+        F.col("dice") >= min_score
+    )
+    # feeds the doubled directed view AND the final score join: one
+    # materialization (EAGER + BATCH-ONLY) instead of three chain re-runs
+    p = p.localCheckpoint()
+    directed = p.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"), "dice"
+    ).unionAll(
+        p.select(
+            F.col("right_id").alias("src"), F.col("left_id").alias("dst"),
+            "dice",
+        )
+    )
+    best = (
+        directed.groupBy("src")
+        .agg(
+            F.min(
+                F.struct((-F.col("dice")).alias("ns"), F.col("dst").alias("dst"))
+            ).alias("b")
+        )
+        .select("src", F.col("b.dst").alias("best"))
+    )
+    mutual = (
+        best.alias("x")
+        .join(
+            best.select(
+                F.col("src").alias("y_src"), F.col("best").alias("y_best")
+            ),
+            (F.col("best") == F.col("y_src")) & (F.col("y_best") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("best"))
+        .select(F.col("src").alias("left_id"), F.col("best").alias("right_id"))
+    )
+    return (
+        mutual.join(p, ["left_id", "right_id"])
+        .select("left_id", "right_id", "dice", "is_true")
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_mutual_best_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_score: float = 0.5
+) -> str:
+    """Oracle for mutual_best_study: the shared dice CTE chain + a
+    per-src window argmax (score desc, partner asc) + the mutuality
+    self-join."""
+    return f"""WITH
+{_dice_ctes(n_base=n_base, n_twin=n_twin)},
+scored AS (SELECT * FROM dice WHERE dice >= {min_score}),
+directed AS (
+  SELECT left_id AS src, right_id AS dst, dice FROM scored
+  UNION ALL
+  SELECT right_id AS src, left_id AS dst, dice FROM scored
+),
+best AS (
+  SELECT src, dst AS best FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dice DESC, dst) AS rn
+    FROM directed
+  ) WHERE rn = 1
 )
-SELECT c.left_id, c.right_id,
-       round(2.0 * len(list_intersect(a.ts, b.ts))
-             / (len(a.ts) + len(b.ts)), 6) AS dice,
-       (lt.truth_id = rt.truth_id) AS is_true
-FROM cand c
-JOIN tsets a ON a.entity_key = c.left_id
-JOIN tsets b ON b.entity_key = c.right_id
-JOIN entities lt ON lt.entity_key = c.left_id
-JOIN entities rt ON rt.entity_key = c.right_id
-ORDER BY c.left_id, c.right_id
+SELECT s.left_id, s.right_id, s.dice, s.is_true
+FROM best x
+JOIN best y ON x.best = y.src AND y.best = x.src AND x.src < x.best
+JOIN scored s ON s.left_id = x.src AND s.right_id = x.best
+ORDER BY s.left_id, s.right_id
 """
