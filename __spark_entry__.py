@@ -301,6 +301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def er_cluster_sizes(spark, sf_dir):
+        # cluster-size distribution of the eval-corpus clustering —
+        # singleton head = under-blocking, giant component = over-merge;
+        # two map-side-combining hash aggs, histogram-sized output
+        from textgraphs_spark.plans.er_eval import cluster_size_histogram
+
+        _, parts = _eval_parts(spark)
+        return cluster_size_histogram(parts["assignments"])
+
     def er_mutual_best(spark, sf_dir):
         # reciprocal-best 1:1 assignment over the shared name-channel
         # Dice scores: per-node best is a hash agg (min of a
@@ -1451,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
         "er_mutual_best": er_mutual_best,
+        "er_cluster_sizes": er_cluster_sizes,
         "token_concentration": token_concentration,
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
@@ -2099,6 +2109,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
     )
     from textgraphs_spark.plans.er_eval import (
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
+        er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
@@ -2146,6 +2157,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),
         "er_mutual_best": er_mutual_best_sql(),
+        "er_cluster_sizes": er_cluster_sizes_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

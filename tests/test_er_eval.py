@@ -827,3 +827,18 @@ def test_mutual_best_tiny_triangle(spark):
     got = E.mutual_best_study(ents).collect()
     assert [(r["left_id"], r["right_id"]) for r in got] == [("e1", "e2")]
     assert got[0]["dice"] == 1.0 and got[0]["is_true"]
+
+
+def test_cluster_size_histogram_hand_case(spark):
+    """Sizes {3, 2, 2, 1}: histogram rows (1,1,1,.125), (2,2,4,.5),
+    (3,1,3,.375); shares sum to 1."""
+    a = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2),
+         ("f", 3), ("g", 3), ("h", 4)],
+        "entity_key string, cluster_id long",
+    )
+    rows = E.cluster_size_histogram(a).collect()
+    got = {r["n_members"]: (r["n_clusters"], r["n_entities"], r["share"])
+           for r in rows}
+    assert got == {1: (1, 1, 0.125), 2: (2, 4, 0.5), 3: (1, 3, 0.375)}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9

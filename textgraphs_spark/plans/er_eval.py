@@ -535,6 +535,63 @@ def cluster_cohesion(
     )
 
 
+def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
+    """Cluster-size distribution of a clustering: (n_members,
+    n_clusters, n_entities, share) — the first thing an ER operator
+    reads after a run (a fat head of singletons is under-blocking; a
+    giant component is an over-merge/hot-key symptom; the reference's
+    transitive closure makes both failure modes size-visible).
+
+    Two hash aggregates (cluster sizes, then the histogram of sizes) —
+    both with map-side partials, output bounded by the largest cluster
+    size; the total rides as a broadcast 1-row cross join. Exact
+    integers until the single rounded share division.
+    """
+    sizes = assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    hist = sizes.groupBy("n_members").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("n_members") * F.col("n_clusters")).alias("t")
+    )
+    n_ent = (F.col("n_members") * F.col("n_clusters")).cast("long")
+    return (
+        hist.join(F.broadcast(tot), how="cross")
+        .select(
+            F.col("n_members").cast("long").alias("n_members"),
+            "n_clusters",
+            n_ent.alias("n_entities"),
+            F.round(n_ent / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("n_members")
+    )
+
+
+def er_cluster_sizes_sql(*, n_base: int = 150, n_twin: int = 30,
+                         min_similarity: float = 0.9) -> str:
+    """Oracle for cluster_size_histogram over the eval-corpus
+    clustering (same shared chain as cohesion/golden records)."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM assignments GROUP BY cluster_id
+),
+hist AS (
+  SELECT CAST(n_members AS BIGINT) AS n_members,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY n_members
+),
+tot AS (SELECT CAST(sum(n_members * n_clusters) AS BIGINT) AS t FROM hist)
+SELECT n_members, n_clusters,
+       CAST(n_members * n_clusters AS BIGINT) AS n_entities,
+       round(n_members * n_clusters * 1.0 / t, 6) AS share
+FROM hist, tot
+ORDER BY n_members
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
