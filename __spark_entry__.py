@@ -301,6 +301,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def dedup_span_removal(spark, sf_dir):
+        # Lee-et-al-style exact duplicated-span REMOVAL (a transform,
+        # not a pair list): token k-grams in >= 2 docs are deleted
+        # everywhere; census = one distinct hash agg, rebuild map-only
+        from textgraphs_spark.operators.dedup import duplicated_span_removal
+
+        return duplicated_span_removal(_docs(spark, sf_dir))
+
     def er_cluster_sizes(spark, sf_dir):
         # cluster-size distribution of the eval-corpus clustering —
         # singleton head = under-blocking, giant component = over-merge;
@@ -1461,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four added after the r4 snapshot
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
+        "dedup_span_removal": dedup_span_removal,
         "token_concentration": token_concentration,
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
@@ -2084,7 +2093,8 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
 """
 
     from textgraphs_spark.operators.dedup import (
-        minhash_oracle_sql, winnow_oracle_sql, winnow_pairs_oracle_sql,
+        minhash_oracle_sql, span_removal_oracle_sql, winnow_oracle_sql,
+        winnow_pairs_oracle_sql,
     )
     from textgraphs_spark.operators.multimodal import multimodal_oracle_sql
     from textgraphs_spark.operators.similarity import (
@@ -2194,6 +2204,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
         "winnow_fingerprints": winnow_oracle_sql(),
         "dedup_winnow": winnow_pairs_oracle_sql(min_shared=2, max_df=1000),
+        "dedup_span_removal": span_removal_oracle_sql(),
         "dedup_minhash_clusters": minhash_clusters_oracle_sql(threshold=0.7),
         "corpus_curation": corpus_curation_sql,
         "source_curation_rollup": source_rollup_sql,

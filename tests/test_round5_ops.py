@@ -415,3 +415,46 @@ def test_pack_efficiency_conservation(spark, sf_dir):
         cap = r["n_seqs"] * 512
         assert 0 <= cap - r["n_tokens"] < 512
         assert 0.0 <= r["padding_frac"] < 512 / cap
+
+
+def test_span_removal_hand_case(spark):
+    """Shared 4-token run 'alpha beta gamma delta' (k=3 grams at two
+    starts) disappears from both docs; unique prose survives; the
+    untouched doc and the empty doc pass through."""
+    from textgraphs_spark.operators.dedup import duplicated_span_removal
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta unique one"),
+         (1, "zzz alpha beta gamma delta other words"),
+         (2, "totally different text here now"),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_span_removal(docs).collect()}
+    assert got[0]["cleaned"] == "unique one" and got[0]["n_removed"] == 4
+    assert got[1]["cleaned"] == "zzz other words"
+    assert got[2]["n_removed"] == 0
+    assert got[3] == (3, 0, 0, "")
+
+
+def test_span_removal_intra_doc_repeats_survive(spark):
+    """min_docs=2 counts DISTINCT documents: a k-gram repeated twice
+    inside one doc but appearing nowhere else is NOT removed."""
+    from textgraphs_spark.operators.dedup import duplicated_span_removal
+
+    docs = spark.createDataFrame(
+        [(0, "x y z q x y z"), (1, "totally unrelated words here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_span_removal(docs).collect()}
+    assert got[0]["n_removed"] == 0
+    assert got[0]["cleaned"] == "x y z q x y z"
+
+
+def test_span_removal_short_docs_untouched(spark):
+    """Docs below k tokens produce no grams and survive verbatim, even
+    when byte-identical to each other (exact dedup's job, not this)."""
+    from textgraphs_spark.operators.dedup import duplicated_span_removal
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd"), (1, "ab cd")], "doc_id long, text string")
+    rows = duplicated_span_removal(docs, k=3).collect()
+    assert all(r["n_removed"] == 0 and r["cleaned"] == "ab cd" for r in rows)

@@ -778,3 +778,140 @@ JOIN sizes sa ON sa.doc = s.left_id
 JOIN sizes sb ON sb.doc = s.right_id
 ORDER BY left_id, right_id
 """
+
+
+def duplicated_span_removal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span removal at token granularity (the
+    substring-dedup transform of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed over
+    token k-grams): every maximal run of tokens covered by a k-gram
+    that occurs in >= ``min_docs`` distinct documents is deleted from
+    every document, and the surviving token sequence is re-joined.
+    Unlike the pairwise dedup channels above, this is a TRANSFORM —
+    boilerplate shared by many pages disappears while the unique prose
+    around it survives.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned) for every input doc.
+
+    Scale shape: gram hashes are computed positionally inside one array
+    expression (n-ary xxhash64 per start — no slice/concat allocation,
+    the ngram_jaccard_pairs trick); the census is a hash aggregate over
+    DISTINCT (gram, doc) — corpus-gram-sized with map-side partials —
+    and duplicated grams join back keyed by gram, then fold to one
+    covered-start set per doc (bounded by doc length). The rebuild is
+    map-only array math. No windows, no driver state, no pair lists.
+    The oracle reproduces the semantics with string grams (the hash
+    never reaches the output, so the encodings only need to agree on
+    equality; 64-bit collisions ~1e-13 per gram pair).
+    """
+    gram_args = ", ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    grams = F.expr(
+        f"IF(size(_toks) >= {k},"
+        f" transform(sequence(1, size(_toks) - {k - 1}),"
+        f" i -> xxhash64({gram_args})),"
+        f" cast(array() as array<bigint>))"
+    )
+    d = (
+        docs.select(
+            F.col(id_col), F.expr(_TOKENS.format(c=text_col)).alias("_toks")
+        )
+        .withColumn("_grams", grams)
+        # feeds the census explode AND the rebuild join: materialize the
+        # tokenized frame once (EAGER + BATCH-ONLY) instead of
+        # re-tokenizing the corpus on both branches
+        .localCheckpoint()
+    )
+    pos = d.select(
+        F.col(id_col),
+        F.posexplode("_grams").alias("_p0", "gram"),
+    ).select(id_col, (F.col("_p0") + 1).alias("start"), "gram")
+    dup_grams = (
+        pos.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        pos.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_dup_starts"))
+    )
+    kept = F.expr(
+        f"filter(sequence(1, size(_toks)),"
+        f" p -> NOT exists(_ds, s -> p >= s AND p < s + {k}))"
+    )
+    return (
+        d.join(covered, id_col, "left")
+        .withColumn(
+            "_ds",
+            F.coalesce(
+                F.col("_dup_starts"), F.expr("cast(array() as array<int>)")
+            ),
+        )
+        .withColumn("_kept", F.when(F.size("_toks") == 0, F.expr("cast(array() as array<int>)")).otherwise(kept))
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.expr("transform(_kept, p -> element_at(_toks, p))"), " "
+            ).alias("cleaned"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def span_removal_oracle_sql(
+    *, table: str = "documents", toks: str | None = None,
+    k: int = 3, min_docs: int = 2,
+) -> str:
+    """DuckDB twin of duplicated_span_removal — string grams instead of
+    xxhash64 (equality-equivalent), same census/coverage/rebuild."""
+    toks = toks or (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, {toks} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS start,
+         array_to_string(toks[CAST(u.i AS INT) : CAST(u.i AS INT) + {k - 1}], ' ') AS gram
+  FROM d, unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS u(i)
+),
+dup_grams AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pos)
+  GROUP BY gram HAVING count(*) >= {min_docs}
+),
+covered AS (
+  SELECT doc_id, list(DISTINCT start) AS dup_starts
+  FROM pos JOIN dup_grams USING (gram)
+  GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT d.doc_id, d.toks,
+         list_filter(
+           range(1, len(d.toks) + 1),
+           p -> len(list_filter(coalesce(c.dup_starts, []),
+                                s -> p >= s AND p < s + {k})) = 0
+         ) AS kept
+  FROM d LEFT JOIN covered c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(
+         array_to_string(list_transform(kept, p -> toks[CAST(p AS INT)]), ' '),
+         '') AS cleaned
+FROM rebuilt
+ORDER BY doc_id
+"""
