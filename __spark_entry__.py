@@ -301,6 +301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def er_score_calibration(spark, sf_dir):
+        # reliability curve of the pairwise scorer: is a 0.9 score a
+        # 90% match? one scoring pass + one <=10-group hash agg; JW
+        # kernel bit-equal across engines so bin edges cannot disagree
+        from textgraphs_spark.plans.er_eval import (
+            eval_entities, score_calibration,
+        )
+
+        return score_calibration(eval_entities(spark))
+
     def dedup_span_removal(spark, sf_dir):
         # Lee-et-al-style exact duplicated-span REMOVAL (a transform,
         # not a pair list): token k-grams in >= 2 docs are deleted
@@ -1470,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
+        "er_score_calibration": er_score_calibration,
         "token_concentration": token_concentration,
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
@@ -2124,7 +2135,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
-        er_soft_tfidf_sql,
+        er_score_calibration_sql, er_soft_tfidf_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
@@ -2168,6 +2179,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_dice": er_dice_sql(),
         "er_mutual_best": er_mutual_best_sql(),
         "er_cluster_sizes": er_cluster_sizes_sql(),
+        "er_score_calibration": er_score_calibration_sql(),
         "ranked_phrases": ranked_phrases_sql(),
         "entity_pairs": entity_pairs_oracle_sql(),
         "kg_linking": kg_linking_oracle_sql(),

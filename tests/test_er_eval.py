@@ -842,3 +842,22 @@ def test_cluster_size_histogram_hand_case(spark):
            for r in rows}
     assert got == {1: (1, 1, 0.125), 2: (2, 4, 0.5), 3: (1, 3, 0.375)}
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_score_calibration_reconciles_with_sweep(spark):
+    """Bin totals must reconcile with the scored pair list: sum(n_pairs)
+    = all candidates, sum(n_true) = covered true pairs; per-bin
+    precision is the in-bin true fraction; bins tile [0, 1] with the
+    top bin absorbing score 1.0."""
+    ents = E.eval_entities(spark, n_base=40, n_twin=8)
+    rows = E.score_calibration(ents).collect()
+    base = E.blocked_pair_metrics(ents).collect()[0]
+    assert sum(r["n_pairs"] for r in rows) == base["n_candidates"]
+    assert sum(r["n_true"] for r in rows) == base["covered_true_pairs"]
+    for r in rows:
+        assert 0.0 <= r["bin_lo"] < r["bin_hi"] <= 1.0
+        assert 0 <= r["n_true"] <= r["n_pairs"]
+        assert r["precision"] == pytest.approx(r["n_true"] / r["n_pairs"], abs=1e-6)
+    # monotone-ish sanity: the top bin must be purer than the bottom bin
+    lo, hi = rows[0], rows[-1]
+    assert hi["precision"] >= lo["precision"]

@@ -379,6 +379,103 @@ def score_threshold_sweep(
     )
 
 
+def score_calibration(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    max_block_size: int = 200,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability curve of the pairwise scorer: fixed-width score bins
+    over the labeled candidate pairs — (bin_lo, bin_hi, n_pairs,
+    n_true, precision). Where the threshold sweep answers "what do I
+    get AT a cutoff", calibration answers "is a 0.9 score actually a
+    90% match" — the evidence behind trusting scores as probabilities
+    (the Fellegi–Sunter weights downstream assume they can).
+
+    One blocking + one scoring pass + ONE hash aggregate over
+    |pairs| rows into <= n_bins groups (map-side partials); the bin id
+    is a codegen'd floor, score 1.0 folded into the top bin. The JW
+    score kernel is bit-equal across engines, so bin edges cannot
+    disagree.
+    """
+    from ..operators import scoring as S
+    from .er_pipeline import blocking_pairs
+
+    pairs = blocking_pairs(
+        entities.select("entity_key", "surface"), max_block_size=max_block_size
+    )
+    scored = S.score_pairs(pairs, lean=True)
+    truth = entities.select("entity_key", truth_col)
+    lab = (
+        scored.select("left_id", "right_id", "score")
+        .join(
+            truth.select(
+                F.col("entity_key").alias("left_id"), F.col(truth_col).alias("lt")
+            ),
+            "left_id",
+        )
+        .join(
+            truth.select(
+                F.col("entity_key").alias("right_id"), F.col(truth_col).alias("rt")
+            ),
+            "right_id",
+        )
+    )
+    same = F.col("lt") == F.col("rt")
+    b = F.least(
+        F.floor(F.col("score") * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    n_pairs, n_true = F.col("n_pairs"), F.col("n_true")
+    return (
+        lab.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(same.cast("long")).cast("long").alias("n_true"),
+        )
+        .select(
+            F.round(F.col("bin") * 1.0 / n_bins, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1) * 1.0 / n_bins, 6).alias("bin_hi"),
+            "n_pairs",
+            "n_true",
+            F.round(n_true / n_pairs, 6).alias("precision"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+def er_score_calibration_sql(
+    *, n_base: int = 150, n_twin: int = 30, n_bins: int = 10
+) -> str:
+    """Oracle for score_calibration: shared blocking + pair-score CTEs,
+    the same fold-into-top-bin floor, one GROUP BY."""
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{pair_scores_ctes('entities')},
+lab AS (
+  SELECT p.score, lt.truth_id = rt.truth_id AS same
+  FROM pair_scores p
+  JOIN entities lt ON lt.entity_key = p.left_id
+  JOIN entities rt ON rt.entity_key = p.right_id
+),
+bins AS (
+  SELECT least(CAST(floor(score * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(CASE WHEN same THEN 1 END), 0) AS BIGINT) AS n_true
+  FROM lab GROUP BY 1
+)
+SELECT round(bin * 1.0 / {n_bins}, 6) AS bin_lo,
+       round((bin + 1) * 1.0 / {n_bins}, 6) AS bin_hi,
+       n_pairs, n_true,
+       round(n_true * 1.0 / n_pairs, 6) AS precision
+FROM bins
+ORDER BY bin_lo
+"""
+
+
 def blocking_stats(
     entities: DataFrame,
     *,
