@@ -301,6 +301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _lemma_graph_edges(spark, sf_dir), k=4
         ).orderBy("a", "b")
 
+    def doc_length_quartiles(spark, sf_dir):
+        # exact per-language token-length quartiles (percentile_disc
+        # semantics — the answer is an actual doc length, bit-equal
+        # across engines); grouped_rank so a hot language never
+        # funnels into one window task
+        from textgraphs_spark.operators.textquality import length_quartiles
+
+        return length_quartiles(_docs(spark, sf_dir))
+
     def er_score_calibration(spark, sf_dir):
         # reliability curve of the pairwise scorer: is a 0.9 score a
         # 90% match? one scoring pass + one <=10-group hash agg; JW
@@ -1481,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
         "er_score_calibration": er_score_calibration,
+        "doc_length_quartiles": doc_length_quartiles,
         "token_concentration": token_concentration,
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
@@ -1618,6 +1628,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _length_quartiles_sql(toks_u: str) -> str:
+    """Oracle for textquality.length_quartiles: window rank + the same
+    ceil(q*n) percentile_disc pick (0.25/0.5/0.75 are exact in binary,
+    so the ceil cannot straddle engines)."""
+    def pick(q: str, name: str) -> str:
+        return (
+            f"CAST(max(CASE WHEN _r = greatest(1, CAST(ceil({q} * _n) AS"
+            f" BIGINT)) THEN n_toks END) AS BIGINT) AS {name}"
+        )
+
+    return f"""WITH d AS (
+  SELECT lang AS g, CAST(len({toks_u}) AS BIGINT) AS n_toks, doc_id AS _id
+  FROM documents
+),
+r AS (
+  SELECT g, n_toks,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY n_toks, _id) AS BIGINT) AS _r,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS _n
+  FROM d
+)
+SELECT g AS lang, CAST(max(_n) AS BIGINT) AS n_docs,
+       {pick('0.25', 'p25')},
+       {pick('0.5', 'p50')},
+       {pick('0.75', 'p75')}
+FROM r GROUP BY g ORDER BY lang
+"""
 
 
 def _concentration_sql(toks_u: str) -> str:
@@ -2170,6 +2208,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "graph_assortativity": assortativity_sql(),
         "graph_ktruss": ktruss_sql(k=4),
         "graph_hits": hits_sql(max_iter=8),
+        "doc_length_quartiles": _length_quartiles_sql(toks_u),
         "token_concentration": _concentration_sql(toks_u),
         "corpus_zipf": _zipf_sql(toks_u),
         "vocab_growth": _vocab_growth_sql(toks_u),

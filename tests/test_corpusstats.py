@@ -113,3 +113,20 @@ def test_vocab_growth_monotone_and_bounded(spark):
         assert r["docs_seen"] <= r["ckpt"] + 1
         prev_v, prev_t = r["vocab"], r["tokens_seen"]
     assert rows[-1]["vocab"] == 6  # t0..t4 (covers t0..t2) plus "common"
+
+
+def test_length_quartiles_disc_semantics(spark):
+    """percentile_disc picks: lengths {1,2,3,4} -> ranks 1..4,
+    p25 = value@ceil(1) = 1, p50 = value@2 = 2, p75 = value@3 = 3;
+    a single-doc group returns its own length for every quartile."""
+    from textgraphs_spark.operators.textquality import length_quartiles
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a"), (1, "en", "a b"), (2, "en", "a b c"),
+         (3, "en", "a b c d"), (4, "de", "x y z")],
+        "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in length_quartiles(docs).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["p25"], en["p50"], en["p75"]) == (4, 1, 2, 3)
+    de = got["de"]
+    assert (de["n_docs"], de["p25"], de["p50"], de["p75"]) == (1, 3, 3, 3)

@@ -200,3 +200,50 @@ def readability(
             flesch.alias("flesch"), ttr.alias("ttr"),
         )
     )
+
+
+def length_quartiles(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-group token-length quartiles — (group, n_docs, p25,
+    p50, p75) with percentile_disc semantics (the value at rank
+    ceil(q*n); no interpolation, so the answer is an actual document
+    length and bit-equal across engines). The per-language length
+    distribution is the curation knob behind min/max-length filters.
+
+    WINDOWLESS at scale: ranks come from rankops.grouped_rank (a hot
+    language never funnels into one window task), the quartile picks
+    are conditional aggregates over the ranked frame — one extra
+    vocabulary-of-groups-sized join, no sort of the full corpus on one
+    executor. Ties on length break by doc id; the SELECTED length is
+    tie-invariant (ranks sort by length first).
+    """
+    from .rankops import grouped_rank
+
+    d = docs.select(
+        F.col(group_col).alias("g"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_toks"),
+        F.col(id_col).alias("_id"),
+    )
+    r = grouped_rank(d, "g", [F.col("n_toks"), F.col("_id")], rank_col="_r")
+    cnt = d.groupBy("g").agg(F.count("*").alias("_n"))
+
+    def pick(q: float):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n")).cast("long"))
+        return F.max(F.when(F.col("_r") == target, F.col("n_toks")))
+
+    return (
+        r.join(cnt, "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("_n").cast("long").alias("n_docs"),
+            pick(0.25).cast("long").alias("p25"),
+            pick(0.5).cast("long").alias("p50"),
+            pick(0.75).cast("long").alias("p75"),
+        )
+        .orderBy(group_col)
+    )
