@@ -7,9 +7,10 @@
 * headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
   on local[$SPARK_GRAFT_CPUS] (default 32);
 * the north-rule scaling evidence: the same lean ER job on identical
-  synthetic pages at local[N] and local[4N] (default 8 vs 32 — the sandbox
-  proxy for N vs 4N executors), reporting docs/sec at both plus scaling
-  efficiency = (throughput_4N / throughput_N) / 4.
+  synthetic pages at local[N] and local[4N] (default 2 vs 8 — both levels
+  fit the 32-CPU host with headroom, the sandbox proxy for N vs 4N
+  executors; override with SPARK_GRAFT_SCALE_LOW/HIGH), reporting docs/sec
+  at both plus scaling efficiency = (throughput_4N / throughput_N) / 4.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling segment.
 """

@@ -132,3 +132,89 @@ def test_hits_scale_invariance(spark):
     assert r1 == r2
     s = sum(a * a for a, _ in r1.values())
     assert s == pytest.approx(1.0, abs=1e-4)
+
+
+def test_concentration_matches_numpy_fuzz(spark):
+    """Gini / HHI / top-shares recomputed directly in numpy from three
+    seeded random count multisets (skewed, uniform-ish, heavy-head) —
+    the closed forms must agree to the rounding."""
+    import numpy as np
+
+    from textgraphs_spark.operators.corpusstats import concentration_metrics
+
+    rng = random.Random(5_101)
+    shapes = [
+        [rng.randint(1, 50) for _ in range(80)],
+        [7] * 40,
+        [1] * 60 + [500, 900],
+    ]
+    for ci, counts in enumerate(shapes):
+        df = spark.createDataFrame(
+            [(f"k{i:04d}", c) for i, c in enumerate(counts)], "k string, w long"
+        )
+        r = concentration_metrics(df, key_col="k", weight_col="w").collect()[0]
+        x = np.sort(np.array(counts, dtype=np.int64))
+        n, tot = len(x), x.sum()
+        gini = (2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * tot) / (n * tot)
+        hhi = (x.astype(np.float64) ** 2).sum() / float(tot) ** 2
+        assert r["n_keys"] == n and r["total"] == tot, ci
+        assert r["gini"] == pytest.approx(gini, abs=1.1e-6), ci
+        assert r["hhi"] == pytest.approx(hhi, abs=1.1e-6), ci
+        assert r["top1_share"] == pytest.approx(x[-1] / tot, abs=1.1e-6), ci
+        assert r["topk_share"] == pytest.approx(
+            x[-10:].sum() / tot if n >= 10 else 1.0, abs=1.1e-6
+        ), ci
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_zipf_matches_numpy_polyfit_fuzz(spark):
+    """OLS slope/intercept vs numpy.polyfit on the identical
+    (ln rank, ln freq) points from a seeded random corpus."""
+    import numpy as np
+
+    from textgraphs_spark.operators.corpusstats import zipf_fit
+
+    rng = random.Random(5_102)
+    vocab = _rand_words(rng, 60)
+    words = []
+    for i, w in enumerate(sorted(set(vocab))):
+        words += [w] * rng.randint(1, 200)
+    rng.shuffle(words)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_fit(df).collect()[0]
+    from collections import Counter
+
+    freqs = sorted(Counter(words).values(), reverse=True)
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=np.float64))
+    y = np.log(np.array(freqs, dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["n_vocab"] == len(freqs) and r["n_tokens"] == len(words)
+    assert r["slope"] == pytest.approx(slope, abs=1e-5)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
+
+
+def test_span_removal_oracle_parity_fuzz(spark):
+    """Random template-flood corpus (shared spans spliced into random
+    prose) through the Spark transform AND the DuckDB twin — cleaned
+    text must match byte-for-byte, including all-boilerplate docs."""
+    from textgraphs_spark.operators.dedup import (
+        duplicated_span_removal, span_removal_oracle_sql,
+    )
+
+    rng = random.Random(5_103)
+    template = _rand_words(rng, 6)
+    docs = []
+    for i in range(40):
+        words = _rand_words(rng, rng.randint(0, 12))
+        if i % 3 == 0:
+            at = rng.randint(0, len(words))
+            words = words[:at] + template + words[at:]
+        if i % 7 == 0:
+            words = list(template)
+        docs.append((i, " ".join(words)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, duplicated_span_removal(sdf).collect()))
+    con = duckdb.connect()
+    con.register("documents", sdf.toPandas())
+    want = sorted(map(tuple, con.sql(span_removal_oracle_sql()).fetchall()))
+    assert got == want
