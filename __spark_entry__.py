@@ -1245,6 +1245,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parts["assignments"], ents.select("entity_key", "truth_id")
         )
 
+    def er_star_clusters(spark, sf_dir):
+        # precision-first alternative to transitive closure: star
+        # clustering (independent-set centers by degree order, best-
+        # score satellite attach) vs the closure clustering over the
+        # SAME match edges — one contingency-metric row per method;
+        # star precision >= closure precision by construction
+        from textgraphs_spark.plans.er_eval import star_vs_closure
+
+        ents, parts = _eval_parts(spark)
+        return star_vs_closure(ents, parts)
+
     def er_golden_records(spark, sf_dir):
         # survivorship: one canonical master record per cluster
         # (max mention_count, min-key tiebreak) + sorted alternates
@@ -1486,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "er_star_clusters": er_star_clusters,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2175,6 +2187,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
+        er_star_clusters_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
@@ -2232,6 +2245,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         # uses → metric aggregations (plans/er_eval.py)
         "er_eval_blocked": er_eval_blocked_sql(),
         "er_eval_clusters": er_eval_clusters_sql(),
+        "er_star_clusters": er_star_clusters_sql(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "er_threshold_sweep": er_threshold_sweep_sql(),

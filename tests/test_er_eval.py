@@ -861,3 +861,71 @@ def test_score_calibration_reconciles_with_sweep(spark):
     # monotone-ish sanity: the top bin must be purer than the bottom bin
     lo, hi = rows[0], rows[-1]
     assert hi["precision"] >= lo["precision"]
+
+
+def test_star_clusters_chain_split(spark):
+    """Path e1-e2-e3-e4: closure merges all four; star elects e2
+    (degree-2, lowest key) as the only center — e3 loses the degree tie
+    to e2 and e4's only neighbor is the non-center e3, so star yields
+    {e1,e2,e3} + {e4}: the chain is split exactly where no direct match
+    exists to a center."""
+    ents = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",), ("e4",)], "entity_key string"
+    )
+    edges = spark.createDataFrame(
+        [("e1", "e2", 0.95), ("e2", "e3", 0.95), ("e3", "e4", 0.95)],
+        "left_id string, right_id string, score double",
+    )
+    got = {r["entity_key"]: r["cluster_id"]
+           for r in E.star_clusters(ents, edges).collect()}
+    assert got == {"e1": "e2", "e2": "e2", "e3": "e2", "e4": "e4"}
+
+
+def test_star_clusters_best_score_attach(spark):
+    """A satellite adjacent to two centers joins the higher-scoring one;
+    on an exact score tie it takes the min center key. s has centers c1
+    (score .92) and c2 (score .99) -> joins c2."""
+    ents = spark.createDataFrame(
+        [("c1",), ("c2",), ("s",), ("x1",), ("x2",)], "entity_key string"
+    )
+    # c1 and c2 each have degree 2 (one pendant + s); s has degree 2 too
+    # but loses the tie on key order to c1/c2? No: keys c1 < c2 < s, so
+    # c1 beats s and x1; c2 beats s and x2; s loses to both -> satellite.
+    edges = spark.createDataFrame(
+        [("c1", "s", 0.92), ("c2", "s", 0.99),
+         ("c1", "x1", 0.91), ("c2", "x2", 0.91)],
+        "left_id string, right_id string, score double",
+    )
+    got = {r["entity_key"]: r["cluster_id"]
+           for r in E.star_clusters(ents, edges).collect()}
+    assert got["s"] == "c2"
+    assert got["x1"] == "c1" and got["x2"] == "c2"
+    assert got["c1"] == "c1" and got["c2"] == "c2"
+
+
+def test_star_vs_closure_eval_corpus(spark):
+    """On the labeled corpus: star is a refinement of closure (every
+    match edge lies inside a closure component, so star clusters are
+    subsets of closure clusters) -> star precision >= closure precision,
+    star tp_pairs <= closure tp_pairs, star has >= as many clusters;
+    every entity is assigned exactly once; the run is deterministic."""
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    ents = E.eval_entities(spark)
+    parts = ERPipeline(spark).run_lean(
+        None,
+        entities=ents.select(
+            "entity_key", "surface", "label", "mention_count", "doc_freq"),
+        return_parts=True,
+    )
+    sa = E.star_clusters(ents, parts["match_scores"])
+    assert sa.count() == ents.count()
+    assert sa.select("entity_key").distinct().count() == ents.count()
+    rows = {r["method"]: r for r in E.star_vs_closure(ents, parts).collect()}
+    cc, st = rows["closure"], rows["star"]
+    assert st["pair_precision"] >= cc["pair_precision"]
+    assert st["tp_pairs"] <= cc["tp_pairs"]
+    assert st["n_clusters"] >= cc["n_clusters"]
+    assert st["n_items"] == cc["n_items"] == ents.count()
+    rows2 = {r["method"]: r for r in E.star_vs_closure(ents, parts).collect()}
+    assert sorted(map(tuple, rows.values())) == sorted(map(tuple, rows2.values()))

@@ -2516,3 +2516,171 @@ JOIN best y ON x.best = y.src AND y.best = x.src AND x.src < x.best
 JOIN scored s ON s.left_id = x.src AND s.right_id = x.best
 ORDER BY s.left_id, s.right_id
 """
+
+
+# ---------------------------------------------------------------------------
+# star clustering — the over-merge-resistant alternative to transitive
+# closure (Aslam et al., "The Star Clustering Algorithm", lifted to a
+# deterministic one-shot parallel form)
+# ---------------------------------------------------------------------------
+
+def star_clusters(entities: DataFrame, match_scores: DataFrame) -> DataFrame:
+    """Deterministic star clustering over the pipeline's match edges —
+    the classic precision-first alternative to transitive closure
+    (reference kg.py links each span to ONE best entity; closure chains
+    A~B~C into one cluster even when A and C never matched — star
+    refuses exactly those chains).
+
+    Definition (RNG-free, order-free):
+
+    * a node is a CENTER iff it beats every match-graph neighbor under
+      the strict total order (degree DESC, entity_key ASC) — two
+      adjacent nodes can never both be centers, so centers form an
+      independent set by construction;
+    * every non-center adjacent to >= 1 center joins its best-scoring
+      adjacent center (ties on score -> min center key);
+    * everything else (centers, isolated nodes, non-centers whose
+      neighbors are all non-centers) is its own cluster.
+
+    Compared to closure, star can only SPLIT clusters, never merge —
+    pairwise precision is monotonically >= the closure clustering's on
+    any input (pinned in tests), recall pays for the chains it refuses.
+
+    Input: ``entities`` (entity_key, ...), ``match_scores`` (left_id,
+    right_id, score) as produced by ERPipeline.run_lean(return_parts=
+    True). Output: (entity_key, cluster_id).
+
+    100 TB shape: degree is one hash agg over match edges (vocabulary-
+    scale, NOT corpus-scale); the center test is one edge-to-degree
+    join + bool_and agg; the satellite attach is two more bounded aggs
+    (max score, then min key at the max). No window over an unbounded
+    partition, no iteration — a fixed 4-agg DAG regardless of graph
+    diameter, vs closure's O(log n) large/small-star rounds.
+    """
+    e = match_scores.select("left_id", "right_id", "score")
+    und = e.select(
+        F.col("left_id").alias("u"), F.col("right_id").alias("v"), "score"
+    ).unionByName(
+        e.select(F.col("right_id").alias("u"), F.col("left_id").alias("v"), "score")
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    adj = (
+        und.join(deg.select(F.col("u").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    beats = (F.col("du") > F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ctr = adj.groupBy("u").agg(F.bool_and(beats).alias("is_center"))
+    centers = ctr.filter("is_center").select(F.col("u").alias("v"))
+    # non-center -> best adjacent center: centers are never adjacent to
+    # centers, so joining edges on center-endpoint v already excludes
+    # every center from the satellite side
+    to_ctr = und.join(centers, "v")
+    best = to_ctr.groupBy("u").agg(F.max("score").alias("bs"))
+    sat = (
+        to_ctr.join(best, "u")
+        .filter(F.col("score") == F.col("bs"))
+        .groupBy("u")
+        .agg(F.min("v").alias("cluster_id"))
+        .select(F.col("u").alias("entity_key"), "cluster_id")
+    )
+    return entities.select("entity_key").join(sat, "entity_key", "left").select(
+        "entity_key", F.coalesce("cluster_id", F.col("entity_key")).alias("cluster_id")
+    )
+
+
+def star_vs_closure(entities: DataFrame, parts: dict) -> DataFrame:
+    """Side-by-side contingency evaluation of the two clusterers over
+    the SAME match edges: one row per method ('closure' = the pipeline's
+    transitive closure, 'star' = star_clusters) with the pairwise
+    P/R/F1 columns of ``clustering_metrics``. The star row's precision
+    >= the closure row's by construction (star only splits) — the
+    measured gap is the over-merge cost of chaining, the recall gap the
+    price star pays for refusing it."""
+    truth = entities.select("entity_key", "truth_id")
+    cc = clustering_metrics(
+        parts["assignments"].select("entity_key", "cluster_id"), truth
+    ).withColumn("method", F.lit("closure"))
+    st = clustering_metrics(
+        star_clusters(entities, parts["match_scores"]), truth
+    ).withColumn("method", F.lit("star"))
+    cols = ["method"] + [c for c in cc.columns if c != "method"]
+    return cc.select(cols).unionByName(st.select(cols)).orderBy("method")
+
+
+def _contingency_cte(assign: str, prefix: str) -> str:
+    """Contingency-metric CTE chain over ``{assign}(entity_key,
+    cluster_id)`` vs the entities truth labels, emitting one metrics
+    row from ``{prefix}row`` — the SQL twin of clustering_metrics."""
+    p = prefix
+    return f"""{p}cells AS (
+  SELECT a.cluster_id, e.truth_id, count(*) AS n
+  FROM {assign} a JOIN entities e ON e.entity_key = a.entity_key
+  GROUP BY 1, 2
+),
+{p}head AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT truth_id) AS BIGINT) AS n_truths,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs
+  FROM {p}cells
+),
+{p}pred AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT sum(n) AS s FROM {p}cells GROUP BY cluster_id)
+),
+{p}tru AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS true_pairs
+  FROM (SELECT sum(n) AS s FROM {p}cells GROUP BY truth_id)
+),
+{p}row AS (
+  SELECT n_items, n_clusters, n_truths, tp_pairs,
+         pred_pairs - tp_pairs AS fp_pairs,
+         true_pairs - tp_pairs AS fn_pairs,
+         round(tp_pairs / pred_pairs, 6) AS pair_precision,
+         round(tp_pairs / true_pairs, 6) AS pair_recall,
+         round(2.0 * tp_pairs / (pred_pairs + true_pairs), 6) AS pair_f1
+  FROM {p}head, {p}pred, {p}tru
+)"""
+
+
+def er_star_clusters_sql(*, n_base: int = 150, n_twin: int = 30,
+                         min_similarity: float = 0.9) -> str:
+    """Oracle for star_vs_closure: the shared clustering chain gives
+    pair_scores + the closure assignments; the star CTEs re-derive the
+    star assignment from the same match edges; both feed the shared
+    contingency-metric twin."""
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+sund AS MATERIALIZED (
+  SELECT left_id AS u, right_id AS v, score FROM pair_scores WHERE score >= {min_similarity}
+  UNION ALL
+  SELECT right_id AS u, left_id AS v, score FROM pair_scores WHERE score >= {min_similarity}
+),
+sdeg AS (SELECT u, count(*) AS d FROM sund GROUP BY u),
+sctr AS (
+  SELECT a.u,
+         bool_and(da.d > db.d OR (da.d = db.d AND a.u < a.v)) AS is_center
+  FROM sund a JOIN sdeg da ON da.u = a.u JOIN sdeg db ON db.u = a.v
+  GROUP BY a.u
+),
+scenters AS (SELECT u AS v FROM sctr WHERE is_center),
+stoc AS (SELECT a.u, a.v, a.score FROM sund a JOIN scenters c ON c.v = a.v),
+sbest AS (SELECT u, max(score) AS bs FROM stoc GROUP BY u),
+ssat AS (
+  SELECT t.u AS entity_key, min(t.v) AS cluster_id
+  FROM stoc t JOIN sbest b ON b.u = t.u AND t.score = b.bs
+  GROUP BY t.u
+),
+star_assign AS (
+  SELECT e.entity_key, coalesce(s.cluster_id, e.entity_key) AS cluster_id
+  FROM entities e LEFT JOIN ssat s ON s.entity_key = e.entity_key
+),
+{_contingency_cte('assignments', 'cc')},
+{_contingency_cte('star_assign', 'st')}
+SELECT 'closure' AS method, * FROM ccrow
+UNION ALL
+SELECT 'star' AS method, * FROM strow
+ORDER BY method
+"""
