@@ -1245,6 +1245,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parts["assignments"], ents.select("entity_key", "truth_id")
         )
 
+    def quality_gopher(spark, sf_dir):
+        # Gopher-rule census (Rae et al. 2021 heuristic filters) over
+        # the deterministic dirty-page corpus: per-rule pass/fail +
+        # the all-rules conjunction — one scan, stack(), one hash agg
+        from textgraphs_spark.operators.textquality import gopher_census
+        from textgraphs_spark.sources.pages import gopher_pages
+
+        return gopher_census(gopher_pages(spark))
+
     def er_star_clusters(spark, sf_dir):
         # precision-first alternative to transitive closure: star
         # clustering (independent-set centers by degree order, best-
@@ -1498,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
         "er_star_clusters": er_star_clusters,
+        "quality_gopher": quality_gopher,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1640,6 +1650,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _gopher_census_oracle() -> str:
+    """Oracle for quality_gopher: the regenerated dirty-page corpus fed
+    through the shared gopher_census SQL twin."""
+    from textgraphs_spark.operators.textquality import gopher_census_select
+    from textgraphs_spark.sources.pages import gopher_pages_sql
+
+    return gopher_census_select(gopher_pages_sql())
 
 
 def _length_quartiles_sql(toks_u: str) -> str:
@@ -2246,6 +2265,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_eval_blocked": er_eval_blocked_sql(),
         "er_eval_clusters": er_eval_clusters_sql(),
         "er_star_clusters": er_star_clusters_sql(),
+        "quality_gopher": _gopher_census_oracle(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "er_threshold_sweep": er_threshold_sweep_sql(),

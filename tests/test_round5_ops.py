@@ -458,3 +458,61 @@ def test_span_removal_short_docs_untouched(spark):
         [(0, "ab cd"), (1, "ab cd")], "doc_id long, text string")
     rows = duplicated_span_removal(docs, k=3).collect()
     assert all(r["n_removed"] == 0 and r["cleaned"] == "ab cd" for r in rows)
+
+
+def test_gopher_flags_isolate_each_rule(spark):
+    """Seven crafted docs, each violating exactly one Gopher rule, plus
+    one clean doc — per-doc flags must pinpoint the single failure."""
+    from textgraphs_spark.operators.textquality import gopher_flags
+
+    clean = ("the corpus page of record with words that have value to be used "
+             + "data quality filter corpus token mix " * 8).strip()
+    docs = [
+        ("short", "the tiny little page of nine"),
+        ("longwords", "the of " + "extraordinarily incomprehensible " * 30),
+        ("symbols", clean + " #" * 10),
+        ("bullets", "- the item list of entry records here\n" * 10),
+        ("ellipses", ("plain line about the corpus of record\n"
+                      "noted line trails away the record of it...\n"
+                      "more line drifts beyond the record of it…\n") * 5),
+        ("numeric", clean + " 1234567" * 20),
+        ("nostop", ("corpus data " + "corpus token filter quality data mix " * 9).strip()),
+        ("clean", clean),
+    ]
+    expect_fail = {
+        "short": "word_count", "longwords": "mean_word_len",
+        "symbols": "symbol_ratio", "bullets": "bullet_lines",
+        "ellipses": "ellipsis_lines", "numeric": "alpha_words",
+        "nostop": "stop_words", "clean": None,
+    }
+    df = spark.createDataFrame(docs, "name string, text string")
+    flags = gopher_flags("text")
+    rows = df.select("name", *[c.alias(n) for n, c in flags]).collect()
+    for r in rows:
+        failed = [n for n, _ in flags if r[n] == 0]
+        want = expect_fail[r["name"]]
+        assert failed == ([want] if want else []), (r["name"], failed)
+
+
+def test_gopher_census_on_generator(spark):
+    """Census totals over gopher_pages(400): each rule's n_fail equals
+    the size of its residue class (i % 13 == r), all_rules passes are
+    exactly the non-violating residues."""
+    from textgraphs_spark.operators.textquality import gopher_census
+    from textgraphs_spark.sources.pages import gopher_pages
+
+    n = 400
+    res_count = {r: len([i for i in range(n) if i % 13 == r]) for r in range(13)}
+    rule_residue = {
+        "word_count": 1, "mean_word_len": 2, "symbol_ratio": 3,
+        "bullet_lines": 4, "ellipsis_lines": 5, "alpha_words": 6,
+        "stop_words": 7,
+    }
+    got = {r["rule"]: r for r in gopher_census(gopher_pages(spark, n)).collect()}
+    assert set(got) == set(rule_residue) | {"all_rules"}
+    for rule, res in rule_residue.items():
+        assert got[rule]["n_fail"] == res_count[res], rule
+        assert got[rule]["n_pass"] == n - res_count[res], rule
+    n_bad = sum(res_count[r] for r in rule_residue.values())
+    assert got["all_rules"]["n_pass"] == n - n_bad
+    assert abs(got["all_rules"]["pass_share"] - (n - n_bad) / n) < 1e-9

@@ -247,3 +247,165 @@ def length_quartiles(
         )
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule census (Rae et al. 2021, table A1 — the public heuristic
+# document filters; reference has no quality gate, this is LLM-pipeline
+# surface beyond it)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text_col: str = "text") -> list[tuple[str, Column]]:
+    """The seven Gopher rule gates as (rule, boolean-int Column) pairs —
+    whitespace words, trimmed non-empty lines, all codegen (no UDF):
+
+    * word_count      — 50 <= words <= 100000
+    * mean_word_len   — 3 <= mean word length <= 10
+    * symbol_ratio    — (# + ... + …) / words <= 0.1
+    * bullet_lines    — <= 90% of lines start with a bullet (-, *, •)
+    * ellipsis_lines  — <= 30% of lines end with ... or …
+    * alpha_words     — >= 80% of words contain an alphabetic char
+    * stop_words      — >= 2 distinct Gopher stopwords present
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    nw = F.size(toks)
+    wl = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_dots = ((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+              ).cast("long")
+    n_uell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    nl = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.like("- %") | x.like("* %") | x.like("• %")))
+    n_ell_ln = F.size(F.filter(lines, lambda x: x.like("%...") | x.like("%…")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)), stop))
+
+    def gate(cond: Column) -> Column:
+        return F.when(cond, 1).otherwise(0)
+
+    return [
+        ("word_count", gate((nw >= 50) & (nw <= 100000))),
+        ("mean_word_len", gate((nw > 0) & (wl / nw >= 3.0) & (wl / nw <= 10.0))),
+        ("symbol_ratio", gate((nw > 0) & ((n_hash + n_dots + n_uell) / nw <= 0.1))),
+        ("bullet_lines", gate((nl == 0) | (n_bullet / nl <= 0.9))),
+        ("ellipsis_lines", gate((nl == 0) | (n_ell_ln / nl <= 0.3))),
+        ("alpha_words", gate((nw > 0) & (n_alpha / nw >= 0.8))),
+        ("stop_words", gate(n_stop >= 2)),
+    ]
+
+
+def gopher_census(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-rule pass/fail census of the Gopher quality gates over a
+    corpus, plus an ``all_rules`` conjunction row: (rule, n_pass,
+    n_fail, pass_share) ordered by rule name.
+
+    100 TB shape: ONE corpus scan computing eight small ints per doc
+    (whole-stage codegen, no UDF, no shuffle before the agg), a stack()
+    generator multiplying rows 8x at 2 tiny columns each, and one
+    map-side-combining hash agg into exactly 8 rows. No window, no
+    join — the census costs a single pass at any corpus size.
+    """
+    flags = gopher_flags(text_col)
+    names = [n for n, _ in flags]
+    all_pass = F.when(
+        sum((c for _, c in flags), F.lit(0)) == len(flags), 1
+    ).otherwise(0)
+    per_doc = docs.select(
+        *[c.alias(n) for n, c in flags], all_pass.alias("all_rules")
+    )
+    names = names + ["all_rules"]
+    stacked = per_doc.select(F.expr(
+        "stack(" + str(len(names)) + ", "
+        + ", ".join(f"'{n}', {n}" for n in names)
+        + ") as (rule, pass_flag)"
+    ))
+    return (
+        stacked.groupBy("rule")
+        .agg(
+            F.sum("pass_flag").alias("n_pass"),
+            (F.count("*") - F.sum("pass_flag")).alias("n_fail"),
+            F.round(F.sum("pass_flag") / F.count("*"), 6).alias("pass_share"),
+        )
+        .orderBy("rule")
+    )
+
+
+def gopher_census_select(source_sql: str, *, text_col: str = "text") -> str:
+    """DuckDB twin of ``gopher_census`` over ``{source_sql}`` — same
+    rules, same tokenization (whitespace words, trimmed non-empty
+    lines), same gate arithmetic."""
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    rules = {
+        "word_count": "CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END",
+        "mean_word_len":
+            "CASE WHEN nw > 0 AND wl / nw >= 3.0 AND wl / nw <= 10.0 THEN 1 ELSE 0 END",
+        "symbol_ratio":
+            "CASE WHEN nw > 0 AND (n_hash + n_dots + n_uell) / nw <= 0.1 THEN 1 ELSE 0 END",
+        "bullet_lines":
+            "CASE WHEN nl = 0 OR n_bullet / nl <= 0.9 THEN 1 ELSE 0 END",
+        "ellipsis_lines":
+            "CASE WHEN nl = 0 OR n_ell_ln / nl <= 0.3 THEN 1 ELSE 0 END",
+        "alpha_words":
+            "CASE WHEN nw > 0 AND n_alpha / nw >= 0.8 THEN 1 ELSE 0 END",
+        "stop_words": "CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END",
+    }
+    gates = ",\n         ".join(f"{expr} AS {name}" for name, expr in rules.items())
+    legs = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS rule, {n} AS pass_flag FROM gates" for n in rules
+    )
+    allsum = " + ".join(rules)  # rule-name columns, resolved one CTE later
+    return f"""WITH src AS ({source_sql}),
+feat AS (
+  SELECT len(list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '')) AS nw,
+         list_sum(list_transform(
+           list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> ''),
+           x -> length(x))) AS wl,
+         length({text_col}) - length(replace({text_col}, '#', '')) AS n_hash,
+         (length({text_col}) - length(replace({text_col}, '...', ''))) // 3 AS n_dots,
+         length({text_col}) - length(replace({text_col}, '…', '')) AS n_uell,
+         len(list_filter(list_transform(string_split({text_col}, chr(10)),
+             x -> trim(x)), x -> x <> '')) AS nl,
+         len(list_filter(list_transform(string_split({text_col}, chr(10)),
+             x -> trim(x)),
+             x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS n_bullet,
+         len(list_filter(list_transform(string_split({text_col}, chr(10)),
+             x -> trim(x)),
+             x -> x LIKE '%...' OR x LIKE '%…')) AS n_ell_ln,
+         len(list_filter(list_filter(string_split_regex({text_col}, '\\s+'),
+             x -> x <> ''), x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_intersect(
+           list_distinct(list_transform(
+             list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> ''),
+             x -> lower(x))), [{stop}])) AS n_stop
+  FROM src
+),
+gates0 AS (
+  SELECT {gates}
+  FROM feat
+),
+gates AS (
+  SELECT *, CASE WHEN {allsum} = 7 THEN 1 ELSE 0 END AS all_rules FROM gates0
+),
+stacked AS (
+{legs}
+  UNION ALL
+  SELECT 'all_rules' AS rule, all_rules AS pass_flag FROM gates
+)
+SELECT rule,
+       CAST(sum(pass_flag) AS BIGINT) AS n_pass,
+       CAST(count(*) - sum(pass_flag) AS BIGINT) AS n_fail,
+       round(sum(pass_flag) / count(*), 6) AS pass_share
+FROM stacked
+GROUP BY rule
+ORDER BY rule
+"""

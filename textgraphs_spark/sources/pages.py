@@ -487,3 +487,73 @@ SELECT i AS doc_id,
   ) AS text
 FROM range(0, {n_pages}) t(i)
 """
+
+
+def gopher_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic page corpus for the Gopher-rule census — pure
+    index arithmetic (RNG-free), regenerated bit-identically by
+    ``gopher_pages_sql``. Residue ``i % 13`` selects exactly ONE rule
+    violation per page (all other rules still pass on that page, so the
+    census attributes every failure to its own rule):
+
+    * 1 → 6 words (< 50)                      — fails word_count
+    * 2 → 15.5-char average words             — fails mean_word_len
+    * 3 → 10 standalone ``#`` of 71 words     — fails symbol_ratio
+    * 4 → 10/10 lines start with ``- ``       — fails bullet_lines
+    * 5 → 10/15 lines end with ``...``/``…``  — fails ellipsis_lines
+    * 6 → 20 numeric tokens of 81 words       — fails alpha_words
+    * 7 → zero Gopher stopwords in 56 words   — fails stop_words
+    * else (6/13 of pages)                    — passes every rule
+    """
+    i = F.col("id")
+    base = F.concat(
+        F.format_string("page %d of the corpus with words that have value to be used",
+                        i.cast("int")),
+        F.expr("repeat(' data quality filter corpus token mix', 8)"),
+    )
+    ell_unit = ("plain line about the corpus of record\n"
+                "noted line trails away the record of it...\n"
+                "more line drifts beyond the record of it…\n")
+    text = (
+        F.when(i % 13 == 1, F.format_string("the tiny little page of %d", i.cast("int")))
+        .when(i % 13 == 2, F.concat(
+            F.lit("the of"), F.expr("repeat(' extraordinarily incomprehensible', 30)")))
+        .when(i % 13 == 3, F.concat(base, F.expr("repeat(' #', 10)")))
+        .when(i % 13 == 4, F.expr(
+            "repeat('- the item list of entry records here\\n', 10)"))
+        .when(i % 13 == 5, F.lit(ell_unit * 5))
+        .when(i % 13 == 6, F.concat(base, F.expr("repeat(' 1234567', 20)")))
+        .when(i % 13 == 7, F.concat(
+            F.lit("corpus data"),
+            F.expr("repeat(' corpus token filter quality data mix', 9)")))
+        .otherwise(base)
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def gopher_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``gopher_pages`` — keep residues and literals in
+    lockstep."""
+    ell_unit = ("plain line about the corpus of record\n"
+                "noted line trails away the record of it...\n"
+                "more line drifts beyond the record of it…\n")
+    ell = (ell_unit * 5).replace("\n", "' || chr(10) || '")
+    return f"""
+SELECT i AS doc_id,
+  CASE
+    WHEN i % 13 = 1 THEN 'the tiny little page of ' || i
+    WHEN i % 13 = 2 THEN 'the of' || repeat(' extraordinarily incomprehensible', 30)
+    WHEN i % 13 = 3 THEN 'page ' || i || ' of the corpus with words that have value to be used'
+                         || repeat(' data quality filter corpus token mix', 8)
+                         || repeat(' #', 10)
+    WHEN i % 13 = 4 THEN repeat('- the item list of entry records here' || chr(10), 10)
+    WHEN i % 13 = 5 THEN '{ell}'
+    WHEN i % 13 = 6 THEN 'page ' || i || ' of the corpus with words that have value to be used'
+                         || repeat(' data quality filter corpus token mix', 8)
+                         || repeat(' 1234567', 20)
+    WHEN i % 13 = 7 THEN 'corpus data' || repeat(' corpus token filter quality data mix', 9)
+    ELSE 'page ' || i || ' of the corpus with words that have value to be used'
+         || repeat(' data quality filter corpus token mix', 8)
+  END AS text
+FROM range(0, {n_pages}) t(i)
+"""
