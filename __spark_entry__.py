@@ -1254,6 +1254,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return gopher_census(gopher_pages(spark))
 
+    def er_edit_join(spark, sf_dir):
+        # edit-distance similarity join (ED-Join): positional q-gram
+        # prefix filter + JVM levenshtein verify; the oracle is the
+        # naive quadratic join, so hash-green == pruning is lossless
+        from textgraphs_spark.operators.blocking import edit_distance_join
+        from textgraphs_spark.plans.er_eval import eval_entities
+
+        return edit_distance_join(eval_entities(spark))
+
     def er_star_clusters(spark, sf_dir):
         # precision-first alternative to transitive closure: star
         # clustering (independent-set centers by degree order, best-
@@ -1508,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four added after the r4 snapshot
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
+        "er_edit_join": er_edit_join,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2205,6 +2215,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
+        er_edit_join_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_star_clusters_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
@@ -2266,6 +2277,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_eval_clusters": er_eval_clusters_sql(),
         "er_star_clusters": er_star_clusters_sql(),
         "quality_gopher": _gopher_census_oracle(),
+        "er_edit_join": er_edit_join_sql(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "er_threshold_sweep": er_threshold_sweep_sql(),

@@ -516,3 +516,45 @@ def test_gopher_census_on_generator(spark):
     n_bad = sum(res_count[r] for r in rule_residue.values())
     assert got["all_rules"]["n_pass"] == n - n_bad
     assert abs(got["all_rules"]["pass_share"] - (n - n_bad) / n) < 1e-9
+
+
+def test_edit_join_matches_naive_with_short_strings(spark):
+    """edit_distance_join == the naive quadratic join on a corpus that
+    exercises every channel: short strings sharing ZERO grams but
+    within distance k ('ab'/'cd' would be invisible to any gram index —
+    the short channel must catch them), transpositions (lev 2),
+     1-substitutions, and far pairs that must be pruned."""
+    import itertools
+
+    from textgraphs_spark.operators.blocking import edit_distance_join
+
+    surfs = [
+        "ab", "cd", "abc", "alice stone", "alice stnoe", "alise stone",
+        "bob stone", "alice ston", "wholly unrelated surface", "a", "",
+    ]
+    ents = spark.createDataFrame(
+        [(f"e{i}", s) for i, s in enumerate(surfs)], "entity_key string, surface string"
+    )
+    got = {(r["left_id"], r["right_id"]): r["lev"]
+           for r in edit_distance_join(ents, k=2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(surfs), 2):
+        d = lev(a.lower(), b.lower())
+        if d <= 2:
+            # engine contract (and oracle): left_id < right_id as STRINGS,
+            # not enumeration order — "e10" sorts before "e9"
+            want[tuple(sorted((f"e{i}", f"e{j}")))] = d
+    assert got == want
+    assert got[("e0", "e1")] == 2          # zero shared grams, short channel
+    assert got[("e3", "e4")] == 2          # transposition
+    assert ("e3", "e8") not in got         # far pair pruned AND verified out

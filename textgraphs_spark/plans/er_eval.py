@@ -2684,3 +2684,23 @@ UNION ALL
 SELECT 'star' AS method, * FROM strow
 ORDER BY method
 """
+
+
+def er_edit_join_sql(*, n_base: int = 150, n_twin: int = 30, k: int = 2) -> str:
+    """Oracle for blocking.edit_distance_join over eval_entities: the
+    NAIVE quadratic join (every pair, native levenshtein) — a green
+    record therefore proves the engine's q-gram prefix pruning lossless
+    on the labeled corpus, the same contract as er_tfidf_pairs."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+keyed AS (
+  SELECT entity_key,
+         trim(lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g'))) AS s
+  FROM entities
+)
+SELECT a.entity_key AS left_id, b.entity_key AS right_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
+FROM keyed a JOIN keyed b ON a.entity_key < b.entity_key
+WHERE levenshtein(a.s, b.s) <= {k}
+ORDER BY left_id, right_id
+"""
