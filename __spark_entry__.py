@@ -1254,6 +1254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return gopher_census(gopher_pages(spark))
 
+    def quality_c4(spark, sf_dir):
+        # C4 line filter (Raffel et al. 2020 §2.2) over the deterministic
+        # dirty-page corpus: per-doc kept-line counts, sentence gate,
+        # page gates, and md5 of the cleaned text (byte parity) — one
+        # map-only codegen scan, zero shuffles before the orderBy
+        from textgraphs_spark.operators.textquality import c4_line_filter
+        from textgraphs_spark.sources.pages import c4_pages
+
+        return c4_line_filter(c4_pages(spark))
+
     def er_edit_join(spark, sf_dir):
         # edit-distance similarity join (ED-Join): positional q-gram
         # prefix filter + JVM levenshtein verify; the oracle is the
@@ -1517,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four added after the r4 snapshot
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
+        "quality_c4": quality_c4,
         "er_edit_join": er_edit_join,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
@@ -1660,6 +1671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _c4_filter_oracle() -> str:
+    """Oracle for quality_c4: the regenerated dirty-page corpus fed
+    through the shared c4_line_filter SQL twin."""
+    from textgraphs_spark.operators.textquality import c4_line_filter_select
+    from textgraphs_spark.sources.pages import c4_pages_sql
+
+    return c4_line_filter_select(c4_pages_sql())
 
 
 def _gopher_census_oracle() -> str:
@@ -2277,6 +2297,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_eval_clusters": er_eval_clusters_sql(),
         "er_star_clusters": er_star_clusters_sql(),
         "quality_gopher": _gopher_census_oracle(),
+        "quality_c4": _c4_filter_oracle(),
         "er_edit_join": er_edit_join_sql(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),

@@ -558,3 +558,33 @@ def test_edit_join_matches_naive_with_short_strings(spark):
     assert got[("e0", "e1")] == 2          # zero shared grams, short channel
     assert got[("e3", "e4")] == 2          # transposition
     assert ("e3", "e8") not in got         # far pair pruned AND verified out
+
+
+def test_c4_line_filter_on_generator(spark):
+    """Every C4 gate fires on exactly the residues built to trip it:
+    0-kept pages (no terminal punct / short lines), 2-kept pages
+    (javascript / policy lines pruned, sentence gate then fails),
+    page-gate drops with intact kept lines (lorem kept 5, brace kept 4,
+    badword kept 5), and the 3/11 clean residues keep=1."""
+    from textgraphs_spark.operators.textquality import c4_line_filter
+    from textgraphs_spark.sources.pages import c4_pages
+
+    rows = c4_line_filter(c4_pages(spark, n_pages=440)).collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["doc_id"] % 11, []).append(r)
+    for res, want_kept, want_keep in [
+        (1, 0, 0), (2, 0, 0), (3, 2, 0), (4, 2, 0),
+        (5, 5, 0), (6, 4, 0), (7, 5, 0), (8, 2, 0),
+        (0, 4, 1), (9, 4, 1), (10, 4, 1),
+    ]:
+        assert all(r["n_kept"] == want_kept for r in by_res[res]), res
+        assert all(r["keep"] == want_keep for r in by_res[res]), res
+    # page-gate drops keep their cleaned text (sentences >= 3) — the
+    # drop is attributable to the page gate alone
+    for res in (5, 6, 7):
+        assert all(r["n_sentences"] >= 3 for r in by_res[res])
+    # empty cleaned text hashes as md5('') in both engines
+    import hashlib
+    empty = hashlib.md5(b"").hexdigest()
+    assert all(r["clean_md5"] == empty for r in by_res[1])

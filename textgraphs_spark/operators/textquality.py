@@ -409,3 +409,150 @@ FROM stacked
 GROUP BY rule
 ORDER BY rule
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter (Raffel et al. 2020, section 2.2 — the public line-level
+# cleaning rules behind the Colossal Clean Crawled Corpus; reference has no
+# cleaning pass, this is LLM-pipeline surface beyond it)
+# ---------------------------------------------------------------------------
+
+# Stand-in for C4's external badword list (the "Dirty, Naughty" list is not
+# shipped here); the GATE mechanics — lowercase alnum word-token membership —
+# are the real, tested surface. Callers pass their production list.
+C4_BADWORDS = ("obscenity", "profanity")
+
+_C4_POLICY = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """C4-style page cleaning as ONE map-only projection: line-level
+    keep rules + page-level gates, per doc — (doc_id, n_lines, n_kept,
+    n_sentences, keep, clean_md5) ordered by doc_id.
+
+    Line KEPT iff: ends in terminal punctuation (. ! ? "), has >= 5
+    whitespace words, and contains neither 'javascript' nor a policy
+    phrase (terms of use / privacy policy / cookie policy / uses
+    cookies), all case-insensitive. Page KEPT iff the cleaned text has
+    >= 3 sentences AND the ORIGINAL page has no 'lorem ipsum', no '{',
+    and no badword token (C4 applies the page gates before/independent
+    of line pruning). ``clean_md5`` = md5 of the kept lines joined by
+    newline — the byte-parity channel for the cleaned text itself;
+    cross-doc 3-sentence-span dedup is the separate
+    ``webdata.cross_doc_repetition`` / span-removal surface.
+
+    100 TB shape: zero UDFs, zero shuffles before the final orderBy —
+    every rule is a codegen'd higher-order array expression in a single
+    corpus scan; the transform is a pure per-row map, so it composes
+    with any downstream dedup/curation stage without a barrier.
+    """
+    t = F.col(text_col)
+
+    def n_words(l: Column) -> Column:
+        return F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+
+    def is_kept(l: Column) -> Column:
+        lo = F.lower(l)
+        bad = lo.contains("javascript")
+        for p in _C4_POLICY:
+            bad = bad | lo.contains(p)
+        return (
+            (l.like("%.") | l.like("%!") | l.like("%?") | l.like('%"'))
+            & (n_words(l) >= 5)
+            & ~bad
+        )
+
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: x != "")
+    )
+    no_badword = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in badwords]))
+    ) == 0
+    page_ok = (
+        ~F.lower(t).contains("lorem ipsum") & ~t.contains("{") & no_badword
+    )
+    n_sent = F.size(
+        F.filter(F.split(F.col("_clean"), r"[.!?]+"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(lines).cast("long").alias("n_lines"),
+            F.array_join(F.filter(lines, is_kept), "\n").alias("_clean"),
+            page_ok.alias("_page_ok"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            F.size(F.split(F.col("_clean"), r"\n")).cast("long").alias("_nk"),
+            n_sent.alias("n_sentences"),
+            F.when((n_sent >= 3) & F.col("_page_ok"), 1).otherwise(0)
+            .cast("long").alias("keep"),
+            F.md5(F.col("_clean")).alias("clean_md5"),
+            F.col("_clean"),
+        )
+        .select(
+            id_col, "n_lines",
+            F.when(F.col("_clean") == "", F.lit(0)).otherwise(F.col("_nk"))
+            .cast("long").alias("n_kept"),
+            "n_sentences", "keep", "clean_md5",
+        )
+        .orderBy(id_col)
+    )
+
+
+def c4_line_filter_select(
+    source_sql: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> str:
+    """DuckDB twin of ``c4_line_filter`` over ``{source_sql}`` — same
+    line predicate, page gates, and md5-of-cleaned-text channel."""
+    bad = ", ".join(f"'{w}'" for w in badwords)
+    policy = " OR ".join(
+        f"contains(lower(l), '{p}')" for p in ("javascript",) + _C4_POLICY
+    )
+    kept = (
+        "list_filter(list_filter(list_transform(string_split({t}, chr(10)),"
+        " x -> trim(x)), x -> x <> ''),"
+        " l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"')"
+        " AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5"
+        f" AND NOT ({policy}))"
+    ).format(t=text_col)
+    return f"""WITH src AS ({source_sql}),
+feat AS (
+  SELECT {id_col},
+         len(list_filter(list_transform(string_split({text_col}, chr(10)),
+             x -> trim(x)), x -> x <> '')) AS n_lines,
+         coalesce(array_to_string({kept}, chr(10)), '') AS clean,
+         len({kept}) AS n_kept,
+         (NOT contains(lower({text_col}), 'lorem ipsum')
+          AND NOT contains({text_col}, '{{')
+          AND len(list_intersect(list_distinct(list_filter(
+                string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                x -> x <> '')), [{bad}])) = 0) AS page_ok
+  FROM src
+)
+SELECT {id_col},
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(len(list_filter(string_split_regex(clean, '[.!?]+'),
+            s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN len(list_filter(string_split_regex(clean, '[.!?]+'),
+            s -> trim(s) <> '')) >= 3 AND page_ok THEN 1 ELSE 0 END
+            AS BIGINT) AS keep,
+       md5(clean) AS clean_md5
+FROM feat
+ORDER BY {id_col}
+"""

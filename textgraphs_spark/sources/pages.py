@@ -557,3 +557,92 @@ SELECT i AS doc_id,
   END AS text
 FROM range(0, {n_pages}) t(i)
 """
+
+
+def c4_pages(spark: SparkSession, n_pages: int = 440) -> DataFrame:
+    """Deterministic page corpus for the C4 line-filter — pure index
+    arithmetic (RNG-free), regenerated bit-identically by
+    ``c4_pages_sql``. Residue ``i % 11`` selects exactly one violation
+    (line-level rules dropping lines, or a page gate):
+
+    * 1 → no line ends in terminal punctuation   — 0 kept, page dropped
+    * 2 → every line under 5 words               — 0 kept, page dropped
+    * 3 → 2 of 4 lines mention javascript        — 2 kept, < 3 sentences
+    * 4 → 2 of 4 lines are policy boilerplate    — 2 kept, < 3 sentences
+    * 5 → clean lines + a lorem-ipsum line       — page gate fails
+    * 6 → clean lines + a '{' code line          — page gate fails
+    * 7 → clean lines + a badword line           — page gate fails
+    * 8 → only two clean lines                   — sentence gate fails
+    * else (3/11 of pages)                       — kept intact
+    """
+    i = F.col("id")
+    l1 = F.format_string("page %d corpus line one carries the signal.",
+                         i.cast("int"))
+    l2 = "the second corpus line also carries weight."
+    l3 = "a third line of the corpus follows through."
+    l4 = "the fourth line closes the record cleanly."
+    nl = "\n"
+    base = F.concat(l1, F.lit(nl + l2 + nl + l3 + nl + l4))
+    text = (
+        F.when(i % 11 == 1, F.concat(
+            F.format_string("page %d corpus line one carries the signal",
+                            i.cast("int")),
+            F.lit(nl + l2[:-1] + nl + l3[:-1] + nl + l4[:-1])))
+        .when(i % 11 == 2, F.lit(
+            "tiny line one." + nl + "small two here." + nl
+            + "short three now." + nl + "lil four done."))
+        .when(i % 11 == 3, F.concat(l1, F.lit(
+            nl + "please enable javascript to view this page."
+            + nl + l2
+            + nl + "our site needs javascript running to work well.")))
+        .when(i % 11 == 4, F.concat(l1, F.lit(
+            nl + "read the privacy policy for the details here."
+            + nl + l2
+            + nl + "the cookie policy covers all tracking matters here.")))
+        .when(i % 11 == 5, F.concat(base, F.lit(
+            nl + "lorem ipsum dolor sit amet consectetur adipiscing elit.")))
+        .when(i % 11 == 6, F.concat(base, F.lit(
+            nl + "var config = { mode: corpus }")))
+        .when(i % 11 == 7, F.concat(base, F.lit(
+            nl + "the page holds one obscenity within the corpus text.")))
+        .when(i % 11 == 8, F.concat(l1, F.lit(nl + l2)))
+        .otherwise(base)
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), text.alias("text"))
+
+
+def c4_pages_sql(n_pages: int = 440) -> str:
+    """DuckDB twin of ``c4_pages`` — keep residues and literals in
+    lockstep."""
+    l2 = "the second corpus line also carries weight."
+    l3 = "a third line of the corpus follows through."
+    l4 = "the fourth line closes the record cleanly."
+    nl = "' || chr(10) || '"
+    base = ("'page ' || i || ' corpus line one carries the signal.'"
+            f" || chr(10) || '{l2}{nl}{l3}{nl}{l4}'")
+    return f"""
+SELECT i AS doc_id,
+  CASE
+    WHEN i % 11 = 1 THEN 'page ' || i || ' corpus line one carries the signal'
+         || chr(10) || '{l2[:-1]}{nl}{l3[:-1]}{nl}{l4[:-1]}'
+    WHEN i % 11 = 2 THEN 'tiny line one.{nl}small two here.{nl}short three now.{nl}lil four done.'
+    WHEN i % 11 = 3 THEN 'page ' || i || ' corpus line one carries the signal.'
+         || chr(10) || 'please enable javascript to view this page.'
+         || chr(10) || '{l2}'
+         || chr(10) || 'our site needs javascript running to work well.'
+    WHEN i % 11 = 4 THEN 'page ' || i || ' corpus line one carries the signal.'
+         || chr(10) || 'read the privacy policy for the details here.'
+         || chr(10) || '{l2}'
+         || chr(10) || 'the cookie policy covers all tracking matters here.'
+    WHEN i % 11 = 5 THEN {base}
+         || chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+    WHEN i % 11 = 6 THEN {base}
+         || chr(10) || 'var config = {{ mode: corpus }}'
+    WHEN i % 11 = 7 THEN {base}
+         || chr(10) || 'the page holds one obscenity within the corpus text.'
+    WHEN i % 11 = 8 THEN 'page ' || i || ' corpus line one carries the signal.'
+         || chr(10) || '{l2}'
+    ELSE {base}
+  END AS text
+FROM range(0, {n_pages}) t(i)
+"""
