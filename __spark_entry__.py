@@ -1264,6 +1264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return c4_line_filter(c4_pages(spark))
 
+    def er_jaccard_join(spark, sf_dir):
+        # token-set Jaccard similarity join (PPJoin prefix filter):
+        # rarest-first canonical order, per-set prefix, length filter,
+        # exact set verify; oracle = naive quadratic join, so
+        # hash-green == pruning is lossless
+        from textgraphs_spark.operators.blocking import jaccard_set_join
+        from textgraphs_spark.plans.er_eval import eval_entities
+
+        return jaccard_set_join(eval_entities(spark))
+
     def er_edit_join(spark, sf_dir):
         # edit-distance similarity join (ED-Join): positional q-gram
         # prefix filter + JVM levenshtein verify; the oracle is the
@@ -1529,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
         "er_edit_join": er_edit_join,
+        "er_jaccard_join": er_jaccard_join,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2235,7 +2246,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
-        er_edit_join_sql,
+        er_edit_join_sql, er_jaccard_join_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_star_clusters_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
@@ -2299,6 +2310,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "quality_gopher": _gopher_census_oracle(),
         "quality_c4": _c4_filter_oracle(),
         "er_edit_join": er_edit_join_sql(),
+        "er_jaccard_join": er_jaccard_join_sql(),
         "er_golden_records": er_golden_records_sql(),
         "er_cluster_cohesion": er_cluster_cohesion_sql(),
         "er_threshold_sweep": er_threshold_sweep_sql(),

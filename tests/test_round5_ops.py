@@ -588,3 +588,56 @@ def test_c4_line_filter_on_generator(spark):
     import hashlib
     empty = hashlib.md5(b"").hexdigest()
     assert all(r["clean_md5"] == empty for r in by_res[1])
+
+
+def test_jaccard_join_matches_naive(spark):
+    """jaccard_set_join == the naive quadratic join on a corpus with
+    identical sets (j=1), majority-overlap sets, sub-threshold pairs,
+    singleton tokens, and an empty-after-normalization surface (must be
+    excluded, not crash)."""
+    import itertools
+
+    from textgraphs_spark.operators.blocking import jaccard_set_join
+
+    surfs = [
+        "alice stone", "alice b stone", "stone alice", "alice stone jr",
+        "bob iron gate", "iron gate", "zz", "", "alice", "bob gate iron",
+    ]
+    ents = spark.createDataFrame(
+        [(f"e{i:02d}", s) for i, s in enumerate(surfs)],
+        "entity_key string, surface string",
+    )
+    got = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in jaccard_set_join(ents, threshold=0.5).collect()}
+
+    def toks(s):
+        return set(t for t in s.lower().split() if t)
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(surfs), 2):
+        ta, tb = toks(a), toks(b)
+        if not ta or not tb:
+            continue
+        jac = len(ta & tb) / len(ta | tb)
+        if round(jac, 9) >= 0.5:
+            want[(f"e{i:02d}", f"e{j:02d}")] = round(jac, 6)
+    assert got == want
+    assert got[("e00", "e02")] == 1.0            # same token set, reordered
+    assert got[("e04", "e09")] == 1.0            # 3-token permutation
+    assert got[("e00", "e01")] == round(2 / 3, 6)
+    # ('alice stone','alice') -> |inter|=1, |union|=2 -> exactly 0.5: kept,
+    # and the length filter (1 >= 0.5*2) admits the asymmetric pair
+    assert got[("e00", "e08")] == 0.5
+
+
+def test_jaccard_join_threshold_boundary(spark):
+    """A pair at exactly the threshold is KEPT (>=, both engines round
+    through 9 digits first)."""
+    from textgraphs_spark.operators.blocking import jaccard_set_join
+
+    ents = spark.createDataFrame(
+        [("a", "alice stone"), ("b", "alice")],
+        "entity_key string, surface string",
+    )
+    rows = jaccard_set_join(ents, threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 0.5

@@ -603,3 +603,105 @@ def edit_distance_join(
         .select("left_id", "right_id", "lev")
         .orderBy("left_id", "right_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-set Jaccard similarity join (PPJoin-style prefix filter
+# + exact set verify)
+# ---------------------------------------------------------------------------
+
+def jaccard_set_join(
+    entities: DataFrame,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "entity_key",
+) -> DataFrame:
+    """All unordered surface pairs with token-set Jaccard >=
+    ``threshold`` — WITHOUT the naive all-pairs join (prefix filtering,
+    Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin WWW'08; completes the
+    lossless-similarity-join family next to ``tfidf_cosine_pairs``
+    (cosine) and ``edit_distance_join`` (edit distance)).
+
+    Plan (lossless by the prefix-filter theorem):
+
+    1. distinct normalized tokens per surface; one global token-df
+       table (vocabulary-sized, broadcastable);
+    2. canonical token order = (df asc, token asc) — rarest first, so
+       hot postings (common name tokens) are pruned out of prefixes;
+    3. PREFIX selection: a set of n tokens keeps its first
+       n - ceil(t*n) + 1; J(A,B) >= t with the length filter implies
+       |A∩B| >= ceil(t*max(|A|,|B|)), so the two prefixes MUST share a
+       token (pigeonhole under one global order);
+    4. inverted-index join on prefix token + length filter
+       (min(na, nb) >= t * max(na, nb)), distinct pairs;
+    5. exact verify: |A∩B| / (na + nb - |A∩B|) >= t on the full sets.
+
+    Output: (left_id, right_id, jaccard rounded to 6). The oracle twin
+    is the NAIVE quadratic join — a hash-green record proves the
+    pruning loses nothing on the labeled corpus.
+
+    100 TB shape: runs on the DISTINCT-surface vocabulary; candidate
+    volume is bounded by prefix-posting products on the RAREST tokens,
+    and the length filter caps each posting's fan-out. No all-pairs
+    anywhere.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    r = (
+        normalize_names(entities)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.col("norm")), " +"), lambda x: x != "")
+            ).alias("ts"),
+        )
+        .withColumn("n", F.size("ts"))
+        .filter(F.col("n") > 0)
+    )
+    toks = r.select("_id", F.explode("ts").alias("tok"))
+    df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        toks.join(F.broadcast(df_tab), "tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("os"))
+        .select("_id", F.expr("transform(os, s -> s.tok)").alias("os"))
+    )
+    pre = (
+        r.join(ordered, "_id")
+        .select(
+            "_id", "ts", "n",
+            F.slice(
+                "os", 1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            ).alias("pre"),
+        )
+    )
+    side = pre.select("_id", "ts", "n", F.explode("pre").alias("tok"))
+    return (
+        side.alias("a")
+        .join(
+            side.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.least("a.n", "b.n")
+               >= F.lit(t) * F.greatest("a.n", "b.n")),
+        )
+        .select(
+            F.col("a._id").alias("left_id"), F.col("b._id").alias("right_id"),
+            F.col("a.ts").alias("lts"), F.col("b.ts").alias("rts"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .distinct()
+        .withColumn("_i", F.size(F.array_intersect("lts", "rts")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i")), 6),
+        )
+        .filter(
+            F.round(F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i")), 9)
+            >= t
+        )
+        .select("left_id", "right_id", "jaccard")
+        .orderBy("left_id", "right_id")
+    )

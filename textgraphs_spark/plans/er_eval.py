@@ -2704,3 +2704,35 @@ FROM keyed a JOIN keyed b ON a.entity_key < b.entity_key
 WHERE levenshtein(a.s, b.s) <= {k}
 ORDER BY left_id, right_id
 """
+
+
+def er_jaccard_join_sql(
+    *, n_base: int = 150, n_twin: int = 30, threshold: float = 0.5
+) -> str:
+    """Oracle for blocking.jaccard_set_join over eval_entities: the
+    NAIVE quadratic join (every pair, exact list intersection) — a
+    green record therefore proves the engine's prefix-filter pruning
+    lossless on the labeled corpus, same contract as er_tfidf_pairs
+    (cosine) and er_edit_join (edit distance)."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+keyed AS (
+  SELECT entity_key,
+         list_distinct(list_filter(
+           string_split_regex(
+             trim(lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g'))),
+             ' +'),
+           x -> x <> '')) AS ts
+  FROM entities
+),
+sized AS (
+  SELECT entity_key, ts, len(ts) AS n FROM keyed WHERE len(ts) > 0
+)
+SELECT a.entity_key AS left_id, b.entity_key AS right_id,
+       round(len(list_intersect(a.ts, b.ts))
+             / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+FROM sized a JOIN sized b ON a.entity_key < b.entity_key
+WHERE round(len(list_intersect(a.ts, b.ts))
+            / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 9) >= {threshold}
+ORDER BY left_id, right_id
+"""
