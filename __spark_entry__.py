@@ -177,6 +177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("src_key").alias("src"), F.col("dst_key").alias("dst")
         )
 
+    def graph_modularity(spark, sf_dir):
+        # Newman modularity decomposed per label-prop community over the
+        # lemma graph — q_part sums to Q; oracle shares the engine's
+        # exact unrolled label chain so the partition cannot drift
+        from textgraphs_spark.operators.graphops import modularity_by_community
+
+        return modularity_by_community(_lemma_graph_edges(spark, sf_dir))
+
     def graph_triangles(spark, sf_dir):
         # degree-ordered oriented triangle counting (Suri-Vassilvitskii
         # shape) — out-degrees bounded by O(sqrt(m)), wedge join by m^1.5
@@ -1673,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_review_queue": er_review_queue,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
+        "graph_modularity": graph_modularity,
         "graph_triangles": graph_triangles,
         "graph_link_prediction": graph_link_prediction,
     }
@@ -2225,7 +2234,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         assortativity_sql, clustering_coefficient_sql,
         corpus_pagerank_sql, er_clusters_sql, er_ranked_clusters_sql,
         extract_mentions_sql, harmonic_centrality_sql, hits_sql, kcore_sql,
-        ktruss_sql, label_propagation_sql, lemma_edges_sql,
+        ktruss_sql, label_propagation_sql, lemma_edges_sql, modularity_sql,
         lemma_nodes_sql, link_prediction_sql, neighborhood_function_sql,
         personalized_pagerank_sql, ranked_phrases_sql, triangle_counts_sql,
     )
@@ -2270,6 +2279,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         "er_ranked_clusters": er_ranked_clusters_sql(),
         "corpus_pagerank": corpus_pagerank_sql(),
         "communities_label_prop": label_propagation_sql(),
+        "graph_modularity": modularity_sql(),
         "graph_triangles": triangle_counts_sql(),
         "graph_harmonic": harmonic_centrality_sql(),
         "graph_reach_curve": neighborhood_function_sql(),

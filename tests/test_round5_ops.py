@@ -641,3 +641,57 @@ def test_jaccard_join_threshold_boundary(spark):
     )
     rows = jaccard_set_join(ents, threshold=0.5).collect()
     assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by a bridge, plus a pendant in its own
+    community: hand-computed q_part per community (m=8), including the
+    zero-intra-edge community (left-join fill, negative q_part)."""
+    from textgraphs_spark.operators.graphops import modularity_by_community
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"),
+         ("c", "d"), ("a", "g")],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"),
+         ("d", "y"), ("e", "y"), ("f", "y"), ("g", "z")],
+        "node string, label string",
+    )
+    got = {r["label"]: r for r in modularity_by_community(edges, labels).collect()}
+    assert got["x"]["n_nodes"] == 3 and got["x"]["m_intra"] == 3
+    assert got["x"]["d_sum"] == 8          # deg a=3, b=2, c=3
+    assert got["x"]["q_part"] == round(3 / 8 - (8 / 16) ** 2, 6)
+    assert got["y"]["d_sum"] == 7          # deg d=3, e=2, f=2
+    assert got["y"]["q_part"] == round(3 / 8 - (7 / 16) ** 2, 6)
+    assert got["z"]["m_intra"] == 0 and got["z"]["d_sum"] == 1
+    assert got["z"]["q_part"] == round(-((1 / 16) ** 2), 6)
+    # partition quality is the sum of the parts
+    q = sum(r["q_part"] for r in got.values())
+    assert abs(q - (0.125 + round(3 / 8 - (7 / 16) ** 2, 6) - 0.003906)) < 1e-5
+
+
+def test_modularity_default_labels_are_label_prop(spark):
+    """With labels omitted the operator scores its own label-prop
+    partition — every node appears exactly once and q_part sums to a
+    finite Q in [-1, 1]."""
+    from textgraphs_spark.operators.graphops import (
+        label_propagation, modularity_by_community,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "f"),
+         ("f", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    rows = modularity_by_community(edges).collect()
+    n_nodes = sum(r["n_nodes"] for r in rows)
+    assert n_nodes == 6
+    q = sum(r["q_part"] for r in rows)
+    assert -1.0 <= q <= 1.0
+    # the partition scored is exactly label_propagation's
+    labs = label_propagation(edges)
+    want_labels = {r["label"] for r in labs.collect()}
+    assert {r["label"] for r in rows} == want_labels

@@ -747,3 +747,78 @@ def ktruss(
     return edges.sparkSession.createDataFrame(
         [], "a string, b string, support long"
     ) if n_alive == 0 else sup
+
+
+def modularity_by_community(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Newman modularity decomposed per community — (label, n_nodes,
+    m_intra, d_sum, q_part) ordered by label, where
+    ``q_part = m_intra/m - (d_sum/(2m))^2`` and ``sum(q_part) = Q``,
+    the quality score of the partition (Newman & Girvan 2004, eq. 5).
+    The per-community rows localize WHICH communities carry the
+    structure — the actionable form for cluster QA, and a far stronger
+    oracle surface than the single scalar.
+
+    ``labels`` defaults to ``label_propagation(edges, max_iter)`` so the
+    score audits the repo's own community operator; callers may pass any
+    (node, label) frame (e.g. ER cluster assignments) to score it.
+
+    Scale: the graph reduces to the distinct a<b edge set once; per-label
+    degree sums and intra-edge counts are two map-side-combining hash
+    aggs; the single scalar ``m`` rides a 1-row broadcast crossJoin (the
+    repo's parameter-frame pattern). No window, no driver loop.
+    """
+    if labels is None:
+        labels = label_propagation(edges, src=src, dst=dst, max_iter=max_iter)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m_df = e.agg(F.count("*").cast("long").alias("_m"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    intra = (
+        e.join(la, "a").join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("long").alias("m_intra"))
+    )
+    per_label = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+        .join(intra, "label", "left")
+        .na.fill({"m_intra": 0})
+    )
+    return (
+        per_label.crossJoin(F.broadcast(m_df))
+        .select(
+            "label", "n_nodes", "m_intra", "d_sum",
+            F.round(
+                F.col("m_intra") / F.col("_m")
+                - (F.col("d_sum") / (2.0 * F.col("_m"))) ** 2,
+                6,
+            ).alias("q_part"),
+        )
+        .orderBy("label")
+    )

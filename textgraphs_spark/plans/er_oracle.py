@@ -849,15 +849,13 @@ LIMIT {top}
 """
 
 
-def label_propagation_sql(
-    table: str = "documents", *, max_docs: int = 50, max_iter: int = 5
-) -> str:
-    """Oracle for label_propagation over the lemma graph of
-    doc_id < max_docs: synchronous rounds unrolled, each node adopting
-    the most frequent neighbor label with the (count DESC, label ASC)
-    deterministic tie-break — the same window formulation as the Spark
-    operator."""
-    steps = []
+def _label_prop_chain(max_iter: int) -> str:
+    """The unrolled synchronous label-propagation CTE chain over ``und``
+    (ends in ``lab{max_iter}``) — SHARED by label_propagation_sql and
+    modularity_sql so engine and oracle label semantics cannot drift."""
+    steps = ["""lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM und
+)"""]
     for k in range(1, max_iter + 1):
         prev = f"lab{k - 1}"
         steps.append(f"""lab{k} AS MATERIALIZED (
@@ -869,7 +867,17 @@ def label_propagation_sql(
     GROUP BY u.a, l.label
   ) WHERE rn = 1
 )""")
-    chain = ",\n".join(steps)
+    return ",\n".join(steps)
+
+
+def label_propagation_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 5
+) -> str:
+    """Oracle for label_propagation over the lemma graph of
+    doc_id < max_docs: synchronous rounds unrolled, each node adopting
+    the most frequent neighbor label with the (count DESC, label ASC)
+    deterministic tie-break — the same window formulation as the Spark
+    operator."""
     return f"""WITH
 {graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
 und AS MATERIALIZED (
@@ -878,11 +886,62 @@ und AS MATERIALIZED (
     UNION ALL SELECT dst_key, src_key FROM edge_rows
   )
 ),
-lab0 AS MATERIALIZED (
-  SELECT DISTINCT a AS node, a AS label FROM und
-),
-{chain}
+{_label_prop_chain(max_iter)}
 SELECT node, label FROM lab{max_iter} ORDER BY node
+"""
+
+
+def modularity_sql(
+    table: str = "documents", *, max_docs: int = 50, max_iter: int = 5
+) -> str:
+    """Oracle for graphops.modularity_by_community over the label-prop
+    communities of the lemma graph: the identical unrolled label chain
+    (shared CTE generator), then per-label degree sums and intra-edge
+    counts over the distinct a<b edge set, q_part = m_intra/m -
+    (d_sum/(2m))^2 rounded to 6."""
+    return f"""WITH
+{graph_ctes(f'(SELECT * FROM {table} WHERE doc_id < {max_docs}) AS lim')},
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src_key AS a, dst_key AS b FROM edge_rows
+    UNION ALL SELECT dst_key, src_key FROM edge_rows
+  )
+),
+{_label_prop_chain(max_iter)},
+labs AS (SELECT node, label FROM lab{max_iter}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src_key, dst_key) AS a,
+                  greatest(src_key, dst_key) AS b
+  FROM edge_rows WHERE src_key <> dst_key
+),
+mm AS (SELECT count(*) AS m FROM e),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+intra AS (
+  SELECT la.label, count(*) AS m_intra
+  FROM e JOIN labs la ON la.node = e.a
+         JOIN labs lb ON lb.node = e.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+per_label AS (
+  SELECT l.label,
+         count(*) AS n_nodes,
+         sum(d.deg) AS d_sum
+  FROM labs l JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+)
+SELECT p.label,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.m_intra, 0) AS BIGINT) AS m_intra,
+       CAST(p.d_sum AS BIGINT) AS d_sum,
+       round(coalesce(i.m_intra, 0) / mm.m
+             - (p.d_sum / (2.0 * mm.m)) ^ 2, 6) AS q_part
+FROM per_label p LEFT JOIN intra i ON i.label = p.label, mm
+ORDER BY p.label
 """
 
 
