@@ -1548,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4": quality_c4,
         "er_edit_join": er_edit_join,
         "er_jaccard_join": er_jaccard_join,
+        "graph_modularity": graph_modularity,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1681,7 +1682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_review_queue": er_review_queue,
         "lm_xent_buckets": lm_xent_buckets,
         "lm_xent_bucket_stats": lm_xent_bucket_stats,
-        "graph_modularity": graph_modularity,
         "graph_triangles": graph_triangles,
         "graph_link_prediction": graph_link_prediction,
     }
