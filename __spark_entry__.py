@@ -702,6 +702,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return SIM.ivf_topk(q, emb, k=5, n_cells=8, nprobe=4)
 
+    def ann_recall(spark, sf_dir):
+        # recall@5 of BOTH approximate indexes (multi-table LSH, IVF
+        # nprobe) against brute-force cosine on the sampled query set —
+        # the measured cost of replacing the cartesian with a bucketed
+        # join; per-query rows, exact integers
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        knn = SIM.brute_force_topk(q, emb, k=5).localCheckpoint()
+        lsh = SIM.topk_recall(knn, SIM.ann_topk(q, emb, k=5), "lsh", k=5)
+        ivf = SIM.topk_recall(
+            knn, SIM.ivf_topk(q, emb, k=5, n_cells=8, nprobe=4), "ivf", k=5
+        )
+        return ivf.unionByName(lsh).orderBy("method", "q_id")
+
     def embedding_near_dup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -1549,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_edit_join": er_edit_join,
         "er_jaccard_join": er_jaccard_join,
         "graph_modularity": graph_modularity,
+        "ann_recall": ann_recall,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1700,6 +1719,56 @@ def _c4_filter_oracle() -> str:
     from textgraphs_spark.sources.pages import c4_pages_sql
 
     return c4_line_filter_select(c4_pages_sql())
+
+
+def _knn_cosine_sql() -> str:
+    """Brute-force cosine top-5 oracle — shared verbatim by knn_cosine
+    and the ann_recall composition so the exact side cannot drift."""
+    return """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e0 WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(q.q_vec, e.embedding)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos_raw
+  FROM q CROSS JOIN e0 e
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_raw, 9) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_recall_oracle() -> str:
+    """Oracle for ann_recall: the three EXISTING oracle bodies (brute
+    cosine, multi-table LSH, IVF) wrapped as subqueries, recall@5 =
+    matched/5 per query per method — composition, not re-derivation, so
+    a drift in any index oracle surfaces here too."""
+    from textgraphs_spark.operators.similarity import ann_oracle_sql, ivf_oracle_sql
+
+    return f"""
+WITH knn AS (SELECT q_id, vec_id FROM ({_knn_cosine_sql()}) t),
+lsh AS (SELECT q_id, vec_id FROM ({ann_oracle_sql()}) t),
+ivf AS (SELECT q_id, vec_id FROM ({ivf_oracle_sql(n_cells=8, nprobe=4)}) t),
+per AS (
+  SELECT 'lsh' AS method, k.q_id,
+         count(a.vec_id) AS n_matched
+  FROM knn k LEFT JOIN lsh a ON a.q_id = k.q_id AND a.vec_id = k.vec_id
+  GROUP BY k.q_id
+  UNION ALL
+  SELECT 'ivf' AS method, k.q_id,
+         count(a.vec_id) AS n_matched
+  FROM knn k LEFT JOIN ivf a ON a.q_id = k.q_id AND a.vec_id = k.vec_id
+  GROUP BY k.q_id
+)
+SELECT method, q_id, CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched / 5.0, 6) AS recall
+FROM per ORDER BY method, q_id
+"""
 
 
 def _gopher_census_oracle() -> str:
@@ -2456,6 +2525,7 @@ FROM agg WHERE n_matched > 0
 """,
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
+        "ann_recall": _ann_recall_oracle(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,
@@ -2518,23 +2588,7 @@ SELECT left_id, right_id,
 FROM pairs
 WHERE mn > 0 AND inter * 1.0 / mn >= 0.6
 """,
-        "knn_cosine": """
-WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
-q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e0 WHERE vec_id < 20),
-scored AS (
-  SELECT q.q_id, e.vec_id,
-         list_dot_product(q.q_vec, e.embedding)
-           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos_raw
-  FROM q CROSS JOIN e0 e
-),
-ranked AS (
-  SELECT q_id, vec_id, cos_raw,
-         row_number() OVER (PARTITION BY q_id ORDER BY round(cos_raw, 9) DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
-FROM ranked WHERE rank <= 5
-""",
+        "knn_cosine": _knn_cosine_sql(),
         "embedding_near_dup": """
 SELECT a.vec_id AS left_id, b.vec_id AS right_id,
        round(list_dot_product(a.embedding, b.embedding)

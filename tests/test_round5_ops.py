@@ -695,3 +695,25 @@ def test_modularity_default_labels_are_label_prop(spark):
     labs = label_propagation(edges)
     want_labels = {r["label"] for r in labs.collect()}
     assert {r["label"] for r in rows} == want_labels
+
+
+def test_topk_recall_identical_and_disjoint(spark):
+    """recall@k = 1 when the approximate index returns the exact set,
+    0 when it returns none of it, fractional otherwise — and a query
+    the approximate side misses ENTIRELY still yields a row (left
+    join, 0 matched)."""
+    from textgraphs_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "q_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],  # q3 absent entirely
+        "q_id long, vec_id long",
+    )
+    got = {r["q_id"]: r for r in topk_recall(exact, approx, "m", k=2).collect()}
+    assert got[1]["n_matched"] == 2 and got[1]["recall"] == 1.0
+    assert got[2]["n_matched"] == 1 and got[2]["recall"] == 0.5
+    assert got[3]["n_matched"] == 0 and got[3]["recall"] == 0.0
+    assert all(r["method"] == "m" for r in got.values())

@@ -476,3 +476,39 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    method: str,
+    *,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one — (method, q_id, n_matched, recall). The evaluation
+    surface for the exact-vs-ANN tradeoff: run it on a SAMPLED query
+    set (queries are the small side by construction) and read off how
+    much the bucketed scale path gives up.
+
+    Scale: one left join on (q_id, c_id) between two k-bounded frames —
+    both inputs carry k rows per query, so cost is O(|queries| * k)
+    regardless of corpus size.
+    """
+    hits = exact.select(q_id, c_id).join(
+        approx.select(q_id, c_id).withColumn("_hit", F.lit(1)),
+        [q_id, c_id],
+        "left",
+    )
+    return (
+        hits.groupBy(q_id)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_matched"))
+        .select(
+            F.lit(method).alias("method"),
+            F.col(q_id),
+            "n_matched",
+            F.round(F.col("n_matched") / float(k), 6).alias("recall"),
+        )
+    )
