@@ -568,6 +568,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stratum_col="lang",
         )
 
+    def source_mixture(spark, sf_dir):
+        # temperature-scaled training-mix weights per source
+        # (weight ∝ tokens^0.5 — sqrt is correctly rounded in IEEE, so
+        # the twin is bit-equal): share, expected tokens, effective
+        # epochs against a fixed token budget
+        from textgraphs_spark.operators.webdata import source_mixture_weights
+
+        return source_mixture_weights(_docs(spark, sf_dir))
+
     def per_source_cap(spark, sf_dir):
         # exact head-domain cap (windowed rank; scale twin below)
         return WD.per_source_cap(_docs(spark, sf_dir), 20).withColumn(
@@ -1568,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_jaccard_join": er_jaccard_join,
         "graph_modularity": graph_modularity,
         "ann_recall": ann_recall,
+        "source_mixture": source_mixture,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1741,6 +1751,14 @@ ranked AS (
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def _source_mixture_oracle() -> str:
+    """Oracle for source_mixture: the shared webdata SQL twin over the
+    documents table."""
+    from textgraphs_spark.operators.webdata import source_mixture_weights_select
+
+    return source_mixture_weights_select("SELECT * FROM documents")
 
 
 def _ann_recall_oracle() -> str:
@@ -2526,6 +2544,7 @@ FROM agg WHERE n_matched > 0
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
         "ann_recall": _ann_recall_oracle(),
+        "source_mixture": _source_mixture_oracle(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

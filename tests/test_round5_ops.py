@@ -717,3 +717,27 @@ def test_topk_recall_identical_and_disjoint(spark):
     assert got[2]["n_matched"] == 1 and got[2]["recall"] == 0.5
     assert got[3]["n_matched"] == 0 and got[3]["recall"] == 0.0
     assert all(r["method"] == "m" for r in got.values())
+
+
+def test_source_mixture_weights_upweights_small_sources(spark):
+    """alpha=0.5 mixture: a source with 4x the tokens gets only 2x the
+    weight (sqrt scaling); weights sum to 1; eff_epochs flags the small
+    source as over-sampled (> 1 pass) under a budget equal to the
+    corpus size."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * 400, "big") for i in range(4)]
+        + [(100, "tok " * 400, "small")],
+        "doc_id long, text string, source string",
+    )
+    from textgraphs_spark.operators.webdata import source_mixture_weights
+
+    got = {r["source"]: r for r in source_mixture_weights(
+        docs, token_budget=2000).collect()}
+    assert got["big"]["n_tokens"] == 1600 and got["small"]["n_tokens"] == 400
+    # sqrt(1600)=40, sqrt(400)=20 -> weights 2/3 and 1/3
+    assert got["big"]["weight"] == round(2 / 3, 6)
+    assert got["small"]["weight"] == round(1 / 3, 6)
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
+    # small source: 2000 * 1/3 / 400 = 1.67 epochs -> over-sampled
+    assert got["small"]["eff_epochs"] > 1.0
+    assert got["big"]["eff_epochs"] < 1.0

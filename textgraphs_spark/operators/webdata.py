@@ -1240,3 +1240,90 @@ def bigram_cross_entropy(
         F.coalesce(F.col("n_bigrams"), F.col("_n")).alias("n_bigrams"),
         F.col("xent2"),
     )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights for training-mix
+    construction (the GPT-3/Pile pattern: weight ∝ tokens^alpha, alpha
+    < 1 upweights small sources) — (source, n_docs, n_tokens, weight,
+    exp_tokens, eff_epochs) ordered by source, where ``weight`` is the
+    normalized share, ``exp_tokens = weight * token_budget`` and
+    ``eff_epochs = exp_tokens / n_tokens`` (how many passes over the
+    source the mix implies — the over-sampling red flag when >> 1).
+
+    alpha defaults to 0.5 because sqrt is CORRECTLY ROUNDED under IEEE
+    754 in both engines (general pow is not guaranteed to the last
+    ulp); any alpha is accepted and computed via pow.
+
+    Scale: one corpus scan into a sources-sized hash agg (map-side
+    combining), then a 1-row normalizer broadcast crossJoin. The
+    corpus never shuffles.
+    """
+    from .textquality import tokens_col
+
+    per = (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_col(text_col))).cast("long").alias("n_tokens"),
+        )
+    )
+    scaled = per.withColumn(
+        "_s",
+        F.sqrt("n_tokens") if alpha == 0.5
+        else F.pow(F.col("n_tokens"), F.lit(alpha)),
+    )
+    z = scaled.agg(F.sum("_s").alias("_z"))
+    return (
+        scaled.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("_s") / F.col("_z"), 6).alias("weight"),
+            F.round(F.col("_s") / F.col("_z") * token_budget, 2)
+            .alias("exp_tokens"),
+            F.round(
+                F.col("_s") / F.col("_z") * token_budget / F.col("n_tokens"), 6
+            ).alias("eff_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_mixture_weights_select(
+    source_sql: str,
+    *,
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``source_mixture_weights`` — same tokenization,
+    same sqrt/pow scaling and rounding."""
+    toks = (
+        f"len(list_filter(string_split_regex(lower({text_col}),"
+        " '[^\\p{L}0-9]+'), t -> t <> ''))"
+    )
+    s_expr = "sqrt(n_tokens)" if alpha == 0.5 else f"pow(n_tokens, {alpha})"
+    return f"""WITH src AS ({source_sql}),
+per AS (
+  SELECT {source_col} AS source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks}) AS BIGINT) AS n_tokens
+  FROM src GROUP BY {source_col}
+),
+scaled AS (SELECT *, {s_expr} AS s FROM per),
+z AS (SELECT sum(s) AS z FROM scaled)
+SELECT source, n_docs, n_tokens,
+       round(s / z.z, 6) AS weight,
+       round(s / z.z * {token_budget}, 2) AS exp_tokens,
+       round(s / z.z * {token_budget} / n_tokens, 6) AS eff_epochs
+FROM scaled, z
+ORDER BY source
+"""
