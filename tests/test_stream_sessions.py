@@ -532,3 +532,31 @@ def test_stream_redact_pii_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 5
     assert got[0][0] == "reach me at <EMAIL> or <PHONE>"
     assert got[2][0] == rows[2][1]  # decoys untouched
+
+
+def test_stream_c4_clean_matches_batch(spark, tmp_path):
+    """Stateless streaming C4 cleaning must emit exactly the batch
+    operator's rows (kept counts, gates, cleaned-text md5) over the
+    same dirty corpus."""
+    from textgraphs_spark.operators.textquality import c4_line_filter
+    from textgraphs_spark.sources.pages import c4_pages
+    from textgraphs_spark.streaming.events import run_available_now, stream_c4_clean
+
+    src = tmp_path / "c4_src"
+    c4_pages(spark, n_pages=44).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = stream_c4_clean(stream)
+    assert out.isStreaming
+    run_available_now(out, checkpoint=str(tmp_path / "c4ck"), table_name="c4_out")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_sentences"],
+                      r["keep"], r["clean_md5"])
+        for r in spark.sql("SELECT * FROM c4_out").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_sentences"],
+                      r["keep"], r["clean_md5"])
+        for r in c4_line_filter(c4_pages(spark, n_pages=44)).collect()
+    }
+    assert got == want and len(got) == 44

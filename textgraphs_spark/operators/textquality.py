@@ -431,6 +431,7 @@ def c4_line_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     badwords: tuple[str, ...] = C4_BADWORDS,
+    ordered: bool = True,
 ) -> DataFrame:
     """C4-style page cleaning as ONE map-only projection: line-level
     keep rules + page-level gates, per doc — (doc_id, n_lines, n_kept,
@@ -483,7 +484,7 @@ def c4_line_filter(
     n_sent = F.size(
         F.filter(F.split(F.col("_clean"), r"[.!?]+"), lambda s: F.trim(s) != "")
     ).cast("long")
-    return (
+    out = (
         docs.select(
             F.col(id_col),
             F.size(lines).cast("long").alias("n_lines"),
@@ -506,8 +507,10 @@ def c4_line_filter(
             .cast("long").alias("n_kept"),
             "n_sentences", "keep", "clean_md5",
         )
-        .orderBy(id_col)
     )
+    # ordered=False is the STREAMING form (orderBy is illegal on an
+    # unbounded frame; every rule above is a pure per-row map)
+    return out.orderBy(id_col) if ordered else out
 
 
 def c4_line_filter_select(

@@ -376,3 +376,22 @@ def stream_winnow_matches(
         "left_id", "right_id", "left_ts", "right_ts",
         "fp", "left_pos", "right_pos",
     )
+
+
+def stream_c4_clean(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.textquality.c4_line_filter` —
+    STATELESS (every C4 rule is a pure per-row array expression, so a
+    crawled page is line-cleaned and gate-flagged the moment it
+    arrives). Batch twin is ``c4_line_filter``; stream == batch is
+    asserted in tests/test_stream_sessions.py.
+    """
+    from ..operators.textquality import c4_line_filter
+
+    return c4_line_filter(
+        docs_stream, id_col=id_col, text_col=text_col, ordered=False
+    )
