@@ -577,6 +577,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_mixture_weights(_docs(spark, sf_dir))
 
+    def k_anonymity(spark, sf_dir):
+        # re-identification risk census over the (source, lang,
+        # 500-char length band) quasi-identifier set: per k, the groups
+        # and row share below k — one QI hash agg, corpus scanned once
+        from textgraphs_spark.operators.pii import k_anonymity_census
+
+        d = _docs(spark, sf_dir).withColumn(
+            "len_band", (F.col("n_chars") / 500).cast("long")
+        )
+        return k_anonymity_census(d, ["source", "lang", "len_band"])
+
     def per_source_cap(spark, sf_dir):
         # exact head-domain cap (windowed rank; scale twin below)
         return WD.per_source_cap(_docs(spark, sf_dir), 20).withColumn(
@@ -1578,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": graph_modularity,
         "ann_recall": ann_recall,
         "source_mixture": source_mixture,
+        "k_anonymity": k_anonymity,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1751,6 +1763,17 @@ ranked AS (
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def _k_anonymity_oracle() -> str:
+    """Oracle for k_anonymity: the shared pii SQL twin over documents
+    with the same computed length band."""
+    from textgraphs_spark.operators.pii import k_anonymity_census_select
+
+    return k_anonymity_census_select(
+        "SELECT *, CAST(n_chars // 500 AS BIGINT) AS len_band FROM documents",
+        ["source", "lang", "len_band"],
+    )
 
 
 def _source_mixture_oracle() -> str:
@@ -2545,6 +2568,7 @@ FROM agg WHERE n_matched > 0
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
         "ann_recall": _ann_recall_oracle(),
         "source_mixture": _source_mixture_oracle(),
+        "k_anonymity": _k_anonymity_oracle(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

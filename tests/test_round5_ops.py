@@ -741,3 +741,19 @@ def test_source_mixture_weights_upweights_small_sources(spark):
     # small source: 2000 * 1/3 / 400 = 1.67 epochs -> over-sampled
     assert got["small"]["eff_epochs"] > 1.0
     assert got["big"]["eff_epochs"] < 1.0
+
+
+def test_k_anonymity_census_hand_computed(spark):
+    """Groups of sizes 1, 2, 5 over one QI column: at k=2 only the
+    singleton is below; at k=5 the pair joins it; share_below follows
+    the ROW mass, not the group count."""
+    from textgraphs_spark.operators.pii import k_anonymity_census
+
+    rows = [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "qi string")
+    got = {r["k"]: r for r in k_anonymity_census(df, ["qi"], ks=(2, 5)).collect()}
+    assert got[2]["n_groups"] == 3
+    assert got[2]["groups_below"] == 1 and got[2]["rows_below"] == 1
+    assert got[2]["share_below"] == 0.125
+    assert got[5]["groups_below"] == 2 and got[5]["rows_below"] == 3
+    assert got[5]["share_below"] == 0.375

@@ -139,3 +139,74 @@ SELECT {id_col},
   {total} AS n_redacted
 FROM src
 """
+
+
+def k_anonymity_census(
+    df: DataFrame,
+    qi_cols: list[str],
+    *,
+    ks: tuple[int, ...] = (2, 5, 10, 25),
+) -> DataFrame:
+    """Re-identification risk census over a quasi-identifier column set
+    (Sweeney's k-anonymity): for each k, how many QI groups — and what
+    share of ROWS — sit in groups smaller than k. The release-gate
+    number for publishing corpus slices: a row in a group of 1 is
+    singled out by its quasi-identifiers alone.
+
+    Output: (k, n_groups, groups_below, rows_below, share_below)
+    ordered by k; ``n_groups``/totals repeat per k so each row is
+    self-contained.
+
+    Scale: ONE hash agg over the QI key (map-side combining; the group
+    table is vocabulary-sized, not corpus-sized), then a tiny
+    groups x ks explode and a |ks|-row roll-up. The corpus is scanned
+    once, never shuffled by row.
+    """
+    groups = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count("*").cast("long").alias("m")
+    )
+    kf = F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    per = groups.select("m", kf)
+    return (
+        per.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("m") < F.col("k")).cast("long")).alias("groups_below"),
+            F.sum(F.when(F.col("m") < F.col("k"), F.col("m")).otherwise(0))
+            .cast("long").alias("rows_below"),
+            F.round(
+                F.sum(F.when(F.col("m") < F.col("k"), F.col("m")).otherwise(0))
+                / F.sum("m"),
+                6,
+            ).alias("share_below"),
+        )
+        .orderBy("k")
+    )
+
+
+def k_anonymity_census_select(
+    source_sql: str,
+    qi_exprs: list[str],
+    *,
+    ks: tuple[int, ...] = (2, 5, 10, 25),
+) -> str:
+    """DuckDB twin of ``k_anonymity_census`` — same group table, same
+    per-k conditional roll-up. ``qi_exprs`` are SQL expressions (may
+    alias computed bands)."""
+    qi = ", ".join(qi_exprs)
+    kvals = ", ".join(f"({int(k)})" for k in ks)
+    return f"""WITH src AS ({source_sql}),
+groups AS (
+  SELECT count(*) AS m FROM src GROUP BY {qi}
+),
+ks(k) AS (VALUES {kvals})
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN m < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+       CAST(sum(CASE WHEN m < k THEN m ELSE 0 END) AS BIGINT) AS rows_below,
+       round(sum(CASE WHEN m < k THEN m ELSE 0 END) * 1.0 / sum(m), 6)
+         AS share_below
+FROM groups, ks
+GROUP BY k
+ORDER BY k
+"""

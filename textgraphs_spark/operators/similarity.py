@@ -449,6 +449,10 @@ def ivf_topk(
         corpus.orderBy(F.md5(F.col(c_id).cast("string").cast("binary")))
         .limit(n_cells)
         .select(
+            # unpartitioned window is BOUNDED here: it numbers the
+            # already-limit(n_cells)-ed seed frame (<= n_cells rows),
+            # never the corpus — the WindowExec single-partition
+            # warning it triggers is a fixed-size frame, not a funnel
             F.row_number().over(Window.orderBy(c_id)).alias("_cell"),
             F.col(c_vec).alias("_cvec"),
         )
