@@ -387,6 +387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return vg(_docs(spark, sf_dir))
 
+    def er_channel_provenance(spark, sf_dir):
+        # match-provenance pivot: per candidate pair, which of the five
+        # blocking channels produced it + truth label — same candidate
+        # generator as the recall study (shared helper, shared CTEs)
+        from textgraphs_spark.plans.er_eval import channel_provenance, eval_entities
+
+        return channel_provenance(eval_entities(spark))
+
     def er_five_channel_recall(spark, sf_dir):
         # the capstone budget-vs-recall table: all five blocking
         # channels + union (name/minhash/skeleton production trio +
@@ -1590,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": ann_recall,
         "source_mixture": source_mixture,
         "k_anonymity": k_anonymity,
+        "er_channel_provenance": er_channel_provenance,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2362,6 +2371,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
+        er_channel_provenance_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
@@ -2569,6 +2579,7 @@ FROM agg WHERE n_matched > 0
         "ann_recall": _ann_recall_oracle(),
         "source_mixture": _source_mixture_oracle(),
         "k_anonymity": _k_anonymity_oracle(),
+        "er_channel_provenance": er_channel_provenance_sql(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

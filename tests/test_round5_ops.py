@@ -757,3 +757,34 @@ def test_k_anonymity_census_hand_computed(spark):
     assert got[2]["share_below"] == 0.125
     assert got[5]["groups_below"] == 2 and got[5]["rows_below"] == 3
     assert got[5]["share_below"] == 0.375
+
+
+def test_channel_provenance_flags(spark):
+    """Sound-alike twins are found by phonetic but not by the exact
+    name key; identical surfaces hit every applicable channel; flags
+    agree with n_channels."""
+    from textgraphs_spark.plans.er_eval import channel_provenance
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "Mary Johnson", 1),
+            ("e2", "Mary Jonson", 1),
+            ("e3", "Mary Johnson", 1),
+            ("e4", "Peter Quill", 2),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    got = {(r["left_id"], r["right_id"]): r for r in channel_provenance(ents).collect()}
+    twins = got[("e1", "e3")]
+    assert twins["in_name"] == 1 and twins["in_phonetic"] == 1
+    assert twins["is_true"]
+    sound = got[("e1", "e2")]
+    assert sound["in_phonetic"] == 1
+    assert sound["in_name"] == 0          # johnson != jonson exact key
+    for r in got.values():
+        n = (r["in_name"] + r["in_minhash"] + r["in_skeleton"]
+             + r["in_suffix"] + r["in_phonetic"])
+        assert n == r["n_channels"]
+    assert not any(
+        "e4" in k and r["is_true"] for k, r in got.items()
+    )

@@ -2148,29 +2148,17 @@ FROM per, tot
 """
 
 
-def five_channel_recall(
+def _five_channel_pairs(
     entities: DataFrame,
     *,
-    truth_col: str = "truth_id",
     hash_family: str = "md5",
     min_len: int = 5,
     max_block: int = 12,
 ) -> DataFrame:
-    """The channel-recall study extended to ALL FIVE blocking channels —
-    'name', 'minhash', 'skeleton' (the production trio), plus the
-    round-5 'suffix' (prefix-corruption recall, stop-suffix rule
-    applied inside the channel) and 'phonetic' (sound-alike recall) —
-    and their 'union': per channel, distinct pre-salting candidate
-    pairs, covered true pairs, pair completeness. The capstone
-    measurement for the budget-vs-recall decision of which channels a
-    deployment enables; same shape and semantics as ``channel_recall``
-    (which stays the production trio's record).
-
-    100 TB shape: identical to channel_recall — one block table built
-    once, one (channel, key) equi-join, metrics as aggregates; the
-    suffix channel's stop-suffix cap bounds its blocks, the others are
-    measured pre-salting by design.
-    """
+    """Distinct pre-salting candidate pairs per channel — (channel, l,
+    r) over 'name', 'minhash', 'skeleton', 'suffix', 'phonetic'.
+    SHARED candidate generator for five_channel_recall and
+    channel_provenance so the two surfaces describe the same blocks."""
     from ..operators import blocking as B
     from ..operators.blocking import phonetic_expr
     from .er_pipeline import blocked_keys
@@ -2211,12 +2199,41 @@ def five_channel_recall(
     bk = bk3.unionByName(chan_sfx).unionByName(chan_ph).localCheckpoint()
     a = bk.select("channel", "bkey", F.col("entity_key").alias("l"))
     b = bk.select("channel", "bkey", F.col("entity_key").alias("r"))
-    pairs = (
+    return (
         a.join(b, ["channel", "bkey"])
         .filter(F.col("l") < F.col("r"))
         .select("channel", "l", "r")
         .distinct()
         .localCheckpoint()
+    )
+
+
+def five_channel_recall(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    hash_family: str = "md5",
+    min_len: int = 5,
+    max_block: int = 12,
+) -> DataFrame:
+    """The channel-recall study extended to ALL FIVE blocking channels —
+    'name', 'minhash', 'skeleton' (the production trio), plus the
+    round-5 'suffix' (prefix-corruption recall, stop-suffix rule
+    applied inside the channel) and 'phonetic' (sound-alike recall) —
+    and their 'union': per channel, distinct pre-salting candidate
+    pairs, covered true pairs, pair completeness. The capstone
+    measurement for the budget-vs-recall decision of which channels a
+    deployment enables; same shape and semantics as ``channel_recall``
+    (which stays the production trio's record).
+
+    100 TB shape: identical to channel_recall — one block table built
+    once, one (channel, key) equi-join, metrics as aggregates; the
+    suffix channel's stop-suffix cap bounds its blocks, the others are
+    measured pre-salting by design.
+    """
+    pairs = _five_channel_pairs(
+        entities, hash_family=hash_family, min_len=min_len,
+        max_block=max_block,
     )
     allp = pairs.unionByName(
         pairs.select(F.lit("union").alias("channel"), "l", "r").distinct()
@@ -2734,5 +2751,116 @@ SELECT a.entity_key AS left_id, b.entity_key AS right_id,
 FROM sized a JOIN sized b ON a.entity_key < b.entity_key
 WHERE round(len(list_intersect(a.ts, b.ts))
             / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 9) >= {threshold}
+ORDER BY left_id, right_id
+"""
+
+
+def channel_provenance(
+    entities: DataFrame,
+    *,
+    truth_col: str = "truth_id",
+    hash_family: str = "md5",
+    min_len: int = 5,
+    max_block: int = 12,
+) -> DataFrame:
+    """Match-provenance table: per distinct candidate pair, WHICH of the
+    five blocking channels produced it — (left_id, right_id, in_name,
+    in_minhash, in_skeleton, in_suffix, in_phonetic, n_channels,
+    is_true) ordered by pair. The explainability record behind every
+    downstream score: a pair found by 4 channels that scores low is a
+    scorer bug; a true pair found by exactly one channel is the
+    channel you cannot disable. Built on the SAME candidate generator
+    as five_channel_recall (one block table, pairs never re-derived).
+
+    Scale: the pivot is one hash agg over the channel-pair table
+    (bounded by the recall study's own candidate volume); truth labels
+    join on the entity key. Nothing touches pair space twice.
+    """
+    pairs = _five_channel_pairs(
+        entities, hash_family=hash_family, min_len=min_len,
+        max_block=max_block,
+    )
+    flag = lambda c: F.max((F.col("channel") == c).cast("long")).alias(f"in_{c}")  # noqa: E731
+    flags = (
+        pairs.groupBy(F.col("l").alias("left_id"), F.col("r").alias("right_id"))
+        .agg(
+            flag("name"), flag("minhash"), flag("skeleton"),
+            flag("suffix"), flag("phonetic"),
+            F.countDistinct("channel").cast("long").alias("n_channels"),
+        )
+    )
+    truth = entities.select("entity_key", truth_col)
+    return (
+        flags.join(
+            truth.select(F.col("entity_key").alias("left_id"),
+                         F.col(truth_col).alias("_lt")), "left_id")
+        .join(
+            truth.select(F.col("entity_key").alias("right_id"),
+                         F.col(truth_col).alias("_rt")), "right_id")
+        .select(
+            "left_id", "right_id", "in_name", "in_minhash", "in_skeleton",
+            "in_suffix", "in_phonetic", "n_channels",
+            (F.col("_lt") == F.col("_rt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_channel_provenance_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_len: int = 5,
+    max_block: int = 12,
+) -> str:
+    """Oracle for channel_provenance: the five-channel candidate CTEs
+    (same construction as er_five_channel_recall_sql) pivoted into
+    per-pair channel flags."""
+    from ..operators.blocking import phonetic_expr
+    from .er_oracle import blocking_ctes
+
+    flag = lambda c: (  # noqa: E731
+        f"CAST(max(CASE WHEN p.channel = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS in_{c}"
+    )
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+{_THREE_CHANNEL_CTES},
+sk AS (SELECT entity_key, replace(norm, ' ', '') AS k FROM kparts),
+sfx_all AS MATERIALIZED (
+  SELECT entity_key, k[i:] AS bkey
+  FROM sk,
+       unnest(range(1, greatest(length(k) - {int(min_len)} + 1, 0) + 1)) AS u(i)
+),
+sfx_keep AS (
+  SELECT bkey FROM (SELECT bkey, count(*) AS bn FROM sfx_all GROUP BY bkey)
+  WHERE bn BETWEEN 2 AND {int(max_block)}
+),
+chan_sfx AS (
+  SELECT s.entity_key, s.bkey FROM sfx_all s JOIN sfx_keep kk ON kk.bkey = s.bkey
+),
+chan_ph AS (
+  SELECT entity_key,
+         concat_ws('|', {phonetic_expr("toks[len(toks)]", duck=True)},
+                   substr(toks[1], 1, 1)) AS bkey
+  FROM kparts
+),
+bl5 AS (
+  SELECT channel, entity_key, bkey FROM bl
+  UNION ALL SELECT 'suffix', entity_key, bkey FROM chan_sfx
+  UNION ALL SELECT 'phonetic', entity_key, bkey FROM chan_ph
+),
+cpairs AS MATERIALIZED (
+  SELECT DISTINCT a.channel, a.entity_key AS l, b.entity_key AS r
+  FROM bl5 a JOIN bl5 b
+    ON a.channel = b.channel AND a.bkey = b.bkey AND a.entity_key < b.entity_key
+)
+SELECT p.l AS left_id, p.r AS right_id,
+       {flag('name')}, {flag('minhash')}, {flag('skeleton')},
+       {flag('suffix')}, {flag('phonetic')},
+       CAST(count(DISTINCT p.channel) AS BIGINT) AS n_channels,
+       (lt.truth_id = rt.truth_id) AS is_true
+FROM cpairs p
+JOIN entities lt ON lt.entity_key = p.l
+JOIN entities rt ON rt.entity_key = p.r
+GROUP BY p.l, p.r, lt.truth_id, rt.truth_id
 ORDER BY left_id, right_id
 """
