@@ -585,6 +585,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_mixture_weights(_docs(spark, sf_dir))
 
+    def contrastive_mined_pairs(spark, sf_dir):
+        # training-pair mining: positives = near-dups (jaccard >= 0.8),
+        # HARD negatives = same-LSH-bucket collisions with jaccard <=
+        # 0.3, Lehmer-hash-thinned — rides the bucket-capped minhash
+        # candidate generator, never all-pairs
+        from textgraphs_spark.operators.webdata import contrastive_pairs
+
+        return contrastive_pairs(_docs(spark, sf_dir))
+
     def k_anonymity(spark, sf_dir):
         # re-identification risk census over the (source, lang,
         # 500-char length band) quasi-identifier set: per k, the groups
@@ -1599,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": source_mixture,
         "k_anonymity": k_anonymity,
         "er_channel_provenance": er_channel_provenance,
+        "contrastive_mined_pairs": contrastive_mined_pairs,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1772,6 +1782,14 @@ ranked AS (
 SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def _contrastive_pairs_oracle() -> str:
+    """Oracle for contrastive_mined_pairs: the shared webdata SQL twin
+    (minhash candidate oracle at threshold 0 + labeling + Lehmer thin)."""
+    from textgraphs_spark.operators.webdata import contrastive_pairs_sql
+
+    return contrastive_pairs_sql()
 
 
 def _k_anonymity_oracle() -> str:
@@ -2580,6 +2598,7 @@ FROM agg WHERE n_matched > 0
         "source_mixture": _source_mixture_oracle(),
         "k_anonymity": _k_anonymity_oracle(),
         "er_channel_provenance": er_channel_provenance_sql(),
+        "contrastive_mined_pairs": _contrastive_pairs_oracle(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

@@ -788,3 +788,35 @@ def test_channel_provenance_flags(spark):
     assert not any(
         "e4" in k and r["is_true"] for k, r in got.items()
     )
+
+
+def test_contrastive_pairs_labels_and_determinism(spark):
+    """Near-identical docs label 1; bucket-colliding low-Jaccard pairs
+    label 0 (when the pair hash keeps them); labels never overlap; and
+    the mined set is bit-identical across runs (deterministic
+    thinning, no RNG)."""
+    from textgraphs_spark.operators.webdata import contrastive_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base.replace("quick", "rapid").replace("lazy", "idle")
+                 .replace("dog", "cat").replace("fox", "wolf")),
+            (4, "completely different text about spark physical plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = contrastive_pairs(docs, hi=0.6, lo=0.4, neg_keep=1.0).collect()
+    r2 = contrastive_pairs(docs, hi=0.6, lo=0.4, neg_keep=1.0).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    by_label = {}
+    for r in r1:
+        by_label.setdefault(r["label"], []).append((r["left_id"], r["right_id"]))
+    assert (1, 2) in by_label.get(1, [])           # near-identical pair
+    for lab, pairs in by_label.items():
+        other = by_label.get(1 - lab, [])
+        assert not set(pairs) & set(other)
+    for r in r1:
+        assert (r["jaccard"] >= 0.6) if r["label"] == 1 else (r["jaccard"] <= 0.4)

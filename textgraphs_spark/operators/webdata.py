@@ -1327,3 +1327,72 @@ SELECT source, n_docs, n_tokens,
 FROM scaled, z
 ORDER BY source
 """
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    *,
+    hi: float = 0.8,
+    lo: float = 0.3,
+    neg_keep: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mined training pairs for a similarity model — (left_id, right_id,
+    jaccard, label): positives are near-dup candidates with exact
+    shingle Jaccard >= ``hi``; HARD negatives are candidates from the
+    SAME LSH buckets with Jaccard <= ``lo`` (they collided in the index,
+    so they are exactly the confusable pairs a contrastive objective
+    should separate), deterministically thinned to ``neg_keep`` by the
+    Lehmer pair-hash (retry/resume-stable, no RNG state).
+
+    Scale: rides ``dedup.minhash_dedup_pairs`` at threshold 0 — the
+    bucket-capped candidate generator — so pair volume is the LSH
+    index's, never all-pairs; the labeling pass is a map over that
+    bounded pair set.
+    """
+    from .dedup import minhash_dedup_pairs
+
+    cand = minhash_dedup_pairs(
+        docs, threshold=0.0, text_col=text_col, id_col=id_col
+    )
+    key = _det_hash(F.col("left_id") * F.lit(1_000_003) + F.col("right_id"))
+    pos = cand.filter(F.col("jaccard") >= hi).withColumn(
+        "label", F.lit(1).cast("long")
+    )
+    neg = (
+        cand.filter(F.col("jaccard") <= lo)
+        .filter(F.pmod(key, F.lit(1000)) < int(neg_keep * 1000))
+        .withColumn("label", F.lit(0).cast("long"))
+    )
+    return (
+        pos.unionByName(neg)
+        .select("left_id", "right_id", "jaccard", "label")
+        .orderBy(F.desc("label"), "left_id", "right_id")
+    )
+
+
+def contrastive_pairs_sql(
+    *,
+    hi: float = 0.8,
+    lo: float = 0.3,
+    neg_keep: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``contrastive_pairs`` — the shared minhash
+    candidate oracle at threshold 0, same labeling and Lehmer
+    pair-hash thinning."""
+    from .dedup import minhash_oracle_sql
+
+    pair_key = det_hash_sql("left_id * 1000003 + right_id")
+    return f"""WITH cand AS (
+  SELECT * FROM ({minhash_oracle_sql(threshold=0.0, table=table)}) t
+)
+SELECT left_id, right_id, jaccard, CAST(1 AS BIGINT) AS label
+FROM cand WHERE jaccard >= {hi}
+UNION ALL
+SELECT left_id, right_id, jaccard, CAST(0 AS BIGINT) AS label
+FROM cand WHERE jaccard <= {lo}
+  AND ({pair_key}) % 1000 < {int(neg_keep * 1000)}
+ORDER BY label DESC, left_id, right_id
+"""
