@@ -578,13 +578,27 @@ def edit_distance_join(
             F.col("a.s").alias("sa"), F.col("b.s").alias("sb"),
         )
     )
-    short = pre.filter(F.col("ng") <= q * k).select("_id", "ln", "s")
+    # short channel as an EQUI-join: explode each short string to its
+    # k-window of target lengths so the length filter becomes a hash
+    # join key (a non-equi |ln_a - ln_b| <= k predicate would plan as a
+    # nested-loop join — wrong shape once the corpus side is large)
+    short = (
+        pre.filter(F.col("ng") <= q * k)
+        .select(
+            "_id", "ln", "s",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("ln") - k, F.lit(0)), F.col("ln") + k
+                )
+            ).alias("_tl"),
+        )
+    )
     cand_short = (
         short.alias("a")
         .join(
             r.alias("b"),
-            (F.col("a._id") != F.col("b._id"))
-            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= k),
+            (F.col("a._tl") == F.col("b.ln"))
+            & (F.col("a._id") != F.col("b._id")),
         )
         .select(
             F.least(F.col("a._id"), F.col("b._id")).alias("left_id"),
