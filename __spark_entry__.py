@@ -1289,6 +1289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ents, parts
 
+    def er_cluster_depth(spark, sf_dir):
+        # chain-geometry census: per cluster, BFS eccentricity from the
+        # representative — deep clusters are transitive chains whose
+        # endpoints never compared (the over-merge geometry behind the
+        # star-vs-closure tradeoff); shared DEPTH_MAX_ITER with the oracle
+        from textgraphs_spark.plans.er_eval import cluster_depth_census
+
+        _, parts = _eval_parts(spark)
+        return cluster_depth_census(parts["assignments"], parts["match_scores"])
+
     def er_eval_blocked(spark, sf_dir):
         # blocking quality (pair completeness, reduction ratio) +
         # pairwise P/R/F1 on labeled pairs sharing a blocking key — the
@@ -1609,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": k_anonymity,
         "er_channel_provenance": er_channel_provenance,
         "contrastive_mined_pairs": contrastive_mined_pairs,
+        "er_cluster_depth": er_cluster_depth,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2389,7 +2400,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
-        er_channel_provenance_sql,
+        er_channel_provenance_sql, er_cluster_depth_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
@@ -2599,6 +2610,7 @@ FROM agg WHERE n_matched > 0
         "k_anonymity": _k_anonymity_oracle(),
         "er_channel_provenance": er_channel_provenance_sql(),
         "contrastive_mined_pairs": _contrastive_pairs_oracle(),
+        "er_cluster_depth": er_cluster_depth_sql(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

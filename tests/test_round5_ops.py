@@ -820,3 +820,28 @@ def test_contrastive_pairs_labels_and_determinism(spark):
         assert not set(pairs) & set(other)
     for r in r1:
         assert (r["jaccard"] >= 0.6) if r["label"] == 1 else (r["jaccard"] <= 0.4)
+
+
+def test_cluster_depth_census_chain_star_singleton(spark):
+    """Chain a-b-c-d has eccentricity 3 from its min-key root; a star
+    rooted at a LEAF (min key) reaches the far leaves at depth 2; a
+    singleton sits at depth 0."""
+    from textgraphs_spark.plans.er_eval import cluster_depth_census
+
+    matches = spark.createDataFrame(
+        [("a", "b", 0.95), ("b", "c", 0.95), ("c", "d", 0.95),
+         ("m", "z", 0.95), ("n", "z", 0.95), ("p", "z", 0.95)],
+        "left_id string, right_id string, score double",
+    )
+    assigns = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+         ("z", "m"), ("m", "m"), ("n", "m"), ("p", "m"),
+         ("solo", "solo")],
+        "entity_key string, cluster_id string",
+    )
+    got = {r["max_depth"]: (r["n_clusters"], r["n_entities"])
+           for r in cluster_depth_census(assigns, matches).collect()}
+    assert got[3] == (1, 4)     # the chain
+    assert got[2] == (1, 4)     # star via leaf root: m->z->n,p
+    assert got[0] == (1, 1)     # the singleton
+    assert set(got) == {0, 2, 3}

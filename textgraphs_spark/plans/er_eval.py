@@ -2864,3 +2864,116 @@ JOIN entities rt ON rt.entity_key = p.r
 GROUP BY p.l, p.r, lt.truth_id, rt.truth_id
 ORDER BY left_id, right_id
 """
+
+
+# BFS cap shared by cluster_depth_census and its oracle — ONE constant so
+# a cap change cannot desynchronize the engines (the harmonic-centrality
+# lesson from the round-4 advice).
+DEPTH_MAX_ITER = 32
+
+
+def cluster_depth_census(
+    assignments: DataFrame,
+    match_scores: DataFrame,
+    *,
+    max_iter: int = DEPTH_MAX_ITER,
+) -> DataFrame:
+    """Chain-geometry census of the transitive closure — (max_depth,
+    n_clusters, n_entities) ordered by depth, where ``max_depth`` is a
+    cluster's BFS eccentricity from its representative (cluster_id =
+    min member key). Depth 0 = singletons; depth 1 = every member
+    directly matched the representative; DEEP clusters are chains of
+    pairwise matches whose endpoints never compared — exactly where
+    transitive closure over-merges (the quantitative companion to
+    er_star_clusters / er_split_overmerged).
+
+    Scale: BFS rounds are per-round hash joins keyed by node (the same
+    shuffle shape as label propagation), frontier-only (each round
+    joins the new frontier, not the visited set), with an early exit
+    on an empty frontier — a convergence signature, not a data
+    collect. Depth values are bounded by ``max_iter`` (shared with the
+    oracle via DEPTH_MAX_ITER).
+    """
+    und = (
+        match_scores.select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
+        .unionByName(
+            match_scores.select(
+                F.col("right_id").alias("a"), F.col("left_id").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    roots = assignments.select(F.col("cluster_id").alias("node")).distinct()
+    visited = roots.withColumn("d", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for _ in range(int(max_iter)):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            und.join(frontier, und["a"] == frontier["node"])
+            .select(F.col("b").alias("node"), (F.col("d") + 1).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .join(visited.select(F.col("node").alias("_v")),
+                  F.col("node") == F.col("_v"), "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    per_cluster = (
+        assignments.select("entity_key", "cluster_id")
+        .join(visited.select(F.col("node").alias("entity_key"), "d"),
+              "entity_key", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.coalesce("d", F.lit(0))).alias("max_depth"),
+        )
+    )
+    return (
+        per_cluster.groupBy("max_depth")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("n_members").cast("long").alias("n_entities"),
+        )
+        .select(F.col("max_depth").cast("long"), "n_clusters", "n_entities")
+        .orderBy("max_depth")
+    )
+
+
+def er_cluster_depth_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_similarity: float = 0.9,
+    max_iter: int = DEPTH_MAX_ITER,
+) -> str:
+    """Oracle for cluster_depth_census over the pipeline clustering of
+    eval_entities: the shared clustering CTEs, then a recursive-CTE BFS
+    from each cluster representative capped at the SAME DEPTH_MAX_ITER,
+    min-depth per node, per-cluster eccentricity, depth histogram."""
+    from .er_oracle import clustering_ctes
+
+    return f"""WITH RECURSIVE
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{clustering_ctes('entities', min_similarity=min_similarity)},
+bfs(node, d) AS (
+  SELECT DISTINCT cluster_id, 0 FROM assignments
+  UNION
+  SELECT e.b, x.d + 1
+  FROM bfs x JOIN edgesu e ON e.a = x.node
+  WHERE x.d < {int(max_iter)}
+),
+dmin AS (SELECT node, min(d) AS d FROM bfs GROUP BY node),
+percl AS (
+  SELECT a.cluster_id,
+         count(*) AS n_members,
+         max(coalesce(m.d, 0)) AS max_depth
+  FROM assignments a LEFT JOIN dmin m ON m.node = a.entity_key
+  GROUP BY a.cluster_id
+)
+SELECT CAST(max_depth AS BIGINT) AS max_depth,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_members) AS BIGINT) AS n_entities
+FROM percl
+GROUP BY max_depth
+ORDER BY max_depth
+"""
