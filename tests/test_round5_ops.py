@@ -845,3 +845,31 @@ def test_cluster_depth_census_chain_star_singleton(spark):
     assert got[2] == (1, 4)     # star via leaf root: m->z->n,p
     assert got[0] == (1, 1)     # the singleton
     assert set(got) == {0, 2, 3}
+
+
+def test_similarity_joins_null_and_unicode_surfaces(spark):
+    """NULL surfaces and surfaces that normalize to empty (pure-unicode
+    names under the [A-Za-z ] normalizer) are EXCLUDED, not crashed on,
+    by both lossless similarity joins; the surviving ASCII pair still
+    matches."""
+    from textgraphs_spark.operators.blocking import (
+        edit_distance_join, jaccard_set_join,
+    )
+
+    ents = spark.createDataFrame(
+        [("e1", "alice stone"), ("e2", "alice stone"), ("e3", None),
+         ("e4", "寿司 太郎"), ("e5", "émile zola")],
+        "entity_key string, surface string",
+    )
+    ej = {(r["left_id"], r["right_id"]): r["lev"]
+          for r in edit_distance_join(ents, k=2).collect()}
+    assert ej[("e1", "e2")] == 0
+    assert all("e3" not in k and "e4" not in k for k in ej)
+    jj = {(r["left_id"], r["right_id"]): r["jaccard"]
+          for r in jaccard_set_join(ents, threshold=0.5).collect()}
+    assert jj[("e1", "e2")] == 1.0
+    assert all("e3" not in k and "e4" not in k for k in jj)
+    # 'émile zola' normalizes to 'mile zola' (accented char stripped):
+    # still a valid 2-token surface, present in neither result only
+    # because nothing matches it — not because it was dropped
+    assert not any("e5" in k for k in jj)
