@@ -1289,6 +1289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ents, parts
 
+    def er_two_table(spark, sf_dir):
+        # A x B record LINKAGE (registry of full names vs incoming
+        # initial/variant file): cross-table blocking, the PRODUCTION
+        # decision scorer gated at the match threshold, reciprocal-best
+        # one-to-one assignment — the classic linkage configuration
+        # next to the self-dedup pipelines
+        from textgraphs_spark.plans.er_eval import eval_entities, two_table_linkage
+
+        return two_table_linkage(eval_entities(spark))
+
     def er_cluster_depth(spark, sf_dir):
         # chain-geometry census: per cluster, BFS eccentricity from the
         # representative — deep clusters are transitive chains whose
@@ -1620,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_channel_provenance": er_channel_provenance,
         "contrastive_mined_pairs": contrastive_mined_pairs,
         "er_cluster_depth": er_cluster_depth,
+        "er_two_table": er_two_table,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2400,7 +2411,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
-        er_channel_provenance_sql, er_cluster_depth_sql,
+        er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
@@ -2611,6 +2622,7 @@ FROM agg WHERE n_matched > 0
         "er_channel_provenance": er_channel_provenance_sql(),
         "contrastive_mined_pairs": _contrastive_pairs_oracle(),
         "er_cluster_depth": er_cluster_depth_sql(),
+        "er_two_table": er_two_table_sql(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

@@ -873,3 +873,37 @@ def test_similarity_joins_null_and_unicode_surfaces(spark):
     # still a valid 2-token surface, present in neither result only
     # because nothing matches it — not because it was dropped
     assert not any("e5" in k for k in jj)
+
+
+def test_two_table_linkage_semantics(spark):
+    """Linked pairs are strictly cross-table (A keys < n_true, B keys
+    >= n_true), assignments are one-to-one in both directions, and the
+    precision on the labeled corpus is high (the point of reciprocal
+    best)."""
+    from textgraphs_spark.plans.er_eval import eval_entities, two_table_linkage
+
+    rows = two_table_linkage(eval_entities(spark)).collect()
+    assert rows, "linkage produced no assignments"
+    a_seen, b_seen = set(), set()
+    for r in rows:
+        ai, bi = int(r["left_id"][1:]), int(r["right_id"][1:])
+        assert ai < 180 and bi >= 180
+        assert r["left_id"] not in a_seen and r["right_id"] not in b_seen
+        a_seen.add(r["left_id"]); b_seen.add(r["right_id"])
+        assert r["score"] >= 0.9          # only above-threshold assignments
+    precision = sum(r["is_true"] for r in rows) / len(rows)
+    # the corpus DESIGNS a precision ceiling: twin entities' initialed
+    # forms are byte-identical to their base partner's (_eval_name_lists
+    # docstring), so those B records are unresolvable by ANY name-only
+    # linker and reciprocal-best picks one by tie-break. Links are
+    # correct away from that designed ambiguity, so precision sits well
+    # above chance but below 1.0 — assert the band, not perfection.
+    assert 0.7 <= precision < 1.0
+    # and the designed pressure is the ONLY error source: every false
+    # link involves a TWIN entity (truth >= n_base) on at least one
+    # side — base-vs-base links are never confused
+    for r in rows:
+        if not r["is_true"]:
+            a_truth = int(r["left_id"][1:]) % 180
+            b_truth = int(r["right_id"][1:]) % 180
+            assert a_truth >= 150 or b_truth >= 150, (r["left_id"], r["right_id"])

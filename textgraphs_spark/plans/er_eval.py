@@ -2977,3 +2977,137 @@ FROM percl
 GROUP BY max_depth
 ORDER BY max_depth
 """
+
+
+def two_table_linkage(
+    entities: DataFrame,
+    *,
+    n_true: int = 180,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Record LINKAGE (A x B across two files), the classic
+    configuration next to the repo's self-dedup pipelines: table A =
+    the full-name registry (variant 0 of each truth entity), table B =
+    the incoming file (initials + variant spellings). Candidates come
+    from the name blocking channel restricted to CROSS-table key
+    shares, scored by the PRODUCTION decision scorer
+    (scoring.score_pairs lean — the same kernel the clustering
+    pipeline thresholds), gated at the pipeline match threshold, then
+    assigned one-to-one by reciprocal best (both directions agree;
+    ties break on the partner key) — (left_id, right_id, score,
+    is_true) ordered by pair.
+
+    Scale: the cross-table restriction makes the candidate join
+    strictly smaller than the self-join; reciprocal best is two
+    map-side-combining hash aggs (min of a (-score, partner) struct —
+    the er_mutual_best shape, no window over a hot key).
+    """
+    from ..operators.scoring import score_pairs
+    from .er_pipeline import blocked_keys
+
+    idx = F.substring("entity_key", 2, 10).cast("long")
+    sides = entities.select("entity_key", (idx < n_true).alias("_is_a"))
+    bk = (
+        blocked_keys(entities.select("entity_key", "surface"), use_minhash=False)
+        .select("bkey", "entity_key", "surface")
+        .join(sides, "entity_key")
+    )
+    cand = (
+        bk.filter(F.col("_is_a"))
+        .select("bkey", F.col("entity_key").alias("left_id"),
+                F.col("surface").alias("left_surface"))
+        .join(
+            bk.filter(~F.col("_is_a"))
+            .select("bkey", F.col("entity_key").alias("right_id"),
+                    F.col("surface").alias("right_surface")),
+            "bkey",
+        )
+        .select("left_id", "right_id", "left_surface", "right_surface")
+        .distinct()
+    )
+    scored = (
+        score_pairs(cand, lean=True)
+        .filter(F.col("match"))
+        .select("left_id", "right_id", F.col("score"))
+        .localCheckpoint()
+    )
+    best_a_for_b = (
+        scored.groupBy("right_id")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("left_id").alias("k"))).alias("s"))
+        .select(F.col("s.k").alias("left_id"), "right_id")
+    )
+    best_b_for_a = (
+        scored.groupBy("left_id")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("right_id").alias("k"))).alias("s"))
+        .select("left_id", F.col("s.k").alias("right_id"))
+    )
+    mutual = best_a_for_b.join(best_b_for_a, ["left_id", "right_id"])
+    truth = entities.select("entity_key", truth_col)
+    return (
+        mutual.join(scored, ["left_id", "right_id"])
+        .join(truth.select(F.col("entity_key").alias("left_id"),
+                           F.col(truth_col).alias("_at")), "left_id")
+        .join(truth.select(F.col("entity_key").alias("right_id"),
+                           F.col(truth_col).alias("_bt")), "right_id")
+        .select(
+            "left_id", "right_id",
+            F.round("score", 6).alias("score"),
+            (F.col("_at") == F.col("_bt")).alias("is_true"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
+def er_two_table_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_similarity: float = 0.9,
+) -> str:
+    """Oracle for two_table_linkage over eval_entities: the shared
+    blocking + pair-scoring CTEs (the SAME _score_case_expr decision
+    kernel as the clustering oracles) with the candidate set replaced
+    by the cross-table key-share join, match gate, reciprocal-best via
+    two window ranks."""
+    from .er_oracle import blocking_ctes, pair_scores_ctes
+
+    n_true = n_base + n_twin
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{blocking_ctes('entities')},
+sides AS (
+  SELECT entity_key,
+         CAST(substr(entity_key, 2) AS BIGINT) < {n_true} AS is_a
+  FROM entities
+),
+xcands AS MATERIALIZED (
+  SELECT DISTINCT a.entity_key AS left_id, b.entity_key AS right_id
+  FROM chan_key a JOIN sides sa ON sa.entity_key = a.entity_key AND sa.is_a
+  JOIN chan_key b ON b.bkey = a.bkey
+  JOIN sides sb ON sb.entity_key = b.entity_key AND NOT sb.is_a
+),
+{pair_scores_ctes('entities').replace('FROM cands c', 'FROM xcands c')},
+matched AS MATERIALIZED (
+  SELECT left_id, right_id, score FROM pair_scores
+  WHERE score >= {min_similarity}
+),
+ba AS (
+  SELECT left_id, right_id, score,
+         row_number() OVER (PARTITION BY right_id
+                            ORDER BY score DESC, left_id ASC) AS rn
+  FROM matched
+),
+ab AS (
+  SELECT left_id, right_id,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY score DESC, right_id ASC) AS rn
+  FROM matched
+)
+SELECT ba.left_id, ba.right_id, round(ba.score, 6) AS score,
+       (ea.truth_id = eb.truth_id) AS is_true
+FROM ba
+JOIN ab ON ab.left_id = ba.left_id AND ab.right_id = ba.right_id
+       AND ba.rn = 1 AND ab.rn = 1
+JOIN entities ea ON ea.entity_key = ba.left_id
+JOIN entities eb ON eb.entity_key = ba.right_id
+ORDER BY ba.left_id, ba.right_id
+"""
