@@ -218,3 +218,94 @@ def test_span_removal_oracle_parity_fuzz(spark):
     con.register("documents", sdf.toPandas())
     want = sorted(map(tuple, con.sql(span_removal_oracle_sql()).fetchall()))
     assert got == want
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _name_corpus(rng, n):
+    """Random name-like surfaces skewed toward near-duplicates: base
+    names plus transpositions, dropped chars, token swaps, initials,
+    short fragments, and empties — the regimes the prune theorems must
+    survive."""
+    firsts = _rand_words(rng, max(4, n // 6))
+    lasts = _rand_words(rng, max(4, n // 6))
+    out = []
+    for _ in range(n):
+        f, l = rng.choice(firsts), rng.choice(lasts)
+        form = rng.randint(0, 7)
+        if form == 0:
+            s = f + " " + l
+        elif form == 1:                     # transposition inside a token
+            i = rng.randrange(max(1, len(f) - 1))
+            s = (f[:i] + f[i + 1:i + 2] + f[i:i + 1] + f[i + 2:]) + " " + l
+        elif form == 2:                     # dropped char
+            i = rng.randrange(len(l))
+            s = f + " " + l[:i] + l[i + 1:]
+        elif form == 3:                     # token swap
+            s = l + " " + f
+        elif form == 4:                     # initialed
+            s = f[:1] + " " + l
+        elif form == 5:                     # short fragment
+            s = f[: rng.randint(1, 3)]
+        elif form == 6:
+            s = ""
+        else:
+            s = f + " x " + l               # middle token
+        out.append(s)
+    return out
+
+
+def test_edit_join_losslessness_fuzz(spark):
+    """ONE random 100-surface corpus through edit_distance_join vs the
+    naive in-Python quadratic join: the q-gram prefix prune plus the
+    short channel must lose NOTHING and admit nothing below the bar."""
+    from textgraphs_spark.operators.blocking import edit_distance_join
+
+    rng = random.Random(5_201)
+    surfs = _name_corpus(rng, 100)
+    ents = spark.createDataFrame(
+        [(f"e{i:03d}", s) for i, s in enumerate(surfs)],
+        "entity_key string, surface string",
+    )
+    got = {(r["left_id"], r["right_id"]): r["lev"]
+           for r in edit_distance_join(ents, k=2).collect()}
+    want = {}
+    for i in range(len(surfs)):
+        for j in range(i + 1, len(surfs)):
+            d = _lev(surfs[i].lower(), surfs[j].lower())
+            if d <= 2:
+                want[tuple(sorted((f"e{i:03d}", f"e{j:03d}")))] = d
+    assert got == want
+
+
+def test_jaccard_join_losslessness_fuzz(spark):
+    """Same contract for the PPJoin prefix filter: one random corpus,
+    exact equality with the naive quadratic token-set join."""
+    from textgraphs_spark.operators.blocking import jaccard_set_join
+
+    rng = random.Random(5_202)
+    surfs = _name_corpus(rng, 120)
+    ents = spark.createDataFrame(
+        [(f"e{i:03d}", s) for i, s in enumerate(surfs)],
+        "entity_key string, surface string",
+    )
+    got = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in jaccard_set_join(ents, threshold=0.5).collect()}
+    want = {}
+    for i in range(len(surfs)):
+        for j in range(i + 1, len(surfs)):
+            ta = set(t for t in surfs[i].lower().split() if t)
+            tb = set(t for t in surfs[j].lower().split() if t)
+            if not ta or not tb:
+                continue
+            jac = len(ta & tb) / len(ta | tb)
+            if round(jac, 9) >= 0.5:
+                want[tuple(sorted((f"e{i:03d}", f"e{j:03d}")))] = round(jac, 6)
+    assert got == want
