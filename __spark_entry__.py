@@ -1299,6 +1299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return two_table_linkage(eval_entities(spark))
 
+    def er_two_table_metrics(spark, sf_dir):
+        # one-row quality summary of the A x B linkage: precision over
+        # assignments, recall over the incoming file (every B record
+        # has exactly one true registry partner)
+        from textgraphs_spark.plans.er_eval import eval_entities, two_table_metrics
+
+        return two_table_metrics(eval_entities(spark))
+
     def er_cluster_depth(spark, sf_dir):
         # chain-geometry census: per cluster, BFS eccentricity from the
         # representative — deep clusters are transitive chains whose
@@ -1631,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_mined_pairs": contrastive_mined_pairs,
         "er_cluster_depth": er_cluster_depth,
         "er_two_table": er_two_table,
+        "er_two_table_metrics": er_two_table_metrics,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2412,6 +2421,7 @@ SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
+        er_two_table_metrics_sql,
         er_five_channel_recall_sql, er_meta_blocking_sql,
         er_monge_elkan_sql, er_mutual_best_sql, er_phonetic_blocking_sql,
         er_score_calibration_sql, er_soft_tfidf_sql,
@@ -2623,6 +2633,7 @@ FROM agg WHERE n_matched > 0
         "contrastive_mined_pairs": _contrastive_pairs_oracle(),
         "er_cluster_depth": er_cluster_depth_sql(),
         "er_two_table": er_two_table_sql(),
+        "er_two_table_metrics": er_two_table_metrics_sql(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": simhash_sql,

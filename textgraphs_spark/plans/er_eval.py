@@ -3111,3 +3111,68 @@ JOIN entities ea ON ea.entity_key = ba.left_id
 JOIN entities eb ON eb.entity_key = ba.right_id
 ORDER BY ba.left_id, ba.right_id
 """
+
+
+def two_table_metrics(
+    entities: DataFrame,
+    *,
+    n_true: int = 180,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """One-row quality summary of the A x B linkage — (n_a, n_b,
+    n_linked, n_correct, precision, recall): every B record has exactly
+    one true partner in the registry (A carries one row per truth), so
+    recall = correct links / |B|. The number an operator reads before
+    trusting the assignment table downstream.
+
+    Scale: the linkage itself plus two O(1)-row aggregates stitched by
+    broadcast crossJoins — no new pair-space work.
+    """
+    linked = two_table_linkage(entities, n_true=n_true, truth_col=truth_col)
+    idx = F.substring("entity_key", 2, 10).cast("long")
+    sides = entities.agg(
+        F.sum((idx < n_true).cast("long")).alias("n_a"),
+        F.sum((idx >= n_true).cast("long")).alias("n_b"),
+    )
+    link_agg = linked.agg(
+        F.count("*").cast("long").alias("n_linked"),
+        F.sum(F.col("is_true").cast("long")).alias("n_correct"),
+    )
+    return (
+        sides.crossJoin(F.broadcast(link_agg))
+        .select(
+            "n_a", "n_b", "n_linked", "n_correct",
+            F.round(F.col("n_correct") / F.col("n_linked"), 6).alias("precision"),
+            F.round(F.col("n_correct") / F.col("n_b"), 6).alias("recall"),
+        )
+    )
+
+
+def er_two_table_metrics_sql(
+    *, n_base: int = 150, n_twin: int = 30, min_similarity: float = 0.9,
+) -> str:
+    """Oracle for two_table_metrics: the full linkage oracle as a
+    subquery plus the generator-constant side counts (A = the n_true
+    variant-0 rows, B = the 2*n_true initial/variant rows — fixed by
+    the eval_entities construction; re-deriving them here would need a
+    second `entities` CTE, which collides with the inner query's)."""
+    n_true = n_base + n_twin
+    return f"""WITH
+linked AS (
+  SELECT * FROM ({er_two_table_sql(n_base=n_base, n_twin=n_twin,
+                                   min_similarity=min_similarity)}) t
+),
+sides AS (
+  SELECT CAST({n_true} AS BIGINT) AS n_a,
+         CAST({2 * n_true} AS BIGINT) AS n_b
+),
+la AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_linked,
+         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM linked
+)
+SELECT n_a, n_b, n_linked, n_correct,
+       round(n_correct * 1.0 / n_linked, 6) AS precision,
+       round(n_correct * 1.0 / n_b, 6) AS recall
+FROM sides, la
+"""
