@@ -464,6 +464,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup family ---------------------------------------------------
 
+    def dedup_ablation(spark, sf_dir):
+        # channel-ablation census: what each dedup channel removes,
+        # pairwise overlaps, and the union — the decision table for
+        # which channels a deployment runs
+        from textgraphs_spark.operators.webdata import dedup_channel_ablation
+
+        return dedup_channel_ablation(_docs(spark, sf_dir))
+
     def dedup_exact(spark, sf_dir):
         return TQ.fingerprint(_docs(spark, sf_dir)).select(
             "doc_id", "content_hash", "norm_hash", "n_chars"
@@ -1640,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_depth": er_cluster_depth,
         "er_two_table": er_two_table,
         "er_two_table_metrics": er_two_table_metrics,
+        "dedup_ablation": dedup_ablation,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -1791,6 +1800,118 @@ def _c4_filter_oracle() -> str:
     from textgraphs_spark.sources.pages import c4_pages_sql
 
     return c4_line_filter_select(c4_pages_sql())
+
+
+def _dedup_ablation_oracle(*, minhash_threshold: float = 0.7,
+                           max_hamming: int = 8) -> str:
+    """Oracle for dedup_ablation: the three channel removal sets (md5
+    group non-keepers; recursive closure non-keepers over the minhash
+    and simhash pair oracles), their pairwise intersections, and the
+    union — counted per channel tag."""
+    from textgraphs_spark.operators.dedup import minhash_oracle_sql
+
+    return f"""WITH RECURSIVE
+exact_removed AS (
+  SELECT d.doc_id AS id
+  FROM documents d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS m, count(*) AS n
+        FROM documents GROUP BY md5(text)) g
+    ON md5(d.text) = g.h
+  WHERE g.n > 1 AND d.doc_id != g.m
+),
+mpairs AS (SELECT left_id, right_id
+           FROM ({minhash_oracle_sql(threshold=minhash_threshold)}) t),
+medges AS (SELECT left_id AS a, right_id AS b FROM mpairs
+           UNION SELECT right_id, left_id FROM mpairs),
+mreach(node, r) AS (
+  SELECT DISTINCT a, a FROM medges
+  UNION
+  SELECT e.b, x.r FROM mreach x JOIN medges e ON e.a = x.node
+),
+mremoved AS (
+  SELECT node AS id FROM (SELECT node, min(r) AS m FROM mreach GROUP BY node)
+  WHERE node != m
+),
+spairs AS (SELECT left_id, right_id
+           FROM ({_simhash_pairs_sql(max_hamming=max_hamming)}) t),
+sedges AS (SELECT left_id AS a, right_id AS b FROM spairs
+           UNION SELECT right_id, left_id FROM spairs),
+sreach(node, r) AS (
+  SELECT DISTINCT a, a FROM sedges
+  UNION
+  SELECT e.b, x.r FROM sreach x JOIN sedges e ON e.a = x.node
+),
+sremoved AS (
+  SELECT node AS id FROM (SELECT node, min(r) AS m FROM sreach GROUP BY node)
+  WHERE node != m
+),
+tagged AS (
+  SELECT 'exact' AS channel, id FROM exact_removed
+  UNION ALL SELECT 'minhash', id FROM mremoved
+  UNION ALL SELECT 'simhash', id FROM sremoved
+  UNION ALL SELECT 'exact_and_minhash', id
+    FROM (SELECT id FROM exact_removed INTERSECT SELECT id FROM mremoved)
+  UNION ALL SELECT 'exact_and_simhash', id
+    FROM (SELECT id FROM exact_removed INTERSECT SELECT id FROM sremoved)
+  UNION ALL SELECT 'minhash_and_simhash', id
+    FROM (SELECT id FROM mremoved INTERSECT SELECT id FROM sremoved)
+  UNION ALL SELECT 'any', id FROM (
+    SELECT id FROM exact_removed UNION SELECT id FROM mremoved
+    UNION SELECT id FROM sremoved)
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_removed
+FROM tagged GROUP BY channel ORDER BY channel
+"""
+
+
+def _simhash_sql() -> str:
+    """md5-reproducible SimHash fingerprint SQL (top-60-bits-of-md5
+    token hash, signed bit sums) — shared by the fingerprint, pair, and
+    ablation oracles."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN w ELSE -w END) AS b{b}"
+        for b in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.tok, count(*) AS w
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h, w FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {fp_terms} AS simhash
+FROM bits
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """4-band pigeonhole candidate join + exact Hamming verify over the
+    shared fingerprint SQL."""
+    return f"""
+WITH bits_src AS ({_simhash_sql()}),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bits_src a JOIN bits_src b ON a.doc_id < b.doc_id
+  WHERE ((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
+     OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+     OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+)
+SELECT left_id, right_id, hamming FROM p WHERE hamming <= {max_hamming}
+"""
 
 
 def _knn_cosine_sql() -> str:
@@ -2347,48 +2468,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     gor_sql = affinity_oracle_sql(gor_triples).rstrip().rstrip(";")
     gor_sql = f"SELECT rel_a, rel_b, round(affinity, 6) AS affinity FROM ({gor_sql})"
 
-    # simhash is md5-based, so DuckDB can reproduce the fingerprints
-    # bit-for-bit: same top-60-bits-of-md5 token hash, same signed sums
-    bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN w ELSE -w END) AS b{b}"
-        for b in range(60)
-    )
-    fp_terms = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(60)
-    )
-    simhash_sql = f"""
-WITH tok AS (
-  SELECT doc_id, t.tok, count(*) AS w
-  FROM documents,
-       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
-  GROUP BY doc_id, t.tok
-),
-h AS (
-  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h, w FROM tok
-),
-bits AS (
-  SELECT doc_id,
-    {bit_sums}
-  FROM h GROUP BY doc_id
-)
-SELECT doc_id, {fp_terms} AS simhash
-FROM bits
-"""
-
-    simhash_pairs_sql = f"""
-WITH bits_src AS ({simhash_sql}),
-p AS (
-  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM bits_src a JOIN bits_src b ON a.doc_id < b.doc_id
-  WHERE ((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
-     OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
-     OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
-     OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
-)
-SELECT left_id, right_id, hamming FROM p WHERE hamming <= 8
-"""
+    simhash_pairs_sql = _simhash_pairs_sql()
 
     from textgraphs_spark.operators.dedup import (
         minhash_oracle_sql, span_removal_oracle_sql, winnow_oracle_sql,
@@ -2634,9 +2714,10 @@ FROM agg WHERE n_matched > 0
         "er_cluster_depth": er_cluster_depth_sql(),
         "er_two_table": er_two_table_sql(),
         "er_two_table_metrics": er_two_table_metrics_sql(),
+        "dedup_ablation": _dedup_ablation_oracle(),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
-        "simhash_fingerprints": simhash_sql,
+        "simhash_fingerprints": _simhash_sql(),
         "dedup_simhash": simhash_pairs_sql,
         "gor_affinity": gor_sql,
         "dedup_exact": """

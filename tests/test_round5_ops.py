@@ -907,3 +907,33 @@ def test_two_table_linkage_semantics(spark):
             a_truth = int(r["left_id"][1:]) % 180
             b_truth = int(r["right_id"][1:]) % 180
             assert a_truth >= 150 or b_truth >= 150, (r["left_id"], r["right_id"])
+
+
+def test_dedup_ablation_channels_and_overlaps(spark):
+    """A corpus with byte-exact twins (caught by every channel),
+    near-identical docs (minhash+simhash), and unrelated docs: the
+    census reports each channel's removals, their overlaps, and the
+    deduplicated union."""
+    from textgraphs_spark.operators.webdata import dedup_channel_ablation
+
+    base = ("the quick brown fox jumps over the lazy dog beside the "
+            "quiet river bank every single morning before dawn arrives")
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base),                       # byte-exact pair
+            (3, base + " today"),                       # near-dup of 1
+            (4, "completely unrelated text about catalyst optimizer rules"
+                " and adaptive query execution in distributed engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["channel"]: r["n_removed"]
+           for r in dedup_channel_ablation(docs).collect()}
+    assert got["exact"] == 1                      # doc 2
+    assert got["minhash"] >= 2                    # docs 2 and 3 at least
+    assert got["exact_and_minhash"] == 1          # doc 2 in both
+    assert got["any"] >= got["minhash"]
+    assert got["any"] <= 3                        # doc 4 never removed
+    # union counts distinct ids, never double-counts channel overlaps
+    assert got["any"] < got["exact"] + got["minhash"] + got.get("simhash", 0) \
+        or got["exact_and_minhash"] == 0

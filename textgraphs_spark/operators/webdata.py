@@ -1396,3 +1396,81 @@ FROM cand WHERE jaccard <= {lo}
   AND ({pair_key}) % 1000 < {int(neg_keep * 1000)}
 ORDER BY label DESC, left_id, right_id
 """
+
+
+def dedup_channel_ablation(
+    docs: DataFrame,
+    *,
+    minhash_threshold: float = 0.7,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Channel-ablation census of the three dedup channels — one row
+    per channel and combination: (channel, n_removed) for 'exact',
+    'minhash', 'simhash', the three pairwise intersections, and 'any'
+    (the union a full dedup pass would drop). The decision table for
+    WHICH channels a deployment runs: a channel whose removals are a
+    subset of another's is pure cost.
+
+    Scale: each removal set is the channel's own bounded output
+    (non-keeper ids — near-dup-vocabulary sized, not corpus sized);
+    intersections are semi-joins between those small sets.
+    """
+    from .dedup import exact_duplicates, simhash_near_dup_pairs
+
+    exact_removed = (
+        exact_duplicates(docs, text_col=text_col, id_col=id_col)
+        .select(F.explode("doc_ids").alias("id"), "keep_id")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+        .localCheckpoint()
+    )
+    mh_removed = (
+        near_dup_members(
+            docs, text_col=text_col, id_col=id_col, threshold=minhash_threshold
+        )
+        .select(F.col(id_col).alias("id"))
+        .localCheckpoint()
+    )
+    sh_pairs = simhash_near_dup_pairs(
+        docs, text_col=text_col, id_col=id_col, max_hamming=max_hamming
+    )
+    sh_cc = connected_components(
+        sh_pairs.select(F.col("left_id").alias("src"),
+                        F.col("right_id").alias("dst"))
+    )
+    sh_removed = (
+        sh_cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("id"))
+        .localCheckpoint()
+    )
+    sets = {
+        "exact": exact_removed,
+        "minhash": mh_removed,
+        "simhash": sh_removed,
+    }
+    rows = []
+    for name, df in sorted(sets.items()):
+        rows.append(df.select(
+            F.lit(name).alias("channel"), F.col("id")))
+    for (na, a), (nb, b) in [
+        (("exact", sets["exact"]), ("minhash", sets["minhash"])),
+        (("exact", sets["exact"]), ("simhash", sets["simhash"])),
+        (("minhash", sets["minhash"]), ("simhash", sets["simhash"])),
+    ]:
+        rows.append(
+            a.join(b, "id", "left_semi")
+            .select(F.lit(f"{na}_and_{nb}").alias("channel"), F.col("id"))
+        )
+    union_all = sets["exact"].unionByName(sets["minhash"]).unionByName(
+        sets["simhash"]).distinct()
+    rows.append(union_all.select(F.lit("any").alias("channel"), F.col("id")))
+    tagged = rows[0]
+    for r in rows[1:]:
+        tagged = tagged.unionByName(r)
+    return (
+        tagged.groupBy("channel")
+        .agg(F.count("*").cast("long").alias("n_removed"))
+        .orderBy("channel")
+    )
