@@ -1373,6 +1373,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return jaccard_set_join(eval_entities(spark))
 
+    def quality_c4_corpus(spark, sf_dir):
+        # the C4 filter in its production form: over the real documents
+        # corpus (the generator variant attributes rules; this measures
+        # the real distribution)
+        from textgraphs_spark.operators.textquality import c4_line_filter
+
+        return c4_line_filter(_docs(spark, sf_dir))
+
+    def quality_gopher_corpus(spark, sf_dir):
+        # the Gopher census over the real documents corpus
+        from textgraphs_spark.operators.textquality import gopher_census
+
+        return gopher_census(_docs(spark, sf_dir))
+
     def er_edit_join(spark, sf_dir):
         # edit-distance similarity join (ED-Join): positional q-gram
         # prefix filter + JVM levenshtein verify; the oracle is the
@@ -1637,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
+        "quality_c4_corpus": quality_c4_corpus,
+        "quality_gopher_corpus": quality_gopher_corpus,
         "er_edit_join": er_edit_join,
         "er_jaccard_join": er_jaccard_join,
         "graph_modularity": graph_modularity,
@@ -1791,6 +1807,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 
 _TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _c4_corpus_oracle() -> str:
+    """Oracle for quality_c4_corpus: the shared C4 SQL twin over the
+    real documents table."""
+    from textgraphs_spark.operators.textquality import c4_line_filter_select
+
+    return c4_line_filter_select("SELECT * FROM documents")
+
+
+def _gopher_corpus_oracle() -> str:
+    """Oracle for quality_gopher_corpus: the shared Gopher census twin
+    over the real documents table."""
+    from textgraphs_spark.operators.textquality import gopher_census_select
+
+    return gopher_census_select("SELECT * FROM documents")
 
 
 def _c4_filter_oracle() -> str:
@@ -2569,6 +2601,8 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         "er_star_clusters": er_star_clusters_sql(),
         "quality_gopher": _gopher_census_oracle(),
         "quality_c4": _c4_filter_oracle(),
+        "quality_c4_corpus": _c4_corpus_oracle(),
+        "quality_gopher_corpus": _gopher_corpus_oracle(),
         "er_edit_join": er_edit_join_sql(),
         "er_jaccard_join": er_jaccard_join_sql(),
         "er_golden_records": er_golden_records_sql(),
