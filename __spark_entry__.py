@@ -464,6 +464,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup family ---------------------------------------------------
 
+    def dsir_weights(spark, sf_dir):
+        # DSIR-style data selection (unigram features): importance
+        # weight = mean ln p_target/p_raw per token occurrence, target
+        # LM fit on the quality>=0.75 subset with add-one smoothing
+        from textgraphs_spark.operators.webdata import dsir_importance_weights
+
+        return dsir_importance_weights(_docs(spark, sf_dir))
+
     def dedup_ablation(spark, sf_dir):
         # channel-ablation census: what each dedup channel removes,
         # pairwise overlaps, and the union — the decision table for
@@ -1665,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_two_table": er_two_table,
         "er_two_table_metrics": er_two_table_metrics,
         "dedup_ablation": dedup_ablation,
+        "dsir_weights": dsir_weights,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2229,6 +2238,33 @@ SELECT doc_id, n_words,
 FROM m
 """
 
+    dsir_sql = f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+raw AS (SELECT tok, count(*) AS cr FROM occ GROUP BY tok),
+rt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS v FROM raw),
+q AS ({quality_sql}),
+target AS (SELECT doc_id FROM q WHERE quality >= 0.75),
+tocc AS (SELECT occ.* FROM occ JOIN target ON target.doc_id = occ.doc_id),
+tf AS (SELECT tok, count(*) AS ct FROM tocc GROUP BY tok),
+tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tf),
+scored AS (
+  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln((coalesce(tf.ct, 0) + 1.0) / (tt.tt + rt.v))
+                   - ln(raw.cr * 1.0 / rt.tr)), 6) AS dsir_weight
+  FROM occ
+  JOIN raw ON raw.tok = occ.tok
+  LEFT JOIN tf ON tf.tok = occ.tok
+  CROSS JOIN rt CROSS JOIN tt
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(scored.n_tokens, len(d.toks)) AS BIGINT) AS n_tokens,
+       scored.dsir_weight
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+ORDER BY d.doc_id
+"""
+
     repetition_sql = f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
 w AS (
@@ -2749,6 +2785,7 @@ FROM agg WHERE n_matched > 0
         "er_two_table": er_two_table_sql(),
         "er_two_table_metrics": er_two_table_metrics_sql(),
         "dedup_ablation": _dedup_ablation_oracle(),
+        "dsir_weights": dsir_sql,
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": _simhash_sql(),

@@ -937,3 +937,33 @@ def test_dedup_ablation_channels_and_overlaps(spark):
     # union counts distinct ids, never double-counts channel overlaps
     assert got["any"] < got["exact"] + got["minhash"] + got.get("simhash", 0) \
         or got["exact_and_minhash"] == 0
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """Docs resembling the high-quality target subset score POSITIVE
+    importance weights; off-target token salad scores negative; empty
+    docs carry NULL (no signal)."""
+    from textgraphs_spark.operators.webdata import dsir_importance_weights
+
+    quality = ("the analyst wrote careful notes about the spark plans and "
+               "the optimizer rules that shape them in practice for the team")
+    docs = spark.createDataFrame(
+        [
+            (1, quality),
+            (2, quality.replace("analyst", "engineer")),
+            # off-target salad that FAILS the quality gate (15-char
+            # gibberish words -> mean-word-len rule trips -> q = 0.625)
+            (3, " ".join("zxq" * 5 for _ in range(10))),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_importance_weights(docs).collect()}
+    # absolute sign is smoothing-dependent on tiny corpora (add-one over
+    # the full vocabulary depresses every target prob); the ORDERING is
+    # the contract: target-like docs far above the off-target salad
+    assert got[1]["dsir_weight"] > got[3]["dsir_weight"]
+    assert got[2]["dsir_weight"] > got[3]["dsir_weight"]
+    assert got[3]["dsir_weight"] < 0          # salad is decisively off-target
+    assert got[1]["dsir_weight"] - got[3]["dsir_weight"] > 1.0
+    assert got[4]["dsir_weight"] is None and got[4]["n_tokens"] == 0

@@ -1474,3 +1474,72 @@ def dedup_channel_ablation(
         .agg(F.count("*").cast("long").alias("n_removed"))
         .orderBy("channel")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    *,
+    target_quality: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    reduced to unigram features) — (doc_id, n_tokens, dsir_weight):
+    per-token-occurrence mean of ln p_target(t) − ln p_raw(t), where
+    the TARGET unigram LM is fit on the high-quality subset
+    (quality_col >= ``target_quality``, add-one smoothed over the raw
+    vocabulary) and the RAW LM on the whole corpus. Positive weight =
+    the document looks more like the curated target than like the
+    crawl; sampling proportionally to exp(weight) is the DSIR
+    resampling step. NULL weight for token-less docs (no signal).
+
+    Plan: ONE occurrence explode (localCheckpoint'ed, reused by both
+    LMs and the scoring join), two vocabulary-sized hash aggs, two
+    1-row normalizer broadcasts, one token-keyed join back. The corpus
+    shuffles only by token key; hot tokens partial-combine.
+    """
+    from .textquality import quality_col
+
+    toks = F.expr(_TOKENS.format(c=text_col))
+    occ = docs.select(F.col(id_col), F.explode(toks).alias("_tok")).localCheckpoint()
+    raw = occ.groupBy("_tok").agg(F.count("*").alias("_cr"))
+    raw_tot = raw.agg(
+        F.sum("_cr").alias("_tr"), F.count("*").cast("long").alias("_v")
+    )
+    target_ids = docs.filter(quality_col(text_col) >= target_quality).select(
+        F.col(id_col)
+    )
+    tfreq = (
+        occ.join(target_ids, id_col, "left_semi")
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_ct"))
+    )
+    t_tot = tfreq.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
+    scored = (
+        occ.join(raw, "_tok")
+        .join(tfreq, "_tok", "left")
+        .na.fill({"_ct": 0})
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log((F.col("_ct") + 1.0) / (F.col("_tt") + F.col("_v")))
+                    - F.log(F.col("_cr") / F.col("_tr"))
+                ),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+    base = docs.select(F.col(id_col), F.size(toks).alias("_n"))
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.col("_n").cast("long")).alias("n_tokens"),
+            F.col("dsir_weight"),
+        )
+        .orderBy(id_col)
+    )
