@@ -773,6 +773,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ivf.unionByName(lsh).orderBy("method", "q_id")
 
+    def dedup_semantic(spark, sf_dir):
+        # SemDeDup: IVF-quantize the embedding corpus, near-dup pairs
+        # ONLY within a cell, transitive closure, min-id keeper — the
+        # embedding-space sibling of dedup_minhash_clusters
+        from textgraphs_spark.operators.similarity import semdedup_clusters
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        # 0.4 = the synthetic embeddings' near-dup regime (same
+        # threshold as embedding_near_dup); 0.9 on real text embeddings
+        return semdedup_clusters(emb, n_cells=8, threshold=0.4)
+
     def embedding_near_dup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -1674,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_two_table_metrics": er_two_table_metrics,
         "dedup_ablation": dedup_ablation,
         "dsir_weights": dsir_weights,
+        "dedup_semantic": dedup_semantic,
         "er_mutual_best": er_mutual_best,
         "er_cluster_sizes": er_cluster_sizes,
         "dedup_span_removal": dedup_span_removal,
@@ -2545,6 +2559,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     from textgraphs_spark.operators.multimodal import multimodal_oracle_sql
     from textgraphs_spark.operators.similarity import (
         ann_oracle_sql, ivf_oracle_sql, near_dup_lsh_oracle_sql,
+        semdedup_oracle_sql,
     )
     from textgraphs_spark.plans.er_oracle import (
         assortativity_sql, clustering_coefficient_sql,
@@ -2786,6 +2801,7 @@ FROM agg WHERE n_matched > 0
         "er_two_table_metrics": er_two_table_metrics_sql(),
         "dedup_ablation": _dedup_ablation_oracle(),
         "dsir_weights": dsir_sql,
+        "dedup_semantic": semdedup_oracle_sql(n_cells=8, threshold=0.4),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),
         "simhash_fingerprints": _simhash_sql(),

@@ -967,3 +967,28 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     assert got[3]["dsir_weight"] < 0          # salad is decisively off-target
     assert got[1]["dsir_weight"] - got[3]["dsir_weight"] > 1.0
     assert got[4]["dsir_weight"] is None and got[4]["n_tokens"] == 0
+
+
+def test_semdedup_clusters_within_cell_closure(spark):
+    """Two tight groups of near-parallel vectors collapse to two
+    clusters with min-id keepers; the orthogonal outlier joins no
+    cluster; member lists are sorted numeric ids."""
+    from textgraphs_spark.operators.similarity import semdedup_clusters
+
+    def v(base, eps):
+        out = [0.0] * 8
+        out[base] = 1.0
+        out[(base + 1) % 8] = eps
+        return out
+
+    rows = (
+        [(i, v(0, 0.01 * i)) for i in range(1, 4)]       # group A: ids 1-3
+        + [(10 + i, v(4, 0.01 * i)) for i in range(1, 4)]  # group B: ids 11-13
+        + [(99, v(2, 0.0))]                                # orthogonal outlier
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["keep_id"]: r for r in
+           semdedup_clusters(emb, n_cells=3, threshold=0.95).collect()}
+    assert got[1]["n_vecs"] == 3 and got[1]["member_ids"] == "1|2|3"
+    assert got[11]["n_vecs"] == 3 and got[11]["member_ids"] == "11|12|13"
+    assert set(got) == {1, 11}                 # the outlier is no cluster

@@ -401,6 +401,66 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _assign_cells(vectors: DataFrame, cents: DataFrame, id_col: str,
+                  vec_col: str, keep: int) -> DataFrame:
+    """argmax-cosine cell assignment against a broadcast centroid frame."""
+    from pyspark.sql.window import Window
+
+    scored = vectors.join(F.broadcast(cents), how="cross").withColumn(
+        "_cs", cosine_expr(vec_col, "_cvec")
+    ).filter(_finite("_cs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("_cs", 9)), F.asc("_cell")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= keep)
+        .drop("_cvec", "_cs", "_r")
+    )
+
+
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    kmeans_iters: int = 1,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus_cells, centroids): the IVF coarse quantizer alone —
+    md5-ordered deterministic seed, ``kmeans_iters`` Lloyd refinements,
+    one cell per corpus vector. SHARED by ivf_topk (probing) and
+    semdedup_clusters (within-cell near-dup removal) so both surfaces
+    quantize identically.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = (
+        corpus.orderBy(F.md5(F.col(c_id).cast("string").cast("binary")))
+        .limit(n_cells)
+        .select(
+            # unpartitioned window is BOUNDED here: it numbers the
+            # already-limit(n_cells)-ed seed frame (<= n_cells rows),
+            # never the corpus — the WindowExec single-partition
+            # warning it triggers is a fixed-size frame, not a funnel
+            F.row_number().over(Window.orderBy(c_id)).alias("_cell"),
+            F.col(c_vec).alias("_cvec"),
+        )
+    ).localCheckpoint()
+
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(corpus, centroids, c_id, c_vec, 1)
+        centroids = (
+            assigned.select("_cell", F.posexplode(c_vec).alias("_pos", "_v"))
+            .groupBy("_cell", "_pos").agg(F.avg("_v").alias("_m"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
+            .select("_cell", F.expr("transform(_s, x -> x._m)").alias("_cvec"))
+        ).localCheckpoint()
+
+    return _assign_cells(corpus, centroids, c_id, c_vec, 1), centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -431,45 +491,11 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    def assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str,
-               keep: int) -> DataFrame:
-        scored = vectors.join(F.broadcast(cents), how="cross").withColumn(
-            "_cs", cosine_expr(vec_col, "_cvec")
-        ).filter(_finite("_cs"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc(F.round("_cs", 9)), F.asc("_cell")
-        )
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= keep)
-            .drop("_cvec", "_cs", "_r")
-        )
-
-    centroids = (
-        corpus.orderBy(F.md5(F.col(c_id).cast("string").cast("binary")))
-        .limit(n_cells)
-        .select(
-            # unpartitioned window is BOUNDED here: it numbers the
-            # already-limit(n_cells)-ed seed frame (<= n_cells rows),
-            # never the corpus — the WindowExec single-partition
-            # warning it triggers is a fixed-size frame, not a funnel
-            F.row_number().over(Window.orderBy(c_id)).alias("_cell"),
-            F.col(c_vec).alias("_cvec"),
-        )
-    ).localCheckpoint()
-
-    for _ in range(kmeans_iters):
-        assigned = assign(corpus, centroids, c_id, c_vec, 1)
-        centroids = (
-            assigned.select("_cell", F.posexplode(c_vec).alias("_pos", "_v"))
-            .groupBy("_cell", "_pos").agg(F.avg("_v").alias("_m"))
-            .groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
-            .select("_cell", F.expr("transform(_s, x -> x._m)").alias("_cvec"))
-        ).localCheckpoint()
-
-    corpus_cells = assign(corpus, centroids, c_id, c_vec, 1)
-    query_cells = assign(queries, centroids, q_id, q_vec, nprobe)
+    corpus_cells, centroids = ivf_cell_assignments(
+        corpus, n_cells=n_cells, kmeans_iters=kmeans_iters,
+        c_id=c_id, c_vec=c_vec,
+    )
+    query_cells = _assign_cells(queries, centroids, q_id, q_vec, nprobe)
 
     scored = query_cells.join(corpus_cells, "_cell").withColumn(
         "cosine", cosine_expr(q_vec, c_vec)
@@ -516,3 +542,123 @@ def topk_recall(
             F.round(F.col("n_matched") / float(k), 6).alias("recall"),
         )
     )
+
+
+def semdedup_clusters(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup clusters by
+    IVF-quantizing the embedding corpus and joining pairs ONLY within
+    a cell — (keep_id, n_vecs, member_ids) per cluster of transitively
+    cosine->=threshold vectors, keeper = min id. The embedding-space
+    sibling of minhash_dedup_clusters: catches paraphrases exact and
+    shingle channels cannot.
+
+    Scale: the pairwise join is bounded per cell (cells ~ sqrt(N) at
+    proper n_cells), never corpus-wide; closure inherits the
+    size-adaptive connected components. The documented approximation
+    vs all-pairs: near-dups straddling a cell boundary are missed —
+    the standard SemDeDup trade, tunable via n_cells.
+    """
+    from .components import connected_components
+
+    cells, _ = ivf_cell_assignments(
+        corpus, n_cells=n_cells, kmeans_iters=1, c_id=c_id, c_vec=c_vec
+    )
+    a = cells.select("_cell", F.col(c_id).alias("left_id"),
+                     F.col(c_vec).alias("lv"))
+    b = cells.select("_cell", F.col(c_id).alias("right_id"),
+                     F.col(c_vec).alias("rv"))
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("_cos", cosine_expr("lv", "rv"))
+        .filter(_finite("_cos"))
+        .filter(F.round("_cos", 9) >= threshold)
+        .select("left_id", "right_id")
+    )
+    cc = connected_components(
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    )
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.concat_ws("|", F.sort_array(F.collect_list("node"))).alias("member_ids"),
+        )
+        .select(F.col("component").alias("keep_id"), "n_vecs", "member_ids")
+        .orderBy("keep_id")
+    )
+
+
+def semdedup_oracle_sql(
+    *, n_cells: int = 8, threshold: float = 0.9, dim: int = 64,
+) -> str:
+    """DuckDB twin of ``semdedup_clusters``: the SAME md5-seeded one-
+    Lloyd-iteration cell chain as ivf_oracle_sql, within-cell cosine
+    pairs, recursive closure, min-id keeper."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH RECURSIVE
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+seed AS (
+  SELECT vec_id, emb FROM e0 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, emb AS cvec FROM seed
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e0.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e0.vec_id
+                              ORDER BY round({cos.format(a='e0.emb', b='c.cvec')}, 9) DESC,
+                                       c.cell ASC) AS rn
+    FROM e0, cent0 c
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cell, CAST(j.j AS INT) AS pos, avg(e0.emb[CAST(j.j AS INT)]) AS m
+    FROM assign0 a JOIN e0 ON e0.vec_id = a.vec_id,
+         unnest(range(1, {dim} + 1)) AS j(j)
+    GROUP BY a.cell, j.j
+  ) GROUP BY cell
+),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e0.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e0.vec_id
+                              ORDER BY round({cos.format(a='e0.emb', b='c.cvec')}, 9) DESC,
+                                       c.cell ASC) AS rn
+    FROM e0, cent1 c
+  ) WHERE rn = 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM corpus_cells a JOIN corpus_cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e0 ea ON ea.vec_id = a.vec_id
+  JOIN e0 eb ON eb.vec_id = b.vec_id
+  WHERE round({cos.format(a='ea.emb', b='eb.emb')}, 9) >= {threshold}
+),
+edges AS (SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs),
+reach(node, rt) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, x.rt FROM reach x JOIN edges e ON e.a = x.node
+),
+comp AS (SELECT node, min(rt) AS component FROM reach GROUP BY node)
+SELECT component AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       array_to_string(list_sort(list(node)), '|') AS member_ids
+FROM comp
+GROUP BY component
+ORDER BY keep_id
+"""
