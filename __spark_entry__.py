@@ -521,6 +521,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "pos"
         )
 
+    def dedup_imatch(spark, sf_dir):
+        # mid-IDF term-signature channel (I-Match): catches near-dups
+        # that differ only in very-common or very-rare terms, with the
+        # exact-dedup scale shape (hash-aggs only, never pairs)
+        return D.imatch_duplicates(_docs(spark, sf_dir), min_df=2, max_df_frac=0.8)
+
+    def imatch_signatures_q(spark, sf_dir):
+        # the per-doc signature table itself (the I-Match "fingerprint"
+        # surface, analogous to simhash_fingerprints)
+        return D.imatch_signatures(_docs(spark, sf_dir), min_df=2, max_df_frac=0.8)
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1669,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "dedup_imatch": dedup_imatch,
+        "imatch_signatures": imatch_signatures_q,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
@@ -2182,6 +2195,7 @@ ORDER BY s.ckpt
 
 
 def oracle_sql() -> dict[str, str]:
+    from textgraphs_spark.operators import dedup as _D
     from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
@@ -2606,6 +2620,8 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # incremental path's contract), so it shares the oracle.
         "er_clusters": er_clusters_sql(),
         "er_incremental": er_clusters_sql(),
+        "dedup_imatch": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=True),
+        "imatch_signatures": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=False),
         "extract_mentions": extract_mentions_sql(),
         "lemma_nodes": lemma_nodes_sql(),
         "lemma_edges": lemma_edges_sql(),

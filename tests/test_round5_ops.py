@@ -992,3 +992,30 @@ def test_semdedup_clusters_within_cell_closure(spark):
     assert got[1]["n_vecs"] == 3 and got[1]["member_ids"] == "1|2|3"
     assert got[11]["n_vecs"] == 3 and got[11]["member_ids"] == "11|12|13"
     assert set(got) == {1, 11}                 # the outlier is no cluster
+
+
+def test_imatch_collapses_band_filtered_near_dups(spark):
+    """Docs differing ONLY in out-of-band terms (a corpus-wide stopword
+    or a df=1 rare term) share an I-Match signature; docs differing in
+    an in-band term do not; docs with zero retained terms are skipped."""
+    from textgraphs_spark.operators.dedup import imatch_duplicates, imatch_signatures
+
+    # 'the' appears in 5/6 docs -> df 5 > floor(0.5*6)=3 -> too common.
+    # 'zzyzx' appears once -> df 1 < min_df 2 -> too rare.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown fox zzyzx"),        # rare term ignored -> dup of 1
+            (3, "the quick brown fox"),          # exact dup of 1
+            (4, "the quick brown wolf"),         # in-band diff ('wolf' df=2)
+            (5, "quick brown wolf"),             # dup of 4
+            (6, "the"),                          # all terms filtered -> skipped
+        ],
+        "doc_id long, text string",
+    )
+    sig = imatch_signatures(docs, min_df=2, max_df_frac=0.5)
+    assert {r["doc_id"] for r in sig.collect()} == {1, 2, 3, 4, 5}
+    groups = {r["keep_id"]: r for r in
+              imatch_duplicates(docs, min_df=2, max_df_frac=0.5).collect()}
+    assert groups[1]["doc_ids"] == "1|2|3"
+    assert groups[4]["doc_ids"] == "4|5"

@@ -915,3 +915,135 @@ SELECT doc_id,
 FROM rebuilt
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# I-Match: mid-IDF term-signature dedup (Chowdhury et al. 2002)
+# ---------------------------------------------------------------------------
+
+def imatch_signatures(
+    docs: DataFrame,
+    *,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """I-Match document signatures (Chowdhury et al. 2002, "Collection
+    Statistics for Fast Duplicate Document Detection"): a doc's signature
+    is the md5 of its SORTED DISTINCT terms restricted to a mid-df band —
+    terms too common (df > max_df_frac * corpus) carry no identity, terms
+    too rare (df < min_df) are noise/typos. Docs that differ only in
+    filtered terms collapse to one signature, catching near-dups that
+    byte-exact hashing misses while staying a pure hash-agg (no pairs).
+
+    100 TB shape: (1) one distinct (doc, term) projection; (2) a
+    vocabulary-sized df hash-agg with map-side partial aggregation;
+    (3) the band filter applied via a broadcast 1-row corpus-count frame;
+    (4) a term-keyed semi-join back (shuffle bounded by vocabulary and
+    corpus token count, never pairs); (5) per-doc sort_array+md5 hash-agg.
+    No step is quadratic; no driver loop. Docs with ZERO retained terms
+    drop out (classical I-Match skips them — an empty term set is not
+    evidence of duplication).
+
+    Reference parity: textgraphs dedups entity surface forms by exact
+    lemma key (textgraphs/graph.py:92-118); I-Match generalizes the same
+    "canonical key" idea to whole-document near-identity.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    terms = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    total = docs.agg(F.count("*").alias("_n_total"))
+    df_tbl = terms.groupBy("term").agg(F.count("*").alias("df"))
+    kept = (
+        df_tbl.crossJoin(F.broadcast(total))
+        .where(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.floor(F.lit(float(max_df_frac)) * F.col("_n_total")))
+        )
+        .select("term")
+    )
+    return (
+        terms.join(kept, "term")
+        .groupBy(id_col)
+        .agg(
+            F.md5(F.concat_ws(" ", F.sort_array(F.collect_set("term")))).alias("signature"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+    )
+
+
+def imatch_duplicates(
+    docs: DataFrame,
+    *,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """I-Match duplicate GROUPS (size > 1) with a deterministic keeper:
+    (signature, n_docs, keep_id, doc_ids). Same no-pairs scale shape as
+    ``exact_duplicates`` — the signature agg is the only corpus-scale
+    shuffle."""
+    sig = imatch_signatures(
+        docs, min_df=min_df, max_df_frac=max_df_frac,
+        text_col=text_col, id_col=id_col,
+    )
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def imatch_oracle_sql(
+    *,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    groups: bool = True,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of imatch_duplicates / imatch_signatures over ``src``
+    (doc_id, text) — keep the tokenizer and band filter in lockstep with
+    the Spark kernel."""
+    base = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM {src}, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
+),
+tot AS (SELECT count(*) AS n_total FROM {src}),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+kept AS (
+  SELECT term FROM dfreq, tot
+  WHERE df >= {int(min_df)} AND df <= floor({float(max_df_frac)} * n_total)
+),
+sig AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list(term)), ' ')) AS signature,
+         count(DISTINCT term) AS n_terms
+  FROM tok JOIN kept USING (term)
+  GROUP BY doc_id
+)"""
+    if not groups:
+        return base + "\nSELECT doc_id, signature, CAST(n_terms AS BIGINT) AS n_terms FROM sig"
+    return base + """
+SELECT signature,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id,
+       array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), '|') AS doc_ids
+FROM sig
+GROUP BY signature
+HAVING count(*) > 1
+"""
