@@ -532,6 +532,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface, analogous to simhash_fingerprints)
         return D.imatch_signatures(_docs(spark, sf_dir), min_df=2, max_df_frac=0.8)
 
+    def capture_drift(spark, sf_dir):
+        # crawl snapshot diffing over the deterministic multi-capture
+        # corpus (sources/pages.capture_pages — RNG-free, regenerated by
+        # the oracle): simhash per capture, url-partitioned lag diff
+        from textgraphs_spark.operators.webdata import capture_drift as _cd
+        from textgraphs_spark.sources.pages import capture_pages
+
+        return _cd(capture_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1682,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four added after the r4 snapshot
         "dedup_imatch": dedup_imatch,
         "imatch_signatures": imatch_signatures_q,
+        "capture_drift": capture_drift,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
@@ -1932,10 +1942,10 @@ FROM tagged GROUP BY channel ORDER BY channel
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(src: str = "documents") -> str:
     """md5-reproducible SimHash fingerprint SQL (top-60-bits-of-md5
-    token hash, signed bit sums) — shared by the fingerprint, pair, and
-    ablation oracles."""
+    token hash, signed bit sums) over ``src`` (doc_id, text) — shared by
+    the fingerprint, pair, ablation, and capture-drift oracles."""
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h & {1 << b}) != 0 THEN w ELSE -w END) AS b{b}"
         for b in range(60)
@@ -1947,7 +1957,7 @@ def _simhash_sql() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, t.tok, count(*) AS w
-  FROM documents,
+  FROM {src},
        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)
   GROUP BY doc_id, t.tok
 ),
@@ -2197,6 +2207,7 @@ ORDER BY s.ckpt
 def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators import dedup as _D
     from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
+    from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
 
@@ -2622,6 +2633,26 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         "er_incremental": er_clusters_sql(),
         "dedup_imatch": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=True),
         "imatch_signatures": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=False),
+        "capture_drift": f"""
+WITH captures AS ({_capture_pages_sql()}),
+fp AS ({_simhash_sql(src='captures')}),
+j AS (
+  SELECT c.url, c.warc_ts, c.doc_id, f.simhash
+  FROM captures c JOIN fp f USING (doc_id)
+),
+d AS (
+  SELECT url,
+         bit_count(xor(lag(simhash) OVER (PARTITION BY url ORDER BY warc_ts, doc_id),
+                       simhash)) AS hamming
+  FROM j
+)
+SELECT url,
+       count(*) AS n_captures,
+       CAST(sum(CASE WHEN hamming > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       round(sum(CASE WHEN hamming > 0 THEN 1 ELSE 0 END) * 1.0 / (count(*) - 1), 6) AS change_rate,
+       round(avg(hamming), 6) AS mean_hamming
+FROM d GROUP BY url
+""",
         "extract_mentions": extract_mentions_sql(),
         "lemma_nodes": lemma_nodes_sql(),
         "lemma_edges": lemma_edges_sql(),

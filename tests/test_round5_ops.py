@@ -1019,3 +1019,28 @@ def test_imatch_collapses_band_filtered_near_dups(spark):
               imatch_duplicates(docs, min_df=2, max_df_frac=0.5).collect()}
     assert groups[1]["doc_ids"] == "1|2|3"
     assert groups[4]["doc_ids"] == "4|5"
+
+
+def test_capture_drift_counts_revision_events(spark):
+    """Unchanged consecutive captures are byte-equal (hamming 0, not a
+    change); each change-predicate firing is exactly one counted change.
+    Hand-computed from chg(u,j) = (u*31 + j*17) % 5 < 2 over 5 captures:
+    url 0 changes at j=3 only; url 2 at j=2 and j=4."""
+    from textgraphs_spark.operators.webdata import capture_drift
+    from textgraphs_spark.sources.pages import capture_pages
+
+    got = {r["url"]: r for r in capture_drift(capture_pages(spark, n_urls=4, n_caps=5)).collect()}
+    assert all(r["n_captures"] == 5 for r in got.values())
+    u0 = got["https://site0.example.com/page/0"]
+    u2 = got["https://site2.example.com/page/2"]
+    assert u0["n_changes"] == 1 and u0["change_rate"] == 0.25
+    assert u2["n_changes"] == 2 and u2["change_rate"] == 0.5
+
+    # a url whose captures never change: 0 changes, mean hamming 0
+    static = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:00", "same text body"),
+         (2, "u", "2024-01-02 00:00:00", "same text body")],
+        "doc_id long, url string, warc_ts string, text string",
+    )
+    row = capture_drift(static).collect()[0]
+    assert row["n_changes"] == 0 and row["change_rate"] == 0.0 and row["mean_hamming"] == 0.0

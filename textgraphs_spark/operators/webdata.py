@@ -1543,3 +1543,64 @@ def dsir_importance_weights(
         )
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot diffing: per-url capture drift
+# ---------------------------------------------------------------------------
+
+def capture_drift(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-url content change rate across crawl snapshots: SimHash each
+    capture, diff consecutive captures of the same url (lag window over
+    ``warc_ts``), report how often and how much the page changed —
+    (url, n_captures, n_changes, change_rate, mean_hamming).
+
+    The crawl-scheduling signal: pages with change_rate ~0 need no
+    re-crawl; high-drift pages are re-fetched often. Common Crawl's
+    own index carries exactly this (url, capture-time) shape.
+
+    100 TB shape: the SimHash is the shared groupBy kernel (one token
+    explode + per-doc hash-agg, all codegen); the diff is a window
+    PARTITIONED BY URL — a crawl has millions of urls with at most
+    hundreds of captures each, so partitions are uniformly tiny and no
+    global sort or hot key exists (contrast the WindowExec warning a
+    partitionless window would emit). The final per-url agg reuses the
+    same url-keyed shuffle — AQE coalesces the two stages.
+
+    Reference parity: textgraphs has no temporal axis; this extends the
+    same SimHash kernel dedup_simhash verifies to the (url, warc_ts)
+    input contract of BASELINE.json.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import simhash
+
+    fp = simhash(pages, text_col=text_col, id_col=id_col)
+    caps = pages.select(id_col, url_col, ts_col).join(fp, id_col)
+    w = Window.partitionBy(url_col).orderBy(ts_col, id_col)
+    diffed = caps.select(
+        F.col(url_col),
+        F.bit_count(
+            F.lag("simhash").over(w).bitwiseXOR(F.col("simhash"))
+        ).alias("hamming"),
+    )
+    return (
+        diffed.groupBy(url_col)
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.sum(F.when(F.col("hamming") > 0, 1).otherwise(0)).alias("n_changes"),
+            F.round(
+                F.sum(F.when(F.col("hamming") > 0, 1).otherwise(0))
+                / (F.count("*") - F.lit(1)),
+                6,
+            ).alias("change_rate"),
+            F.round(F.avg("hamming"), 6).alias("mean_hamming"),
+        )
+    )

@@ -646,3 +646,61 @@ SELECT i AS doc_id,
   END AS text
 FROM range(0, {n_pages}) t(i)
 """
+
+
+def capture_pages(spark: SparkSession, n_urls: int = 120, n_caps: int = 5) -> DataFrame:
+    """Deterministic multi-capture crawl corpus for snapshot-diffing
+    queries — ``n_caps`` captures per url at daily ``warc_ts`` intervals,
+    pure index arithmetic (RNG-free; ``capture_pages_sql`` regenerates it
+    bit-identically).
+
+    Capture ``c`` of url ``u`` renders revision ``rev(u, c)`` = the most
+    recent ``j <= c`` at which the page changed, where change events are
+    the deterministic predicate ``(u*31 + j*17) % 5 < 2`` (about 40% of
+    captures). Consecutive captures of an unchanged page are BYTE-EQUAL
+    (hamming 0); a revision bump rewrites four body tokens.
+    """
+    i = F.col("id")
+    u = F.floor(i / n_caps)
+    c = i % n_caps
+    chg = [None] + [((u * 31 + F.lit(j) * 17) % 5 < 2) for j in range(1, n_caps)]
+    rev = F.lit(0).cast("long")
+    for j in range(1, n_caps):
+        rev = F.greatest(rev, F.when((F.lit(j) <= c) & chg[j], F.lit(j)).otherwise(F.lit(0)).cast("long"))
+    url = F.format_string("https://site%d.example.com/page/%d", (u % 7).cast("int"), u.cast("int"))
+    ts = F.expr(f"timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, cast(id % {n_caps} as int), 0, 0, 0)")
+    text = F.format_string(
+        "site page %d revision %d alpha %d beta %d gamma %d delta %d",
+        u.cast("int"), rev.cast("int"),
+        ((u * 7 + rev * 13) % 97).cast("int"),
+        ((u * 11 + rev * 29) % 89).cast("int"),
+        ((u * 13 + rev * 37) % 83).cast("int"),
+        ((u * 17 + rev * 41) % 79).cast("int"),
+    )
+    return spark.range(0, n_urls * n_caps).select(
+        i.alias("doc_id"), url.alias("url"), ts.alias("warc_ts"), text.alias("text"),
+    )
+
+
+def capture_pages_sql(n_urls: int = 120, n_caps: int = 5) -> str:
+    """DuckDB twin of ``capture_pages`` — keep the change predicate and
+    the body-token formulas in lockstep."""
+    rev_terms = ", ".join(
+        f"CASE WHEN {j} <= c AND (u*31 + {j}*17) % 5 < 2 THEN {j} ELSE 0 END"
+        for j in range(1, n_caps)
+    )
+    return f"""
+SELECT i AS doc_id,
+  'https://site' || (u % 7) || '.example.com/page/' || u AS url,
+  TIMESTAMP '2024-01-01 00:00:00' + c * INTERVAL 1 DAY AS warc_ts,
+  'site page ' || u || ' revision ' || rev ||
+  ' alpha ' || ((u*7 + rev*13) % 97) ||
+  ' beta '  || ((u*11 + rev*29) % 89) ||
+  ' gamma ' || ((u*13 + rev*37) % 83) ||
+  ' delta ' || ((u*17 + rev*41) % 79) AS text
+FROM (
+  SELECT i, u, c, greatest(0, {rev_terms}) AS rev
+  FROM (SELECT t.i, t.i // {n_caps} AS u, t.i % {n_caps} AS c
+        FROM range(0, {n_urls * n_caps}) t(i))
+)
+"""
