@@ -541,6 +541,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _cd(capture_pages(spark))
 
+    def mirror_hosts_q(spark, sf_dir):
+        # mirror-farm detection over the deterministic mirrored-host
+        # corpus (sources/pages.mirror_pages — RNG-free, regenerated by
+        # the oracle): content-hash channel, host-pair rollup
+        from textgraphs_spark.operators.webdata import mirror_hosts
+        from textgraphs_spark.sources.pages import mirror_pages
+
+        return mirror_hosts(mirror_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1692,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_imatch": dedup_imatch,
         "imatch_signatures": imatch_signatures_q,
         "capture_drift": capture_drift,
+        "mirror_hosts": mirror_hosts_q,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
@@ -2207,7 +2217,9 @@ ORDER BY s.ckpt
 def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators import dedup as _D
     from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
+    from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
+    from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
 
@@ -2653,6 +2665,7 @@ SELECT url,
        round(avg(hamming), 6) AS mean_hamming
 FROM d GROUP BY url
 """,
+        "mirror_hosts": _mirror_sql(_mirror_pages_sql()),
         "extract_mentions": extract_mentions_sql(),
         "lemma_nodes": lemma_nodes_sql(),
         "lemma_edges": lemma_edges_sql(),

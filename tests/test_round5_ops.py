@@ -1044,3 +1044,32 @@ def test_capture_drift_counts_revision_events(spark):
     )
     row = capture_drift(static).collect()[0]
     assert row["n_changes"] == 0 and row["change_rate"] == 0.0 and row["mean_hamming"] == 0.0
+
+
+def test_mirror_hosts_content_channel_and_gates(spark):
+    """Hosts sharing content under DIFFERENT urls pair up with the right
+    shared counts; the hosts-per-hash cap excludes syndicated
+    boilerplate; min_shared excludes one-off coincidences."""
+    from textgraphs_spark.operators.webdata import mirror_hosts
+
+    rows = [
+        # a.org and b.net mirror docs 1 and 2 (different paths)
+        (1, "https://a.org/x/1", "doc one"),
+        (2, "https://a.org/x/2", "doc two"),
+        (3, "https://b.net/y/1", "doc one"),
+        (4, "https://b.net/y/2", "doc two"),
+        # c.com shares ONE doc with a.org -> below min_shared=2
+        (5, "https://c.com/z", "doc one"),
+        # boilerplate snippet on 4 hosts -> excluded by max_hosts_per_hash=3
+        (6, "https://a.org/b", "cookie banner"),
+        (7, "https://b.net/b", "cookie banner"),
+        (8, "https://c.com/b", "cookie banner"),
+        (9, "https://d.io/b", "cookie banner"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = mirror_hosts(pages, min_shared=2, max_hosts_per_hash=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["host_a"], r["host_b"], r["shared"]) == ("a.org", "b.net", 2)
+    # overlap = 2 shared / min(3, 3) distinct hashes per host
+    assert abs(r["overlap"] - 2 / 3) < 1e-6

@@ -1604,3 +1604,105 @@ def capture_drift(
             F.round(F.avg("hamming"), 6).alias("mean_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection: hosts replicating each other's content
+# ---------------------------------------------------------------------------
+
+def mirror_hosts(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 20,
+) -> DataFrame:
+    """Host pairs that replicate the same content under different urls —
+    (host_a, host_b, shared, n_a, n_b, overlap) where ``shared`` counts
+    distinct content hashes both hosts carry and ``overlap`` = shared /
+    min(|a|, |b|). The crawl-curation signal: a mirror farm contributes
+    |hosts| copies of every page, so dedup budgets and per-source caps
+    should treat the pair as ONE source.
+
+    100 TB shape: (1) one map-only (host, md5(text)) projection +
+    distinct; (2) a hash-keyed group to gate on 1 < hosts-per-hash <=
+    ``max_hosts_per_hash`` — the cap bounds the self-join fanout the way
+    every blocking channel here bounds candidate pairs (a snippet syndicated
+    to 10k hosts is boilerplate, not mirroring, and is EXCLUDED — loudly
+    by this documented gate, not silently); (3) a hash-keyed self-join
+    emitting at most C(cap, 2) pairs per hash; (4) a host-pair hash-agg
+    (output is host-vocabulary-sized, tiny). No step touches doc pairs.
+    """
+    hh = (
+        pages.select(
+            host_col(url_col).alias("host"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        .where(F.col("host").isNotNull())
+        .distinct()
+    )
+    gated = hh.join(
+        hh.groupBy("content_hash")
+        .agg(F.count("*").alias("n_hosts"))
+        .where(
+            (F.col("n_hosts") > 1)
+            & (F.col("n_hosts") <= F.lit(int(max_hosts_per_hash)))
+        )
+        .select("content_hash"),
+        "content_hash",
+    )
+    pairs = (
+        gated.alias("a")
+        .join(
+            gated.alias("b"),
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .select(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= F.lit(int(min_shared)))
+    )
+    sizes = hh.groupBy("host").agg(F.count("*").alias("n_hashes"))
+    return (
+        pairs.join(sizes.withColumnRenamed("host", "host_a").withColumnRenamed("n_hashes", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("host", "host_b").withColumnRenamed("n_hashes", "n_b"), "host_b")
+        .select(
+            "host_a", "host_b", "shared", "n_a", "n_b",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+    )
+
+
+def mirror_hosts_oracle_sql(
+    source_sql: str,
+    *,
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 20,
+) -> str:
+    """DuckDB twin of ``mirror_hosts`` over ``source_sql`` (url, text)."""
+    host = _host_sql("url")
+    return f"""
+WITH src AS ({source_sql}),
+hh AS (
+  SELECT DISTINCT {host} AS host, md5(text) AS content_hash
+  FROM src WHERE url IS NOT NULL
+),
+gate AS (
+  SELECT content_hash FROM hh GROUP BY content_hash
+  HAVING count(*) > 1 AND count(*) <= {int(max_hosts_per_hash)}
+),
+g AS (SELECT hh.* FROM hh JOIN gate USING (content_hash)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM g a JOIN g b ON a.content_hash = b.content_hash AND a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING count(*) >= {int(min_shared)}
+),
+sizes AS (SELECT host, count(*) AS n_hashes FROM hh GROUP BY host)
+SELECT host_a, host_b, shared, sa.n_hashes AS n_a, sb.n_hashes AS n_b,
+       round(shared * 1.0 / least(sa.n_hashes, sb.n_hashes), 6) AS overlap
+FROM pairs JOIN sizes sa ON sa.host = pairs.host_a
+           JOIN sizes sb ON sb.host = pairs.host_b
+"""

@@ -704,3 +704,53 @@ FROM (
         FROM range(0, {n_urls * n_caps}) t(i))
 )
 """
+
+
+def mirror_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic mirrored-host corpus for mirror-detection queries —
+    pure index arithmetic (RNG-free; ``mirror_pages_sql`` regenerates it
+    bit-identically).
+
+    Page ``i`` carries content group ``g = i % 160`` as copy ``v = i //
+    160``: the original (v=0) lives on host ``mirror{g%5}.org``, the
+    first mirror (v=1) on ``mirror{5+g%3}.org``, the second (v=2, groups
+    0-79 only) on ``mirror{8+g%2}.org``. Paths differ per copy — mirrors
+    replicate CONTENT, not urls — so url dedup cannot find them and the
+    content-hash channel must.
+    """
+    i = F.col("id")
+    g = i % 160
+    v = F.floor(i / 160)
+    h = (
+        F.when(v == 0, g % 5)
+        .when(v == 1, F.lit(5) + g % 3)
+        .otherwise(F.lit(8) + g % 2)
+    )
+    url = F.format_string(
+        "https://mirror%d.org/doc/%d-%d", h.cast("int"), g.cast("int"), v.cast("int")
+    )
+    text = F.format_string(
+        "article %d body %d %d %d",
+        g.cast("int"), (g * 7 % 97).cast("int"),
+        (g * 11 % 89).cast("int"), (g * 13 % 83).cast("int"),
+    )
+    return spark.range(0, n_pages).select(
+        i.alias("doc_id"), url.alias("url"), text.alias("text"),
+    )
+
+
+def mirror_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``mirror_pages`` — keep the host/group formulas in
+    lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  'https://mirror' || h || '.org/doc/' || g || '-' || v AS url,
+  'article ' || g || ' body ' || (g*7 % 97) || ' ' || (g*11 % 89) || ' ' || (g*13 % 83) AS text
+FROM (
+  SELECT t.i, t.i % 160 AS g, t.i // 160 AS v,
+         CASE WHEN t.i // 160 = 0 THEN (t.i % 160) % 5
+              WHEN t.i // 160 = 1 THEN 5 + (t.i % 160) % 3
+              ELSE 8 + (t.i % 160) % 2 END AS h
+  FROM range(0, {n_pages}) t(i)
+)
+"""
