@@ -550,6 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mirror_hosts(mirror_pages(spark))
 
+    def token_stats_by_lang(spark, sf_dir):
+        # tokenizer-fertility census: one scan, lang-keyed hash-agg
+        return TQ.token_stats_by_lang(_docs(spark, sf_dir))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1702,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imatch_signatures": imatch_signatures_q,
         "capture_drift": capture_drift,
         "mirror_hosts": mirror_hosts_q,
+        "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
         "quality_c4": quality_c4,
@@ -2666,6 +2671,18 @@ SELECT url,
 FROM d GROUP BY url
 """,
         "mirror_hosts": _mirror_sql(_mirror_pages_sql()),
+        "token_stats_by_lang": f"""
+WITH per_doc AS (
+  SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(sum(n_words) * 1.0 / count(*), 6) AS avg_words_per_doc,
+       round(sum(CASE WHEN n_words > 0 THEN n_chars ELSE 0 END) * 1.0 / sum(n_words), 6) AS avg_chars_per_word
+FROM per_doc GROUP BY lang
+""",
         "extract_mentions": extract_mentions_sql(),
         "lemma_nodes": lemma_nodes_sql(),
         "lemma_edges": lemma_edges_sql(),

@@ -1073,3 +1073,23 @@ def test_mirror_hosts_content_channel_and_gates(spark):
     assert (r["host_a"], r["host_b"], r["shared"]) == ("a.org", "b.net", 2)
     # overlap = 2 shared / min(3, 3) distinct hashes per host
     assert abs(r["overlap"] - 2 / 3) < 1e-6
+
+
+def test_token_stats_by_lang_fertility(spark):
+    """Per-lang word totals and chars-per-word; zero-word docs count
+    toward n_docs but contribute no chars to the fertility ratio."""
+    from textgraphs_spark.operators.textquality import token_stats_by_lang
+
+    docs = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "en", "four five"),
+         (3, "de", "ein"), (4, "de", "...")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in token_stats_by_lang(docs).collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["total_words"] == 5
+    assert got["en"]["avg_words_per_doc"] == 2.5
+    # chars: 13 + 9 = 22 over 5 words
+    assert abs(got["en"]["avg_chars_per_word"] - 22 / 5) < 1e-6
+    # the zero-word doc 4: counted in n_docs, excluded from chars
+    assert got["de"]["n_docs"] == 2 and got["de"]["total_words"] == 1
+    assert got["de"]["avg_chars_per_word"] == 3.0

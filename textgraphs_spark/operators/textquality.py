@@ -559,3 +559,36 @@ SELECT {id_col},
 FROM feat
 ORDER BY {id_col}
 """
+
+
+def token_stats_by_lang(docs: DataFrame, *, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Tokenizer-fertility census per language — (lang, n_docs,
+    total_words, avg_words_per_doc, avg_chars_per_word): the numbers a
+    training-data pipeline uses to budget token quotas per language and
+    to spot tokenizer pathologies (a language whose chars-per-word is
+    far off its family suggests segmentation problems).
+
+    100 TB shape: one scan, per-doc counts as pure codegen columns, one
+    map-side-combinable groupBy on ``lang`` (cardinality ~hundreds).
+    Uses the corpus's own ``lang`` column when present (the BASELINE.json
+    input contract carries one); compose with ``lang_id`` upstream when
+    it does not.
+    """
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens_col(text_col)).alias("n_words"),
+        F.length(text_col).alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.sum("n_words") / F.count("*"), 6).alias("avg_words_per_doc"),
+            F.round(
+                F.sum(F.when(F.col("n_words") > 0, F.col("n_chars")).otherwise(0))
+                / F.sum("n_words"),
+                6,
+            ).alias("avg_chars_per_word"),
+        )
+    )
