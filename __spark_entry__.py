@@ -554,6 +554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-fertility census: one scan, lang-keyed hash-agg
         return TQ.token_stats_by_lang(_docs(spark, sf_dir))
 
+    def mirror_farms_q(spark, sf_dir):
+        # the curation ACTION over mirror_hosts: transitive closure via
+        # the shared 128-bit CC kernel -> one group per farm
+        from textgraphs_spark.operators.webdata import mirror_farms
+        from textgraphs_spark.sources.pages import mirror_pages
+
+        return mirror_farms(mirror_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1706,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imatch_signatures": imatch_signatures_q,
         "capture_drift": capture_drift,
         "mirror_hosts": mirror_hosts_q,
+        "mirror_farms": mirror_farms_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2222,6 +2231,7 @@ ORDER BY s.ckpt
 def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators import dedup as _D
     from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
+    from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
@@ -2671,6 +2681,7 @@ SELECT url,
 FROM d GROUP BY url
 """,
         "mirror_hosts": _mirror_sql(_mirror_pages_sql()),
+        "mirror_farms": _farm_sql(_mirror_pages_sql()),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

@@ -1093,3 +1093,50 @@ def test_token_stats_by_lang_fertility(spark):
     # the zero-word doc 4: counted in n_docs, excluded from chars
     assert got["de"]["n_docs"] == 2 and got["de"]["total_words"] == 1
     assert got["de"]["avg_chars_per_word"] == 3.0
+
+
+def test_mirror_farms_transitive_closure(spark):
+    """Hosts chained by pairwise mirror overlap close into one farm even
+    when the endpoints share nothing directly; disjoint mirror pairs stay
+    separate farms; farm_id is the lexicographic min member host."""
+    from textgraphs_spark.operators.webdata import mirror_farms
+
+    rows = [
+        # chain: a.org <-> b.net on docs 1,2; b.net <-> c.com on docs 3,4
+        # (a.org and c.com share NOTHING -> only closure links them)
+        (1, "https://a.org/p/1", "doc one"),
+        (2, "https://a.org/p/2", "doc two"),
+        (3, "https://b.net/q/1", "doc one"),
+        (4, "https://b.net/q/2", "doc two"),
+        (5, "https://b.net/q/3", "doc three"),
+        (6, "https://b.net/q/4", "doc four"),
+        (7, "https://c.com/r/3", "doc three"),
+        (8, "https://c.com/r/4", "doc four"),
+        # a disjoint two-host farm
+        (9, "https://x.io/s/1", "other one"),
+        (10, "https://x.io/s/2", "other two"),
+        (11, "https://y.dev/t/1", "other one"),
+        (12, "https://y.dev/t/2", "other two"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["farm_id"]: r for r in mirror_farms(pages, min_shared=2).collect()}
+    assert set(got) == {"a.org", "x.io"}
+    assert got["a.org"]["n_hosts"] == 3
+    assert got["a.org"]["hosts"] == "a.org|b.net|c.com"
+    assert got["x.io"]["n_hosts"] == 2
+    assert got["x.io"]["hosts"] == "x.io|y.dev"
+
+
+def test_mirror_pages_fixture_four_farms(spark):
+    """The synthetic mirror corpus carries exactly four 3-host farm
+    universes; content never crosses universes."""
+    from textgraphs_spark.operators.webdata import mirror_farms
+    from textgraphs_spark.sources.pages import mirror_pages
+
+    got = mirror_farms(mirror_pages(spark)).collect()
+    assert len(got) == 4
+    assert all(r["n_hosts"] == 3 for r in got)
+    # farm_id is the LEXICOGRAPHIC min host: "mirror10.org" < "mirror9.org"
+    assert sorted(r["farm_id"] for r in got) == [
+        "mirror0.org", "mirror10.org", "mirror3.org", "mirror6.org"
+    ]

@@ -1706,3 +1706,70 @@ SELECT host_a, host_b, shared, sa.n_hashes AS n_a, sb.n_hashes AS n_b,
 FROM pairs JOIN sizes sa ON sa.host = pairs.host_a
            JOIN sizes sb ON sb.host = pairs.host_b
 """
+
+
+def mirror_farms(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 20,
+) -> DataFrame:
+    """Mirror FARMS — the curation action over ``mirror_hosts``: close
+    the host-pair mirror graph transitively and emit one group per farm,
+    (farm_id, n_hosts, hosts), farm_id = lexicographic min member host.
+    Per-source caps and dedup budgets then treat the whole farm as ONE
+    source instead of |hosts| independent ones.
+
+    100 TB shape: the pair generator is ``mirror_hosts`` (hash-gated,
+    never doc pairs); the closure is the shared 128-bit-struct-id CC
+    kernel (components.py large/small-star) over a HOST-pair graph —
+    vocabulary-sized input, millions of nodes at worst — followed by one
+    farm-keyed hash-agg.
+    """
+    from .components import components_over_keys
+
+    pairs = mirror_hosts(
+        pages, url_col=url_col, text_col=text_col,
+        min_shared=min_shared, max_hosts_per_hash=max_hosts_per_hash,
+    ).select("host_a", "host_b")
+    comp = components_over_keys(pairs, left="host_a", right="host_b")
+    return (
+        comp.groupBy(F.col("cluster_id").alias("farm_id"))
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.array_join(F.sort_array(F.collect_list("entity_key")), "|").alias("hosts"),
+        )
+    )
+
+
+def mirror_farms_oracle_sql(
+    source_sql: str,
+    *,
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 20,
+) -> str:
+    """DuckDB twin of ``mirror_farms``: the mirror-pair SQL closed by the
+    same recursive reach CTE as the flagship ER oracle, min-string farm
+    labels."""
+    inner = mirror_hosts_oracle_sql(
+        source_sql, min_shared=min_shared, max_hosts_per_hash=max_hosts_per_hash
+    )
+    return f"""WITH RECURSIVE
+mpairs AS MATERIALIZED ({inner}),
+edgesu AS MATERIALIZED (
+  SELECT host_a AS a, host_b AS b FROM mpairs
+  UNION SELECT host_b, host_a FROM mpairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edgesu),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, x.r FROM reach x JOIN edgesu e ON e.a = x.node
+),
+comp AS MATERIALIZED (SELECT node, min(r) AS farm_id FROM reach GROUP BY node)
+SELECT farm_id, count(*) AS n_hosts,
+       array_to_string(list_sort(list(node)), '|') AS hosts
+FROM comp GROUP BY farm_id
+"""

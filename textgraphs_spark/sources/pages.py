@@ -712,20 +712,19 @@ def mirror_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
     bit-identically).
 
     Page ``i`` carries content group ``g = i % 160`` as copy ``v = i //
-    160``: the original (v=0) lives on host ``mirror{g%5}.org``, the
-    first mirror (v=1) on ``mirror{5+g%3}.org``, the second (v=2, groups
-    0-79 only) on ``mirror{8+g%2}.org``. Paths differ per copy — mirrors
-    replicate CONTENT, not urls — so url dedup cannot find them and the
-    content-hash channel must.
+    160``; content group ``g`` belongs to farm universe ``w = g % 4``
+    whose three hosts are ``mirror{3w}.org`` (originals, v=0),
+    ``mirror{3w+1}.org`` (full mirror, v=1) and ``mirror{3w+2}.org``
+    (partial mirror, v=2, groups 0-79 only). Content never crosses
+    universes, so transitive closure must find exactly FOUR 3-host
+    farms — and pair overlaps differ (full vs partial mirror). Paths
+    differ per copy — mirrors replicate CONTENT, not urls — so url
+    dedup cannot find them and the content-hash channel must.
     """
     i = F.col("id")
     g = i % 160
     v = F.floor(i / 160)
-    h = (
-        F.when(v == 0, g % 5)
-        .when(v == 1, F.lit(5) + g % 3)
-        .otherwise(F.lit(8) + g % 2)
-    )
+    h = (g % 4) * 3 + v
     url = F.format_string(
         "https://mirror%d.org/doc/%d-%d", h.cast("int"), g.cast("int"), v.cast("int")
     )
@@ -748,9 +747,7 @@ SELECT i AS doc_id,
   'article ' || g || ' body ' || (g*7 % 97) || ' ' || (g*11 % 89) || ' ' || (g*13 % 83) AS text
 FROM (
   SELECT t.i, t.i % 160 AS g, t.i // 160 AS v,
-         CASE WHEN t.i // 160 = 0 THEN (t.i % 160) % 5
-              WHEN t.i // 160 = 1 THEN 5 + (t.i % 160) % 3
-              ELSE 8 + (t.i % 160) % 2 END AS h
+         ((t.i % 160) % 4) * 3 + t.i // 160 AS h
   FROM range(0, {n_pages}) t(i)
 )
 """
