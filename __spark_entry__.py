@@ -562,6 +562,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mirror_farms(mirror_pages(spark))
 
+    def host_link_graph_q(spark, sf_dir):
+        # host-level hyperlink graph: map-only href parse + one
+        # pair-keyed hash agg (page graph never materialized)
+        from textgraphs_spark.operators.linkgraph import host_link_graph
+        from textgraphs_spark.sources.pages import link_pages
+
+        return host_link_graph(link_pages(spark))
+
+    def host_link_rank_q(spark, sf_dir):
+        # link-based host authority: weighted PageRank over the
+        # vocabulary-sized host graph via the shared iterative-join kernel
+        from textgraphs_spark.operators.linkgraph import host_link_rank
+        from textgraphs_spark.sources.pages import link_pages
+
+        return host_link_rank(link_pages(spark))
+
+    def anchor_text_census_q(spark, sf_dir):
+        # how the web describes each host: top-k anchor texts per
+        # dst_host (grouped_rank — no hot-host window funnel)
+        from textgraphs_spark.operators.linkgraph import anchor_text_census
+        from textgraphs_spark.sources.pages import link_pages
+
+        return anchor_text_census(link_pages(spark))
+
+    def link_reciprocity_q(spark, sf_dir):
+        # link-farm structural signal: reciprocal fraction of each
+        # host's out-neighborhood over the pre-aggregated pair table
+        from textgraphs_spark.operators.linkgraph import link_reciprocity
+        from textgraphs_spark.sources.pages import link_pages
+
+        return link_reciprocity(link_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1715,6 +1747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_drift": capture_drift,
         "mirror_hosts": mirror_hosts_q,
         "mirror_farms": mirror_farms_q,
+        "host_link_graph": host_link_graph_q,
+        "host_link_rank": host_link_rank_q,
+        "anchor_text_census": anchor_text_census_q,
+        "link_reciprocity": link_reciprocity_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2231,9 +2267,16 @@ ORDER BY s.ckpt
 def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators import dedup as _D
     from textgraphs_spark.operators.dedup import minhash_oracle_sql as _mh_sql
+    from textgraphs_spark.operators.linkgraph import (
+        anchor_text_census_sql as _anchor_sql,
+        host_link_graph_sql as _hlg_sql,
+        host_link_rank_sql as _hlr_sql,
+        link_reciprocity_sql as _recip_sql,
+    )
     from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
+    from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
     from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
@@ -2682,6 +2725,10 @@ FROM d GROUP BY url
 """,
         "mirror_hosts": _mirror_sql(_mirror_pages_sql()),
         "mirror_farms": _farm_sql(_mirror_pages_sql()),
+        "host_link_graph": _hlg_sql(_link_pages_sql()),
+        "host_link_rank": _hlr_sql(_link_pages_sql()),
+        "anchor_text_census": _anchor_sql(_link_pages_sql()),
+        "link_reciprocity": _recip_sql(_link_pages_sql()),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

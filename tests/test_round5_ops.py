@@ -1140,3 +1140,79 @@ def test_mirror_pages_fixture_four_farms(spark):
     assert sorted(r["farm_id"] for r in got) == [
         "mirror0.org", "mirror10.org", "mirror3.org", "mirror6.org"
     ]
+
+
+def test_extract_outlinks_parse_and_normalization(spark):
+    """Href parsing, host normalization (www./port/case), NULL rows
+    dropped, self-links kept at extraction (graph level filters them)."""
+    from textgraphs_spark.operators.linkgraph import extract_outlinks
+
+    rows = [
+        (1, "https://a.org/x",
+         b'<html><body><a href="https://WWW.B.net:8080/p/1">Read This</a>'
+         b'<a href="http://a.org/self">self</a></body></html>'),
+        (2, None, b'<a href="https://c.com/x">never</a>'),
+        (3, "https://d.io/y", None),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    got = {(r["src_host"], r["dst_host"], r["anchor"])
+           for r in extract_outlinks(pages).collect()}
+    assert got == {("a.org", "b.net", "Read This"), ("a.org", "a.org", "self")}
+
+
+def test_host_link_graph_and_rank(spark):
+    """Pair counts aggregate across pages; self-links excluded; hub
+    host outranks leaf hosts under PageRank."""
+    from textgraphs_spark.operators.linkgraph import host_link_graph, host_link_rank
+    from textgraphs_spark.sources.pages import link_pages
+
+    pages = link_pages(spark)
+    g = {(r["src_host"], r["dst_host"]): r["n_links"]
+         for r in host_link_graph(pages).collect()}
+    assert all(s != d for s, d in g)
+    # the reciprocal farm pair exists in both directions
+    assert ("spam0.biz", "spam1.biz") in g and ("spam1.biz", "spam0.biz") in g
+    ranks = {r["host"]: r["rank"] for r in host_link_rank(pages).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    # the even-page hub bias puts site0 above the organic mean (the t1
+    # channel carries double weight per page, so site0 need not be #1)
+    organic = [v for k, v in ranks.items() if k.startswith("site")]
+    assert ranks["site0.example"] > sum(organic) / len(organic)
+    assert len(ranks) == 12
+
+
+def test_anchor_text_census_topk_and_normalization(spark):
+    """Anchors lowercase/whitespace-squeeze before counting; rk is per
+    dst_host with the (count desc, anchor asc) tie-break; top_k cuts."""
+    from textgraphs_spark.operators.linkgraph import anchor_text_census
+
+    rows = [
+        (1, "https://a.org/1", b'<a href="https://t.com/x">Big  News</a>'),
+        (2, "https://b.net/2", b'<a href="https://t.com/y">big news</a>'),
+        (3, "https://c.com/3", b'<a href="https://t.com/z">alpha</a>'),
+        (4, "https://d.io/4", b'<a href="https://t.com/w">beta</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    got = [(r["anchor"], r["n_links"], r["rk"])
+           for r in anchor_text_census(pages, top_k=2)
+           .orderBy("rk").collect()]
+    assert got == [("big news", 2, 1), ("alpha", 1, 2)]
+
+
+def test_link_reciprocity_signals(spark):
+    """Reciprocal pair scores 1.0 both ways; a one-way link scores 0 for
+    the source and contributes only in-degree to the target."""
+    from textgraphs_spark.operators.linkgraph import link_reciprocity
+
+    rows = [
+        (1, "https://a.org/1", b'<a href="https://b.net/x">to b</a>'),
+        (2, "https://b.net/2", b'<a href="https://a.org/y">to a</a>'),
+        (3, "https://c.com/3", b'<a href="https://a.org/z">to a</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    got = {r["host"]: r for r in link_reciprocity(pages).collect()}
+    assert got["a.org"]["reciprocity"] == 1.0
+    assert got["b.net"]["reciprocity"] == 1.0
+    assert got["c.com"]["n_out_hosts"] == 1 and got["c.com"]["reciprocity"] == 0.0
+    assert got["c.com"]["n_in_hosts"] == 0
+    assert got["a.org"]["n_in_hosts"] == 2

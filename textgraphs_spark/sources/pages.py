@@ -751,3 +751,97 @@ FROM (
   FROM range(0, {n_pages}) t(i)
 )
 """
+
+
+def link_pages(spark: SparkSession, n_pages: int = 480) -> DataFrame:
+    """Deterministic hyperlinked corpus for the host link-graph family —
+    (doc_id, url, html:binary). Pure index arithmetic so the DuckDB twin
+    (``link_pages_sql``) regenerates it bit-identically.
+
+    Page ``i`` lives on host index ``h = i % 12``: ``site{h}.example``
+    for h<10 (organic sites), ``spam{h-10}.biz`` for h in {10, 11} (a
+    two-host reciprocal link farm). Each page body carries THREE
+    ``<a href>`` outlinks:
+
+    * ``t1 = (h + 1 + i%3) % 10`` — a varying organic target, anchor
+      ``story {i%5}``;
+    * ``t2 = 0`` for even i, else ``(i*7) % 10`` — a hub bias so
+      site0.example collects in-links corpus-wide, anchor ``home page``;
+    * ``t3`` — for spam hosts, the OTHER spam host (the reciprocal-farm
+      signature ``link_reciprocity`` must expose), anchor ``cheap deals
+      now``; for organic pages with ``i % 10 == 9``, a link INTO
+      spam0.biz (the occasional organic pointer that makes naive
+      in-degree a bad spam filter), same spam anchor; otherwise a
+      repeat of t1 (collapsed by the per-pair aggregate), anchor
+      ``story {i%5}``.
+    """
+    i = F.col("id")
+    h = i % 12
+    hostname = F.when(h < 10, F.format_string("site%d.example", h.cast("int"))) \
+        .otherwise(F.format_string("spam%d.biz", (h - 10).cast("int")))
+
+    def _host_of(t):
+        return F.when(t < 10, F.format_string("site%d.example", t.cast("int"))) \
+            .otherwise(F.format_string("spam%d.biz", (t - 10).cast("int")))
+
+    t1 = (h + 1 + i % 3) % 10
+    t2 = F.when(i % 2 == 0, F.lit(0)).otherwise((i * 7) % 10)
+    t3 = (
+        F.when(h >= 10, F.lit(10) + (h - 9) % 2)
+        .when(i % 10 == 9, F.lit(10))
+        .otherwise(t1)
+    )
+    a1 = F.format_string("story %d", (i % 5).cast("int"))
+    a3 = F.when(t3 >= 10, F.lit("cheap deals now")).otherwise(a1)
+    html = F.format_string(
+        '<html><body><p>page %d</p>'
+        '<a href="https://%s/p/%d">%s</a> '
+        '<a href="https://%s/p/%d">home page</a> '
+        '<a href="https://%s/p/%d">%s</a></body></html>',
+        i.cast("int"),
+        _host_of(t1), ((i * 3 + 1) % n_pages).cast("int"), a1,
+        _host_of(t2), ((i * 3 + 2) % n_pages).cast("int"),
+        _host_of(t3), ((i * 3 + 3) % n_pages).cast("int"), a3,
+    )
+    return spark.range(0, n_pages).select(
+        i.alias("doc_id"),
+        F.format_string("https://%s/p/%d", hostname, i.cast("int")).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+
+
+def link_pages_sql(n_pages: int = 480) -> str:
+    """DuckDB twin of ``link_pages`` — html as TEXT (the Spark side casts
+    binary→string before parsing, so the parse input is byte-identical).
+    Keep the target/anchor formulas in lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  'https://' || hostname || '/p/' || i AS url,
+  '<html><body><p>page ' || i || '</p>'
+    || '<a href="https://' || h1 || '/p/' || ((i*3+1) % {n_pages}) || '">' || a1 || '</a> '
+    || '<a href="https://' || h2 || '/p/' || ((i*3+2) % {n_pages}) || '">home page</a> '
+    || '<a href="https://' || h3 || '/p/' || ((i*3+3) % {n_pages}) || '">' || a3 || '</a>'
+    || '</body></html>' AS html
+FROM (
+  SELECT i, hostname, a1,
+    CASE WHEN t1 < 10 THEN 'site' || t1 || '.example'
+         ELSE 'spam' || (t1 - 10) || '.biz' END AS h1,
+    CASE WHEN t2 < 10 THEN 'site' || t2 || '.example'
+         ELSE 'spam' || (t2 - 10) || '.biz' END AS h2,
+    CASE WHEN t3 < 10 THEN 'site' || t3 || '.example'
+         ELSE 'spam' || (t3 - 10) || '.biz' END AS h3,
+    CASE WHEN t3 >= 10 THEN 'cheap deals now' ELSE a1 END AS a3
+  FROM (
+    SELECT t.i AS i,
+      CASE WHEN t.i % 12 < 10 THEN 'site' || (t.i % 12) || '.example'
+           ELSE 'spam' || (t.i % 12 - 10) || '.biz' END AS hostname,
+      'story ' || (t.i % 5) AS a1,
+      ((t.i % 12) + 1 + t.i % 3) % 10 AS t1,
+      CASE WHEN t.i % 2 = 0 THEN 0 ELSE (t.i * 7) % 10 END AS t2,
+      CASE WHEN t.i % 12 >= 10 THEN 10 + (t.i % 12 - 9) % 2
+           WHEN t.i % 10 = 9 THEN 10
+           ELSE ((t.i % 12) + 1 + t.i % 3) % 10 END AS t3
+    FROM range(0, {n_pages}) t(i)
+  )
+)
+"""
