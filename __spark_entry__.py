@@ -594,6 +594,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return link_reciprocity(link_pages(spark))
 
+    def host_trustrank_q(spark, sf_dir):
+        # TrustRank: PPR over the host graph seeded at a trusted
+        # whitelist — spam farms score ~0 unless trusted hosts link in
+        from textgraphs_spark.operators.linkgraph import host_trustrank
+        from textgraphs_spark.sources.pages import link_pages
+
+        return host_trustrank(
+            link_pages(spark), ["site0.example", "site1.example"]
+        )
+
+    def crawl_snapshot_delta(spark, sf_dir):
+        # crawl-ops rollup: per snapshot, first-seen vs changed vs
+        # wasted-refetch counts (url-partitioned lag, no hot key)
+        from textgraphs_spark.operators.webdata import crawl_delta
+        from textgraphs_spark.sources.pages import capture_pages
+
+        return crawl_delta(capture_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1751,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_rank": host_link_rank_q,
         "anchor_text_census": anchor_text_census_q,
         "link_reciprocity": link_reciprocity_q,
+        "host_trustrank": host_trustrank_q,
+        "crawl_snapshot_delta": crawl_snapshot_delta,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2271,8 +2291,10 @@ def oracle_sql() -> dict[str, str]:
         anchor_text_census_sql as _anchor_sql,
         host_link_graph_sql as _hlg_sql,
         host_link_rank_sql as _hlr_sql,
+        host_trustrank_sql as _trust_sql,
         link_reciprocity_sql as _recip_sql,
     )
+    from textgraphs_spark.operators.webdata import crawl_delta_oracle_sql as _crawl_sql
     from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
@@ -2729,6 +2751,10 @@ FROM d GROUP BY url
         "host_link_rank": _hlr_sql(_link_pages_sql()),
         "anchor_text_census": _anchor_sql(_link_pages_sql()),
         "link_reciprocity": _recip_sql(_link_pages_sql()),
+        "host_trustrank": _trust_sql(
+            _link_pages_sql(), ["site0.example", "site1.example"]
+        ),
+        "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

@@ -1216,3 +1216,50 @@ def test_link_reciprocity_signals(spark):
     assert got["c.com"]["n_out_hosts"] == 1 and got["c.com"]["reciprocity"] == 0.0
     assert got["c.com"]["n_in_hosts"] == 0
     assert got["a.org"]["n_in_hosts"] == 2
+
+
+def test_host_trustrank_demotes_unreachable_farm(spark):
+    """Trust mass flows only along links out of the seed set: a farm no
+    trusted host points toward scores exactly 0, regardless of how many
+    in-links it manufactures for itself."""
+    from textgraphs_spark.operators.linkgraph import host_trustrank
+
+    rows = [
+        # trusted.org -> good.net -> other.com (forward trust chain)
+        (1, "https://trusted.org/1", b'<a href="https://good.net/x">good</a>'),
+        (2, "https://good.net/2", b'<a href="https://other.com/y">other</a>'),
+        # farm: two hosts interlinking furiously, plus links INTO good.net
+        (3, "https://farm-a.biz/3",
+         b'<a href="https://farm-b.biz/i">b</a><a href="https://good.net/z">g</a>'),
+        (4, "https://farm-b.biz/4", b'<a href="https://farm-a.biz/j">a</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    got = {r["host"]: r["trust"] for r in
+           host_trustrank(pages, ["trusted.org"]).collect()}
+    assert got["farm-a.biz"] == 0.0 and got["farm-b.biz"] == 0.0
+    assert got["good.net"] > 0.0 and got["other.com"] > 0.0
+    assert got["trusted.org"] > got["other.com"]
+
+
+def test_crawl_delta_new_changed_unchanged(spark):
+    """First capture of a url is 'new'; later captures split changed vs
+    unchanged by text hash against the SAME url's previous capture."""
+    from textgraphs_spark.operators.webdata import crawl_delta
+
+    rows = [
+        (1, "u1", "2024-01-01 00:00:00", "body v1"),
+        (2, "u2", "2024-01-01 00:00:00", "other v1"),
+        (3, "u1", "2024-01-02 00:00:00", "body v2"),      # changed
+        (4, "u2", "2024-01-02 00:00:00", "other v1"),     # unchanged
+        (5, "u3", "2024-01-02 00:00:00", "brand new"),    # new
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string, text string"
+    )
+    got = {str(r["snapshot_ts"]): r for r in crawl_delta(pages).collect()}
+    d1 = got["2024-01-01 00:00:00"]
+    assert (d1["n_urls"], d1["n_new"], d1["n_changed"]) == (2, 2, 0)
+    assert d1["change_rate"] is None
+    d2 = got["2024-01-02 00:00:00"]
+    assert (d2["n_new"], d2["n_changed"], d2["n_unchanged"]) == (1, 1, 1)
+    assert d2["change_rate"] == 0.5

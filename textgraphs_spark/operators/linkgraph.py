@@ -300,3 +300,71 @@ SELECT coalesce(outd.host, ind.host) AS host,
 FROM outd FULL JOIN ind ON outd.host = ind.host
 LEFT JOIN recip ON coalesce(outd.host, ind.host) = recip.host
 """
+
+
+def host_trustrank(
+    pages: DataFrame,
+    trusted: list[str],
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    alpha: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(host, trust) — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB'04): personalized PageRank over the host link graph with the
+    teleport restricted to a hand-audited whitelist of trusted hosts.
+    Trust flows forward along links, so spam farms that manufacture
+    in-links among themselves (high plain-PageRank, high reciprocity)
+    stay near zero unless a trusted host actually links toward them —
+    the standard demotion companion to ``link_reciprocity``'s detection.
+
+    Hosts unreachable from every seed score exactly 0. Reuses the shared
+    iterative-join PPR kernel (one Spark job per iteration, transition
+    edges partitioned once); the seed side is a literal list — driver-
+    sized by definition (a human audited it).
+    """
+    from .pagerank import personalized_pagerank
+
+    g = host_link_graph(pages, url_col=url_col, html_col=html_col)
+    spark = pages.sparkSession
+    seeds = spark.createDataFrame([(t,) for t in sorted(set(trusted))], "node string")
+    pr = personalized_pagerank(
+        g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+                 F.col("n_links").alias("weight")),
+        seeds, alpha=alpha, max_iter=max_iter,
+    )
+    return pr.select(F.col("node").alias("host"), F.round("rank", 6).alias("trust"))
+
+
+def host_trustrank_sql(
+    source_sql: str,
+    trusted: list[str],
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    alpha: float = 0.85,
+    max_iter: int = 20,
+) -> str:
+    from ..plans.er_oracle import ppr_ctes
+
+    # seeds CTE named trseedsin (ppr_ctes itself emits a {prefix}_seeds)
+    pr, final = ppr_ctes(
+        edges="tr_in", seeds="trseedsin", max_iter=max_iter,
+        alpha=alpha, prefix="tr",
+    )
+    seed_rows = " UNION ALL ".join(
+        "SELECT '" + t.replace("'", "''") + "' AS node"
+        for t in sorted(set(trusted))
+    )
+    return f"""WITH {_outlinks_sql(source_sql, url_col=url_col, html_col=html_col)},
+lg AS MATERIALIZED (
+  SELECT src_host, dst_host, count(*) AS n_links
+  FROM outlinks WHERE src_host <> dst_host
+  GROUP BY src_host, dst_host
+),
+tr_in AS (SELECT src_host AS src, dst_host AS dst, n_links AS w FROM lg),
+trseedsin AS MATERIALIZED ({seed_rows}),
+{pr}
+SELECT node AS host, round(rank, 6) AS trust FROM {final}
+"""

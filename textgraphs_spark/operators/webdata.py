@@ -1773,3 +1773,89 @@ SELECT farm_id, count(*) AS n_hosts,
        array_to_string(list_sort(list(node)), '|') AS hosts
 FROM comp GROUP BY farm_id
 """
+
+
+def crawl_delta(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot crawl delta — per capture timestamp:
+    (snapshot_ts, n_urls, n_new, n_changed, n_unchanged, change_rate).
+    ``capture_drift`` answers "how volatile is THIS url"; this is the
+    crawl-ops rollup over the whole snapshot: how much of each crawl was
+    first-seen, how much re-fetched content actually changed (md5 of the
+    text differs from the SAME url's previous capture), and how much was
+    wasted re-downloading identical bytes — the number a crawl scheduler
+    tunes revisit policy against. change_rate = changed / revisited
+    (NULL for an all-new snapshot).
+
+    100 TB shape: one md5 per row (map-only), one lag window PARTITIONED
+    BY URL (millions of urls, captures-per-url partitions — uniformly
+    tiny, no hot key), then a snapshot-keyed hash agg over snapshot-count
+    rows of output. NULL urls carry no identity and are dropped.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    d = (
+        pages.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col), F.col(ts_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
+        )
+        .withColumn("_prev", F.lag("_h").over(w))
+    )
+    status = (
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(F.col("_prev") != F.col("_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    agg = d.select(F.col(ts_col).alias("snapshot_ts"), status.alias("_s")).groupBy(
+        "snapshot_ts"
+    ).agg(
+        F.count("*").alias("n_urls"),
+        F.sum((F.col("_s") == "new").cast("int")).alias("n_new"),
+        F.sum((F.col("_s") == "changed").cast("int")).alias("n_changed"),
+        F.sum((F.col("_s") == "unchanged").cast("int")).alias("n_unchanged"),
+    )
+    revisited = F.col("n_changed") + F.col("n_unchanged")
+    return agg.select(
+        "snapshot_ts", "n_urls", "n_new", "n_changed", "n_unchanged",
+        F.when(revisited > 0, F.round(F.col("n_changed") / revisited, 6))
+        .alias("change_rate"),
+    )
+
+
+def crawl_delta_oracle_sql(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``crawl_delta`` — same md5-over-text identity and
+    per-url lag semantics."""
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {url_col} AS url, {ts_col} AS snapshot_ts,
+         md5(coalesce({text_col}, '')) AS h,
+         lag(md5(coalesce({text_col}, ''))) OVER (
+           PARTITION BY {url_col} ORDER BY {ts_col}) AS prev
+  FROM ({source_sql}) WHERE {url_col} IS NOT NULL
+),
+agg AS (
+  SELECT snapshot_ts, count(*) AS n_urls,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN prev = h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM d GROUP BY snapshot_ts
+)
+SELECT snapshot_ts, n_urls, n_new, n_changed, n_unchanged,
+       CASE WHEN n_changed + n_unchanged > 0
+            THEN round(n_changed * 1.0 / (n_changed + n_unchanged), 6)
+            END AS change_rate
+FROM agg
+"""
