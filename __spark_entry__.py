@@ -427,6 +427,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return suffix_blocking_metrics(eval_entities(spark))
 
+    def er_canopy_blocking(spark, sf_dir):
+        # rarest-token canopy channel (overlapping canopies, block cap):
+        # anchors on token RARITY, so it survives the reorderings that
+        # break positional keys — and its measured completeness on THIS
+        # corpus (shared surnames by construction) is deliberately low:
+        # the query exists to MEASURE that, the way a production run
+        # decides which channels earn their pair budget
+        from textgraphs_spark.plans.er_eval import (
+            canopy_blocking_metrics, eval_entities,
+        )
+
+        return canopy_blocking_metrics(eval_entities(spark))
+
     def dedup_containment(spark, sf_dir):
         # Broder containment |A∩B|/min(|A|,|B|) over word 3-grams — the
         # subset-dup channel (quoted paragraph inside a longer page)
@@ -1800,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf": corpus_zipf,
         "vocab_growth": vocab_growth,
         "er_suffix_blocking": er_suffix_blocking,
+        "er_canopy_blocking": er_canopy_blocking,
         "er_phonetic_blocking": er_phonetic_blocking,
         "er_five_channel_recall": er_five_channel_recall,
         "graph_clustering_coeff": graph_clustering_coeff,
@@ -2708,6 +2722,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_edit_join_sql, er_jaccard_join_sql,
         er_sorted_neighborhood_sql, er_split_overmerged_sql,
         er_star_clusters_sql,
+        er_canopy_blocking_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_weights import (
@@ -2791,6 +2806,7 @@ FROM per_doc GROUP BY lang
         "corpus_zipf": _zipf_sql(toks_u),
         "vocab_growth": _vocab_growth_sql(toks_u),
         "er_suffix_blocking": er_suffix_blocking_sql(),
+        "er_canopy_blocking": er_canopy_blocking_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),

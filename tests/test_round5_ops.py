@@ -1263,3 +1263,43 @@ def test_crawl_delta_new_changed_unchanged(spark):
     d2 = got["2024-01-02 00:00:00"]
     assert (d2["n_new"], d2["n_changed"], d2["n_unchanged"]) == (1, 1, 1)
     assert d2["change_rate"] == 0.5
+
+
+def test_canopy_blocking_survives_token_reordering(spark):
+    """'Herzog, Werner' vs 'Werner Herzog': last_tok positional keys
+    split them ('werner' vs 'herzog'), but both sit in the rare-token
+    canopies {werner, herzog} -> covered. The unrelated record shares
+    no canopy."""
+    from textgraphs_spark.plans.er_eval import canopy_blocking_metrics
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "Werner Herzog", 1),
+            ("e2", "Herzog, Werner", 1),
+            ("e3", "Lotte Eisner", 2),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    row = canopy_blocking_metrics(ents, n_keys=2, max_block=4).collect()[0]
+    assert row["covered_true_pairs"] == 1
+    assert row["pair_completeness"] == 1.0
+    assert row["n_candidates"] == 1
+
+
+def test_canopy_blocking_block_cap_drops_stop_token(spark):
+    """A token shared by every record ('gmbh') is dropped by the block
+    cap; only the rare-token canopy pair survives."""
+    from textgraphs_spark.plans.er_eval import canopy_blocking_metrics
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "acme gmbh", 1),
+            ("e2", "acme gmbh", 1),
+            ("e3", "volt gmbh", 2),
+            ("e4", "kern gmbh", 3),
+            ("e5", "lund gmbh", 4),
+        ],
+        "entity_key string, surface string, truth_id long",
+    )
+    row = canopy_blocking_metrics(ents, n_keys=2, max_block=3).collect()[0]
+    assert row["n_candidates"] == 1 and row["covered_true_pairs"] == 1

@@ -3176,3 +3176,167 @@ SELECT n_a, n_b, n_linked, n_correct,
        round(n_correct * 1.0 / n_b, 6) AS recall
 FROM sides, la
 """
+
+
+def canopy_blocking_metrics(
+    entities: DataFrame,
+    *,
+    n_keys: int = 2,
+    max_block: int = 12,
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Canopy blocking (McCallum, Nigam & Ungar, KDD'00) evaluated
+    against labels, in the deterministic rarest-token form: each record
+    joins the canopies of its ``n_keys`` RAREST normalized tokens
+    (document frequency ASC, token ASC — a total order both engines
+    reproduce), canopies sharing more than ``max_block`` records are
+    dropped, candidates are the distinct intra-canopy pairs. One metrics
+    row: (n_keys, max_block, n_candidates, covered_true_pairs,
+    pair_completeness).
+
+    The classic sequential canopy algorithm (greedy T1/T2 center
+    picking) is order-dependent and unshardable; the rarest-token form
+    is the standard distributed determinization (Mahout's canopy keyer):
+    a record's least-common token is its best cheap-distance proxy, and
+    taking the top ``n_keys`` rather than one gives the OVERLAPPING
+    canopies the original intends (a record can sit in two canopies, so
+    a name pair disagreeing on its single rarest token still meets).
+
+    Why it earns a place next to key/suffix/phonetic/sorted-neighborhood:
+    those channels anchor on string POSITIONS (last token, suffixes,
+    initials); canopy anchors on token RARITY, so it survives token
+    reorderings ("Herzog, Werner") and middle-token noise that break
+    positional keys, at the cost of missing single-token typos (the
+    phonetic/LSH channels' job).
+
+    100 TB shape: token df is one vocabulary-sized hash agg; the
+    per-record top-k runs in an entity-keyed window (names are a few
+    tokens — partitions are uniformly tiny); the canopy census caps
+    every block at ``max_block`` so the self-join budget is
+    <= C(max_block, 2) per surviving canopy — recall loss is measured
+    here, never silent.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.blocking import normalize_names
+
+    e = normalize_names(entities.select("entity_key", "surface")).select(
+        "entity_key", "norm"
+    )
+    toks = (
+        e.select(
+            "entity_key",
+            F.explode(F.split(F.trim("norm"), " +")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()  # feeds the df census AND the rank join
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("entity_key").orderBy(F.asc("df"), F.asc("tok"))
+    keys = (
+        toks.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n_keys))
+        .select("entity_key", "tok")
+        .localCheckpoint()  # census + both sides of the pair join
+    )
+    blocks = (
+        keys.groupBy("tok")
+        .agg(F.count("*").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= int(max_block)))
+        .select("tok")
+    )
+    kept = keys.join(blocks, "tok")
+    pairs = (
+        kept.select("tok", F.col("entity_key").alias("l"))
+        .join(kept.select("tok", F.col("entity_key").alias("r")), "tok")
+        .filter(F.col("l") < F.col("r"))
+        .select("l", "r")
+        .distinct()
+    )
+    truth = entities.select("entity_key", truth_col)
+    lab = pairs.join(
+        truth.select(F.col("entity_key").alias("l"), F.col(truth_col).alias("lt")),
+        "l",
+    ).join(
+        truth.select(F.col("entity_key").alias("r"), F.col(truth_col).alias("rt")),
+        "r",
+    )
+    per = lab.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum((F.col("lt") == F.col("rt")).cast("long")).alias("covered_true_pairs"),
+    )
+    tot = (
+        entities.groupBy(truth_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_true_pairs"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.lit(int(n_keys)).alias("n_keys"),
+        F.lit(int(max_block)).alias("max_block"),
+        "n_candidates",
+        "covered_true_pairs",
+        F.round(
+            F.col("covered_true_pairs") / F.col("n_true_pairs"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+def er_canopy_blocking_sql(
+    *, n_base: int = 150, n_twin: int = 30, n_keys: int = 2,
+    max_block: int = 12,
+) -> str:
+    """Oracle for canopy_blocking_metrics over eval_entities — same
+    normalization, df census, (df ASC, tok ASC) top-k and block cap."""
+    return f"""WITH
+{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+normed AS (
+  SELECT entity_key, truth_id,
+         trim(lower(regexp_replace(surface, '[^A-Za-z ]', '', 'g'))) AS norm
+  FROM entities
+),
+toks AS MATERIALIZED (
+  SELECT DISTINCT entity_key, tok
+  FROM normed, unnest(string_split_regex(norm, ' +')) AS t(tok)
+  WHERE tok <> ''
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+keys AS MATERIALIZED (
+  SELECT entity_key, tok FROM (
+    SELECT t.entity_key, t.tok,
+           row_number() OVER (PARTITION BY t.entity_key
+                              ORDER BY d.df ASC, t.tok ASC) AS rk
+    FROM toks t JOIN dfreq d ON t.tok = d.tok
+  ) WHERE rk <= {int(n_keys)}
+),
+blocks AS (
+  SELECT tok FROM (SELECT tok, count(*) AS bn FROM keys GROUP BY tok)
+  WHERE bn BETWEEN 2 AND {int(max_block)}
+),
+kept AS (SELECT k.* FROM keys k JOIN blocks b ON b.tok = k.tok),
+pairs AS (
+  SELECT DISTINCT a.entity_key AS l, b.entity_key AS r
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.entity_key < b.entity_key
+),
+lab AS (
+  SELECT p.l, p.r, tl.truth_id AS lt, tr.truth_id AS rt
+  FROM pairs p JOIN entities tl ON tl.entity_key = p.l
+               JOIN entities tr ON tr.entity_key = p.r
+),
+per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN lt = rt THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered_true_pairs
+  FROM lab
+),
+tot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM entities GROUP BY truth_id)
+)
+SELECT CAST({int(n_keys)} AS INT) AS n_keys,
+       CAST({int(max_block)} AS INT) AS max_block,
+       n_candidates, covered_true_pairs,
+       round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
+FROM per, tot
+"""
