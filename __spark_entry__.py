@@ -625,6 +625,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return crawl_delta(capture_pages(spark))
 
+    def crawler_traps_q(spark, sf_dir):
+        # crawl-frontier trap detection over the deterministic trap
+        # corpus (sources/pages.trap_pages — RNG-free, regenerated by
+        # the oracle): path templating (digit/hex collapse) + one
+        # host-keyed distinct-count agg
+        from textgraphs_spark.operators.webdata import crawler_traps
+        from textgraphs_spark.sources.pages import trap_pages
+
+        return crawler_traps(trap_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1784,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": link_reciprocity_q,
         "host_trustrank": host_trustrank_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
+        "crawler_traps": crawler_traps_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2311,7 +2322,9 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators.webdata import crawl_delta_oracle_sql as _crawl_sql
     from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
+    from textgraphs_spark.operators.webdata import crawler_traps_oracle_sql as _trap_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
+    from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
     from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
@@ -2770,6 +2783,7 @@ FROM d GROUP BY url
             _link_pages_sql(), ["site0.example", "site1.example"]
         ),
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
+        "crawler_traps": _trap_sql(_trap_pages_sql()),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

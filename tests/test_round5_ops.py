@@ -1303,3 +1303,39 @@ def test_canopy_blocking_block_cap_drops_stop_token(spark):
     )
     row = canopy_blocking_metrics(ents, n_keys=2, max_block=3).collect()[0]
     assert row["n_candidates"] == 1 and row["covered_true_pairs"] == 1
+
+
+def test_crawler_traps_separates_trap_from_organic_hosts(spark):
+    """Trap hosts (calendar paths, session-id hex paths) collapse to one
+    template so trap_score -> 1; organic word-path hosts keep template
+    count == url count so trap_score == 0 and the gate stays False."""
+    from textgraphs_spark.operators.webdata import crawler_traps
+    from textgraphs_spark.sources.pages import trap_pages
+
+    got = {r["host"]: r for r in crawler_traps(trap_pages(spark, 400)).collect()}
+    assert set(got) == {
+        "org0.example", "org1.example", "cal.example", "session.example"
+    }
+    # calendar trap: ?sid stripped + digits collapsed -> ONE template
+    cal = got["cal.example"]
+    assert cal["n_templates"] == 1 and cal["n_urls"] == 100
+    assert cal["is_trap"] and cal["trap_score"] == 0.99
+    # session-id trap: 8-hex run collapsed -> ONE template
+    ses = got["session.example"]
+    assert ses["n_templates"] == 1 and ses["is_trap"]
+    # organic hosts: every distinct word path IS its own template
+    for h in ("org0.example", "org1.example"):
+        assert got[h]["n_templates"] == got[h]["n_urls"]
+        assert got[h]["trap_score"] == 0.0 and not got[h]["is_trap"]
+
+
+def test_crawler_traps_min_urls_evidence_floor(spark):
+    """A host with one templated url is NOT flagged — min_urls guards
+    against deciding trap-ness on no evidence."""
+    from textgraphs_spark.operators.webdata import crawler_traps
+
+    pages = spark.createDataFrame(
+        [(1, "https://tiny.example/view/2024")], "doc_id long, url string"
+    )
+    row = crawler_traps(pages, min_urls=10).collect()[0]
+    assert not row["is_trap"] and row["n_urls"] == 1

@@ -1859,3 +1859,93 @@ SELECT snapshot_ts, n_urls, n_new, n_changed, n_unchanged,
             END AS change_rate
 FROM agg
 """
+
+
+def crawler_traps(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    min_urls: int = 10,
+    max_templates_ratio: float = 0.2,
+) -> DataFrame:
+    """Crawler-trap detection — per host: (host, n_urls, n_templates,
+    urls_per_template, trap_score, is_trap). A trap (calendar pages,
+    session-id paths, faceted-search grids) manufactures unbounded
+    DISTINCT urls from a handful of PATH TEMPLATES; templating the path
+    (digit runs → ``N``, long hex runs → ``H``) collapses them, so a
+    host whose template count stays tiny while its url count explodes
+    is generating urls, not content. ``trap_score`` = 1 −
+    n_templates/n_urls; ``is_trap`` gates on ``min_urls`` (evidence
+    floor) and ``max_templates_ratio``.
+
+    This complements ``host_stats``: dup_rate catches the SAME url
+    re-fetched; a trap serves infinitely many urls exactly once each,
+    so dup_rate stays 0 while trap_score → 1. The crawl frontier cuts
+    trap hosts before they eat the fetch budget — at 10^12 docs the
+    difference between a capped and uncapped trap host is the crawl.
+
+    Shape: template normalization is map-only codegen (two
+    regexp_replace); the rollup is one host-keyed agg with per-host
+    distinct counts (sharded by the same key, partial agg absorbs head
+    hosts). NULL urls carry no host and are dropped.
+    """
+    path = F.split_part(
+        F.regexp_replace(F.col(url_col), "^https?://[^/]*", ""),
+        F.lit("?"), F.lit(1),
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "H"), "[0-9]+", "N"
+    )
+    d = pages.filter(F.col(url_col).isNotNull()).select(
+        host_col(url_col).alias("host"),
+        F.col(url_col).alias("u"),
+        template.alias("t"),
+    )
+    agg = d.groupBy("host").agg(
+        F.countDistinct("u").alias("n_urls"),
+        F.countDistinct("t").alias("n_templates"),
+    )
+    score = F.round(1.0 - F.col("n_templates") / F.col("n_urls"), 6)
+    return agg.select(
+        "host", "n_urls", "n_templates",
+        F.round(F.col("n_urls") / F.col("n_templates"), 6).alias("urls_per_template"),
+        score.alias("trap_score"),
+        (
+            (F.col("n_urls") >= int(min_urls))
+            & (F.col("n_templates") / F.col("n_urls") <= float(max_templates_ratio))
+        ).alias("is_trap"),
+    )
+
+
+def crawler_traps_oracle_sql(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    min_urls: int = 10,
+    max_templates_ratio: float = 0.2,
+) -> str:
+    """DuckDB twin of ``crawler_traps`` — same template normalization
+    (hex-run collapse BEFORE digit collapse) and gates."""
+    h = _host_sql(url_col)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {h} AS host, {url_col} AS u,
+         regexp_replace(
+           regexp_replace(
+             split_part(regexp_replace({url_col}, '^https?://[^/]*', ''), '?', 1),
+             '[0-9a-f]{{8,}}', 'H', 'g'),
+           '[0-9]+', 'N', 'g') AS t
+  FROM ({source_sql}) WHERE {url_col} IS NOT NULL
+),
+agg AS (
+  SELECT host, count(DISTINCT u) AS n_urls,
+         count(DISTINCT t) AS n_templates
+  FROM d GROUP BY host
+)
+SELECT host, n_urls, n_templates,
+       round(n_urls * 1.0 / n_templates, 6) AS urls_per_template,
+       round(1.0 - n_templates * 1.0 / n_urls, 6) AS trap_score,
+       (n_urls >= {int(min_urls)}
+        AND n_templates * 1.0 / n_urls <= {float(max_templates_ratio)}) AS is_trap
+FROM agg
+"""

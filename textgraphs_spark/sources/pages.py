@@ -845,3 +845,53 @@ FROM (
   )
 )
 """
+
+
+def trap_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic crawler-trap corpus — (doc_id, url). Pure index
+    arithmetic (``trap_pages_sql`` regenerates it bit-identically).
+
+    Page ``i`` by ``i % 4``:
+
+    * 0, 1 — organic hosts ``org{0,1}.example``: digit-free word paths
+      ``/xxx/yyy`` drawn from 17×13 letter combinations, so template
+      count tracks url count (trap_score ~ 0).
+    * 2 — ``cal.example``, a calendar trap: ``/events/2024/{m}/{d}``
+      with a per-fetch ``?sid=`` — every url distinct, ONE template
+      after digit collapse and query stripping.
+    * 3 — ``session.example``, a session-id trap: ``/view/{8-hex}`` —
+      every url distinct, one template after the hex-run collapse.
+    """
+    i = F.col("id")
+    m = i % 4
+    w1 = F.expr("repeat(char(97 + (id * 7) % 17), 3)")
+    w2 = F.expr("repeat(char(97 + (id * 11) % 13), 3)")
+    hexid = F.format_string("%08x", (i * 2654435761 % 4294967296).cast("long"))
+    url = (
+        F.when(m < 2, F.format_string(
+            "https://org%d.example/%s/%s", m.cast("int"), w1, w2))
+        .when(m == 2, F.format_string(
+            "https://cal.example/events/2024/%d/%d?sid=%d",
+            ((i * 3) % 12 + 1).cast("int"), ((i * 5) % 28 + 1).cast("int"),
+            i.cast("int")))
+        .otherwise(F.concat(F.lit("https://session.example/view/"), hexid))
+    )
+    return spark.range(0, n_pages).select(i.alias("doc_id"), url.alias("url"))
+
+
+def trap_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``trap_pages`` — keep the path formulas in
+    lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  CASE WHEN i % 4 < 2 THEN
+         'https://org' || (i % 4) || '.example/'
+           || repeat(chr(97 + CAST((i * 7) % 17 AS INT)), 3) || '/'
+           || repeat(chr(97 + CAST((i * 11) % 13 AS INT)), 3)
+       WHEN i % 4 = 2 THEN
+         'https://cal.example/events/2024/' || ((i * 3) % 12 + 1) || '/'
+           || ((i * 5) % 28 + 1) || '?sid=' || i
+       ELSE 'https://session.example/view/' || printf('%08x', i * 2654435761 % 4294967296)
+  END AS url
+FROM range(0, {n_pages}) t(i)
+"""
