@@ -635,6 +635,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return crawler_traps(trap_pages(spark))
 
+    def resolve_redirects_q(spark, sf_dir):
+        # redirect-chain resolution over the deterministic redirect map
+        # (sources/pages.redirect_pages — RNG-free, regenerated by the
+        # oracle): pointer doubling, log2(max_hops) self-join rounds
+        from textgraphs_spark.operators.webdata import resolve_redirects
+        from textgraphs_spark.sources.pages import redirect_pages
+
+        return resolve_redirects(redirect_pages(spark))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1795,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": host_trustrank_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
+        "resolve_redirects": resolve_redirects_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2323,6 +2333,10 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.operators.webdata import crawler_traps_oracle_sql as _trap_sql
+    from textgraphs_spark.operators.webdata import (
+        resolve_redirects_oracle_sql as _redir_sql,
+    )
+    from textgraphs_spark.sources.pages import redirect_pages_sql as _redir_pages_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
@@ -2784,6 +2798,7 @@ FROM d GROUP BY url
         ),
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
+        "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

@@ -1339,3 +1339,41 @@ def test_crawler_traps_min_urls_evidence_floor(spark):
     )
     row = crawler_traps(pages, min_urls=10).collect()[0]
     assert not row["is_trap"] and row["n_urls"] == 1
+
+
+def test_resolve_redirects_chains_cycles_offcrawl(spark):
+    """Chains resolve to their landing url with exact hop counts;
+    3-cycles AND pages feeding into them are flagged unresolvable;
+    off-crawl targets are terminals reached in one hop."""
+    from textgraphs_spark.operators.webdata import resolve_redirects
+    from textgraphs_spark.sources.pages import redirect_pages
+
+    got = {r["url"]: r for r in
+           resolve_redirects(redirect_pages(spark, 20)).collect()}
+    assert len(got) == 120
+    # group 3 (g%5=3): chain 0->1->2->3; position 3 lands
+    u = lambda g, p: f"https://h{g % 7}.example/r/{g}/{p}"  # noqa: E731
+    assert got[u(3, 0)]["final_url"] == u(3, 3) and got[u(3, 0)]["n_hops"] == 3
+    assert got[u(3, 2)]["n_hops"] == 1 and not got[u(3, 2)]["is_cycle"]
+    assert got[u(3, 3)]["final_url"] == u(3, 3) and got[u(3, 3)]["n_hops"] == 0
+    # group 9: 3-cycle members and the feeder are all unresolvable
+    for p in (0, 1, 2, 3):
+        r = got[u(9, p)]
+        assert r["is_cycle"] and r["final_url"] is None and r["n_hops"] is None
+    assert not got[u(9, 4)]["is_cycle"]
+    # group 4, p5: off-crawl target is the terminal, one hop
+    r = got[u(4, 5)]
+    assert r["final_url"] == "https://offsite.example/4" and r["n_hops"] == 1
+
+
+def test_resolve_redirects_max_hops_gate(spark):
+    """A chain longer than max_hops is reported unresolvable even if the
+    doubling overshoot internally reached its terminal."""
+    from textgraphs_spark.operators.webdata import resolve_redirects
+
+    rows = [(f"u{i}", f"u{i+1}" if i < 6 else None) for i in range(7)]
+    pages = spark.createDataFrame(rows, "url string, redirect_to string")
+    got = {r["url"]: r for r in
+           resolve_redirects(pages, max_hops=4).collect()}
+    assert got["u0"]["is_cycle"] and got["u0"]["n_hops"] is None
+    assert got["u2"]["final_url"] == "u6" and got["u2"]["n_hops"] == 4

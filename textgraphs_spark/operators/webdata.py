@@ -1949,3 +1949,118 @@ SELECT host, n_urls, n_templates,
         AND n_templates * 1.0 / n_urls <= {float(max_templates_ratio)}) AS is_trap
 FROM agg
 """
+
+
+def resolve_redirects(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    redirect_col: str = "redirect_to",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Redirect-chain resolution — (url, final_url, n_hops, is_cycle).
+
+    Input is the crawl's redirect map: one row per url, ``redirect_col``
+    NULL for landing pages. Each url resolves to the landing url its
+    chain terminates at, with the exact hop count; chains that never
+    terminate within ``max_hops`` (redirect cycles, or pages feeding
+    into one) come back ``is_cycle = true`` with NULL final/hops. A
+    target with no row of its own (off-crawl redirect) is treated as a
+    terminal — the chain lands there.
+
+    Scale shape: **pointer doubling**, not chain walking. Each round
+    self-joins the state table on the current pointer, so after round k
+    every url knows its 2^k-th successor — ceil(log2(max_hops)) rounds
+    total, each one vocabulary-sized shuffle join keyed by url. A naive
+    per-hop walk is O(longest chain) sequential rounds and, at 10^12
+    urls with spam chains hundreds deep, turns the resolver into the
+    crawl's critical path; doubling caps it at ~5 rounds for
+    max_hops=32. Settled rows are split out of the join's left side
+    each round, so late rounds shuffle only the unresolved tail.
+    ``localCheckpoint`` truncates the iterative lineage (batch-only,
+    same contract as connected_components).
+
+    Mirrors the reference's transitive entity-consolidation idea
+    (textgraphs resolves alias chains to canonical IRIs) applied to the
+    crawl-ops domain.
+    """
+    import math
+
+    state = pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(F.col(redirect_col), F.col(url_col)).alias("ptr"),
+        F.when(F.col(redirect_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("hops"),
+        F.col(redirect_col).isNull().alias("done"),
+    ).localCheckpoint()
+
+    # +1: the done flag lags the pointer — a node at distance d has
+    # ptr == terminal after ceil(log2(d)) rounds but only OBSERVES its
+    # target's done flag on the following round's join
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops)))) + 1
+    for _ in range(rounds):
+        active = state.filter(~F.col("done"))
+        if active.isEmpty():
+            break
+        lookup = state.select(
+            F.col("url").alias("t_url"), F.col("ptr").alias("t_ptr"),
+            F.col("hops").alias("t_hops"), F.col("done").alias("t_done"),
+        )
+        stepped = active.join(
+            lookup, active["ptr"] == lookup["t_url"], "left"
+        ).select(
+            "url",
+            # off-crawl target (no row): the pointer itself is terminal
+            F.when(F.col("t_url").isNull(), F.col("ptr"))
+            .otherwise(F.col("t_ptr")).alias("ptr"),
+            F.when(F.col("t_url").isNull(), F.col("hops"))
+            .otherwise(F.col("hops") + F.col("t_hops")).alias("hops"),
+            (F.col("t_url").isNull() | F.col("t_done")).alias("done"),
+        )
+        state = (
+            state.filter(F.col("done")).unionByName(stepped).localCheckpoint()
+        )
+
+    resolved = F.col("done") & (F.col("hops") <= int(max_hops))
+    return state.select(
+        "url",
+        F.when(resolved, F.col("ptr")).alias("final_url"),
+        F.when(resolved, F.col("hops")).alias("n_hops"),
+        (~resolved).alias("is_cycle"),
+    )
+
+
+def resolve_redirects_oracle_sql(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    redirect_col: str = "redirect_to",
+    max_hops: int = 32,
+) -> str:
+    """DuckDB twin of ``resolve_redirects`` — a bounded recursive-CTE
+    walk (one hop per recursion level; fine at fixture scale, which is
+    exactly why the engine does NOT work this way). Same terminal
+    semantics: NULL target lands at the current node, an off-crawl
+    target lands one hop past it, anything unresolved within
+    ``max_hops`` is a cycle."""
+    return f"""
+WITH RECURSIVE pages AS MATERIALIZED ({source_sql}),
+walk AS (
+  SELECT {url_col} AS url, {url_col} AS cur, {redirect_col} AS nxt, 0 AS hops
+  FROM pages
+  UNION ALL
+  SELECT w.url, w.nxt AS cur, p.{redirect_col} AS nxt, w.hops + 1
+  FROM walk w JOIN pages p ON w.nxt = p.{url_col}
+  WHERE w.nxt IS NOT NULL AND w.hops < {int(max_hops)}
+),
+landed AS (
+  SELECT url, cur AS final_url, hops AS n_hops FROM walk WHERE nxt IS NULL
+  UNION ALL
+  SELECT url, nxt AS final_url, hops + 1 AS n_hops FROM walk
+  WHERE nxt IS NOT NULL AND hops + 1 <= {int(max_hops)}
+    AND nxt NOT IN (SELECT {url_col} FROM pages)
+)
+SELECT p.{url_col} AS url, l.final_url, CAST(l.n_hops AS BIGINT) AS n_hops,
+       l.url IS NULL AS is_cycle
+FROM pages p LEFT JOIN landed l ON p.{url_col} = l.url
+"""

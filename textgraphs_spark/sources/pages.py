@@ -895,3 +895,62 @@ SELECT i AS doc_id,
   END AS url
 FROM range(0, {n_pages}) t(i)
 """
+
+
+def redirect_pages(spark: SparkSession, n_groups: int = 60) -> DataFrame:
+    """Deterministic redirect map — (url, redirect_to). Pure index
+    arithmetic (``redirect_pages_sql`` regenerates it bit-identically).
+
+    6 urls per group ``https://h{g%7}.example/r/{g}/{p}``; group ``g``
+    by ``g % 10``:
+
+    * 9 — cycle group: p0→p1→p2→p0 (3-cycle), p3→p0 (feeds the cycle,
+      equally unresolvable), p4/p5 landing pages.
+    * 4 — p5 redirects OFF-CRAWL (``https://offsite.example/{g}``, no
+      row of its own) — lands there in 1 hop.
+    * otherwise — a chain of length ``c = g % 5``: p < c redirects to
+      p+1, p ≥ c lands; so p resolves to position c in c−p hops.
+    """
+    i = F.col("id")
+    g = (i / 6).cast("long")
+    p = i % 6
+    u = F.format_string(
+        "https://h%d.example/r/%d/%d", (g % 7).cast("int"),
+        g.cast("int"), p.cast("int"))
+
+    def _at(pos):
+        return F.format_string(
+            "https://h%d.example/r/%d/%d", (g % 7).cast("int"),
+            g.cast("int"), pos.cast("int"))
+
+    c = g % 5
+    redirect = (
+        F.when((g % 10 == 9) & (p <= 2), _at((p + 1) % 3))
+        .when((g % 10 == 9) & (p == 3), _at(F.lit(0)))
+        .when((g % 10 == 9), F.lit(None).cast("string"))
+        .when((g % 10 == 4) & (p == 5),
+              F.format_string("https://offsite.example/%d", g.cast("int")))
+        .when(p < c, _at(p + 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return spark.range(0, 6 * n_groups).select(
+        u.alias("url"), redirect.alias("redirect_to")
+    )
+
+
+def redirect_pages_sql(n_groups: int = 60) -> str:
+    """DuckDB twin of ``redirect_pages`` — keep the CASE arms in
+    lockstep."""
+    at = "'https://h' || (g % 7) || '.example/r/' || g || '/' || {pos}"
+    return f"""
+SELECT {at.format(pos='p')} AS url,
+  CASE
+    WHEN g % 10 = 9 AND p <= 2 THEN {at.format(pos='((p + 1) % 3)')}
+    WHEN g % 10 = 9 AND p = 3 THEN {at.format(pos='0')}
+    WHEN g % 10 = 9 THEN NULL
+    WHEN g % 10 = 4 AND p = 5 THEN 'https://offsite.example/' || g
+    WHEN p < g % 5 THEN {at.format(pos='(p + 1)')}
+    ELSE NULL
+  END AS redirect_to
+FROM (SELECT i // 6 AS g, i % 6 AS p FROM range(0, {6 * n_groups}) t(i))
+"""
