@@ -644,6 +644,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return resolve_redirects(redirect_pages(spark))
 
+    def soft404_hosts_q(spark, sf_dir):
+        # intra-host body-collapse census over the deterministic
+        # soft-404 corpus (sources/pages.soft404_pages — RNG-free,
+        # regenerated by the oracle): two hash aggs, argmax via
+        # max(struct), no window
+        from textgraphs_spark.operators.webdata import soft404_hosts
+        from textgraphs_spark.sources.pages import soft404_pages
+
+        return soft404_hosts(soft404_pages(spark))
+
+    def host_lang_entropy_q(spark, sf_dir):
+        # MT-farm signal: per-source Shannon entropy over the lang
+        # column of the real documents table (two vocabulary-sized aggs)
+        from textgraphs_spark.operators.webdata import host_lang_entropy
+
+        return host_lang_entropy(_docs(spark, sf_dir), max_entropy=1.4)
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1805,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
         "resolve_redirects": resolve_redirects_q,
+        "soft404_hosts": soft404_hosts_q,
+        "host_lang_entropy": host_lang_entropy_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2337,6 +2356,11 @@ def oracle_sql() -> dict[str, str]:
         resolve_redirects_oracle_sql as _redir_sql,
     )
     from textgraphs_spark.sources.pages import redirect_pages_sql as _redir_pages_sql
+    from textgraphs_spark.operators.webdata import (
+        soft404_hosts_oracle_sql as _s404_sql,
+        host_lang_entropy_select as _hle_sql,
+    )
+    from textgraphs_spark.sources.pages import soft404_pages_sql as _s404_pages_sql
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
@@ -2799,6 +2823,8 @@ FROM d GROUP BY url
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
+        "soft404_hosts": _s404_sql(_s404_pages_sql()),
+        "host_lang_entropy": _hle_sql("SELECT * FROM documents", max_entropy=1.4),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

@@ -1377,3 +1377,45 @@ def test_resolve_redirects_max_hops_gate(spark):
            resolve_redirects(pages, max_hops=4).collect()}
     assert got["u0"]["is_cycle"] and got["u0"]["n_hops"] is None
     assert got["u2"]["final_url"] == "u6" and got["u2"]["n_hops"] == 4
+
+
+def test_soft404_hosts_separates_body_collapse(spark):
+    """dead.example answers 70% of urls with one body -> suspect;
+    organic hosts stay near 1/n; sparse.example is 100% collapsed but
+    below the min_urls evidence floor -> NOT flagged."""
+    from textgraphs_spark.operators.webdata import soft404_hosts
+    from textgraphs_spark.sources.pages import soft404_pages
+
+    got = {r["host"]: r for r in
+           soft404_hosts(soft404_pages(spark, 400)).collect()}
+    dead = got["dead.example"]
+    assert dead["is_suspect"] and abs(dead["dominant_share"] - 0.7) < 1e-9
+    assert got["sparse.example"]["dominant_share"] == 1.0
+    assert not got["sparse.example"]["is_suspect"]  # only 3 urls
+    for h in ("org0.example", "org1.example", "org2.example"):
+        assert not got[h]["is_suspect"]
+        assert got[h]["n_texts"] == got[h]["n_urls"]
+
+
+def test_host_lang_entropy_flags_mt_mix(spark):
+    """A single-language host has entropy 0; a uniform 4-language host
+    has ln(4) and crosses the mixing gate; the evidence floor keeps
+    small hosts unflagged."""
+    import math
+
+    from textgraphs_spark.operators.webdata import host_lang_entropy
+
+    rows = (
+        [(f"d{i}", "en", "mono.example") for i in range(12)]
+        + [(f"m{i}", ["en", "de", "fr", "ja"][i % 4], "farm.example")
+           for i in range(12)]
+        + [(f"s{i}", ["en", "de"][i % 2], "tiny.example") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, source string")
+    got = {r["host"]: r for r in
+           host_lang_entropy(docs, min_docs=10, max_entropy=1.0).collect()}
+    assert got["mono.example"]["lang_entropy"] == 0.0
+    assert not got["mono.example"]["is_mixed"]
+    assert abs(got["farm.example"]["lang_entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got["farm.example"]["is_mixed"]
+    assert not got["tiny.example"]["is_mixed"]  # 4 docs < min_docs

@@ -2064,3 +2064,166 @@ SELECT p.{url_col} AS url, l.final_url, CAST(l.n_hops AS BIGINT) AS n_hops,
        l.url IS NULL AS is_cycle
 FROM pages p LEFT JOIN landed l ON p.{url_col} = l.url
 """
+
+
+def soft404_hosts(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 5,
+    dominant_share: float = 0.3,
+) -> DataFrame:
+    """Soft-404 / placeholder-template census — per host: (host, n_urls,
+    n_texts, dominant_share, is_suspect). A host that answers many
+    DISTINCT urls with the SAME body (an HTTP-200 "not found" page, a
+    parked-domain lander, a paywall interstitial) poisons both the
+    crawl (every frontier url "succeeds") and dedup stats (one giant
+    exact-dup cluster that is really an error page). ``dominant_share``
+    is the fraction of the host's urls carrying its single most common
+    body; ``is_suspect`` gates on ``min_urls`` (evidence floor) and the
+    share threshold.
+
+    Complements the other host-hygiene channels: mirror_hosts is
+    CROSS-host same-content, crawler_traps is url-template explosion,
+    this is INTRA-host body collapse. Shape: map-only (host, md5(text))
+    projection, one (host, hash)-keyed distinct-url count, one
+    host-keyed rollup whose argmax rides ``max(struct(cnt, hash))`` —
+    no window, no sort, output host-vocabulary-sized. Deterministic
+    tie-break: highest hash string wins (mirrored in the oracle).
+    """
+    d = pages.where(F.col(url_col).isNotNull()).select(
+        host_col(url_col).alias("host"),
+        F.col(url_col).alias("u"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    per_hash = d.groupBy("host", "h").agg(F.countDistinct("u").alias("cnt"))
+    per_host = per_hash.groupBy("host").agg(
+        F.sum("cnt").alias("n_urls"),
+        F.count("*").alias("n_texts"),
+        F.max(F.struct("cnt", "h")).alias("_top"),
+    )
+    share = F.round(F.col("_top.cnt") / F.col("n_urls"), 6)
+    return per_host.select(
+        "host", "n_urls", "n_texts",
+        share.alias("dominant_share"),
+        (
+            (F.col("n_urls") >= int(min_urls))
+            & (F.col("_top.cnt") / F.col("n_urls") >= float(dominant_share))
+        ).alias("is_suspect"),
+    )
+
+
+def soft404_hosts_oracle_sql(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 5,
+    dominant_share: float = 0.3,
+) -> str:
+    """DuckDB twin of ``soft404_hosts`` — same gates; the argmax
+    tie-break (cnt DESC, hash DESC) mirrors Spark's struct max."""
+    h = _host_sql(url_col)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {h} AS host, {url_col} AS u, md5({text_col}) AS h
+  FROM ({source_sql}) WHERE {url_col} IS NOT NULL
+),
+per_hash AS (
+  SELECT host, h, count(DISTINCT u) AS cnt FROM d GROUP BY host, h
+),
+ranked AS (
+  SELECT host, cnt,
+         row_number() OVER (PARTITION BY host ORDER BY cnt DESC, h DESC) AS rn
+  FROM per_hash
+),
+tot AS (
+  SELECT host, CAST(sum(cnt) AS BIGINT) AS n_urls, count(*) AS n_texts
+  FROM per_hash GROUP BY host
+)
+SELECT t.host, t.n_urls, t.n_texts,
+       round(r.cnt * 1.0 / t.n_urls, 6) AS dominant_share,
+       (t.n_urls >= {int(min_urls)}
+        AND r.cnt * 1.0 / t.n_urls >= {float(dominant_share)}) AS is_suspect
+FROM tot t JOIN ranked r ON t.host = r.host AND r.rn = 1
+"""
+
+
+def host_lang_entropy(
+    docs: DataFrame,
+    *,
+    host_col_name: str = "source",
+    lang_col: str = "lang",
+    min_docs: int = 10,
+    max_entropy: float = 1.5,
+) -> DataFrame:
+    """Per-host language-mix census — (host, n_docs, n_langs,
+    top_share, lang_entropy, is_mixed). A legitimate site serves one
+    or two languages; machine-translation spam farms serve the SAME
+    content in dozens, so high per-host Shannon entropy over the
+    language column is a cheap MT-farm signal (the curation heuristic
+    CCNet-style pipelines apply before any per-document scoring).
+
+    Shape: one (host, lang)-keyed hash agg (partial map-side combine),
+    then a host-keyed rollup over the per-lang counts — both
+    vocabulary-sized; the entropy is computed from the count list with
+    ``aggregate`` over a collect_list that is at most |languages| long
+    per host (bounded, ~10^2), never per-document data.
+    """
+    per_lang = docs.groupBy(
+        F.col(host_col_name).alias("host"), F.col(lang_col).alias("lg")
+    ).agg(F.count("*").alias("cnt"))
+    per_host = per_lang.groupBy("host").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.max("cnt").alias("_top"),
+        F.collect_list("cnt").alias("_cnts"),
+    )
+    ent = -F.aggregate(
+        "_cnts",
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c / F.col("n_docs")) * F.log(c / F.col("n_docs")),
+    )
+    return per_host.select(
+        "host", "n_docs", "n_langs",
+        F.round(F.col("_top") / F.col("n_docs"), 6).alias("top_share"),
+        F.round(ent, 6).alias("lang_entropy"),
+        (
+            (F.col("n_docs") >= int(min_docs))
+            & (F.round(ent, 6) > float(max_entropy))
+        ).alias("is_mixed"),
+    )
+
+
+def host_lang_entropy_select(
+    source_sql: str,
+    *,
+    host_col_name: str = "source",
+    lang_col: str = "lang",
+    min_docs: int = 10,
+    max_entropy: float = 1.5,
+) -> str:
+    """DuckDB twin of ``host_lang_entropy`` (natural log, like Spark's
+    ``log``; gate applied to the ROUNDED entropy on both sides so a
+    sub-1e-6 float divergence cannot flip the flag)."""
+    return f"""
+WITH per_lang AS (
+  SELECT {host_col_name} AS host, {lang_col} AS lg, count(*) AS cnt
+  FROM ({source_sql}) GROUP BY 1, 2
+),
+per_host AS (
+  SELECT host, CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_langs,
+         max(cnt) AS top_cnt,
+         round(-sum((cnt * 1.0 / (SELECT sum(p2.cnt) FROM per_lang p2 WHERE p2.host = per_lang.host))
+                    * ln(cnt * 1.0 / (SELECT sum(p2.cnt) FROM per_lang p2 WHERE p2.host = per_lang.host))), 6)
+           AS lang_entropy
+  FROM per_lang GROUP BY host
+)
+SELECT host, n_docs, n_langs,
+       round(top_cnt * 1.0 / n_docs, 6) AS top_share,
+       lang_entropy,
+       (n_docs >= {int(min_docs)} AND lang_entropy > {float(max_entropy)}) AS is_mixed
+FROM per_host
+"""

@@ -954,3 +954,58 @@ SELECT {at.format(pos='p')} AS url,
   END AS redirect_to
 FROM (SELECT i // 6 AS g, i % 6 AS p FROM range(0, {6 * n_groups}) t(i))
 """
+
+
+def soft404_pages(spark: SparkSession, n_pages: int = 400) -> DataFrame:
+    """Deterministic soft-404 corpus — (doc_id, url, text). Pure index
+    arithmetic (``soft404_pages_sql`` regenerates it bit-identically).
+
+    Page ``i`` by ``i % 4``:
+
+    * 0, 1 — organic hosts ``org{0,1}.example``: every url has its own
+      body (dominant_share stays ~1/n).
+    * 2 — ``dead.example``: 7 of every 10 urls answer the SAME
+      "not found" body (dominant_share ≈ 0.7 → suspect).
+    * 3, i < 12 — ``sparse.example``: 3 urls, all identical — ABOVE the
+      share bar but BELOW the ``min_urls`` evidence floor.
+    * 3, i ≥ 12 — folds into ``org2.example`` organic pages.
+    """
+    i = F.col("id")
+    m = i % 4
+    url = (
+        F.when(m < 2, F.format_string(
+            "https://org%d.example/p/%d", m.cast("int"), i.cast("int")))
+        .when(m == 2, F.format_string(
+            "https://dead.example/p/%d", i.cast("int")))
+        .when(i < 12, F.format_string(
+            "https://sparse.example/p/%d", i.cast("int")))
+        .otherwise(F.format_string(
+            "https://org2.example/p/%d", i.cast("int")))
+    )
+    text = (
+        F.when((m == 2) & ((i / 4).cast("long") % 10 < 7),
+               F.lit("page not found"))
+        .when((m == 3) & (i < 12), F.lit("domain parked"))
+        .otherwise(F.format_string("article %d", i.cast("int")))
+    )
+    return spark.range(0, n_pages).select(
+        i.alias("doc_id"), url.alias("url"), text.alias("text")
+    )
+
+
+def soft404_pages_sql(n_pages: int = 400) -> str:
+    """DuckDB twin of ``soft404_pages`` — keep the CASE arms in
+    lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  CASE WHEN i % 4 < 2 THEN 'https://org' || (i % 4) || '.example/p/' || i
+       WHEN i % 4 = 2 THEN 'https://dead.example/p/' || i
+       WHEN i < 12 THEN 'https://sparse.example/p/' || i
+       ELSE 'https://org2.example/p/' || i
+  END AS url,
+  CASE WHEN i % 4 = 2 AND (i // 4) % 10 < 7 THEN 'page not found'
+       WHEN i % 4 = 3 AND i < 12 THEN 'domain parked'
+       ELSE 'article ' || i
+  END AS text
+FROM range(0, {n_pages}) t(i)
+"""
