@@ -661,6 +661,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_lang_entropy(_docs(spark, sf_dir), max_entropy=1.4)
 
+    def crawl_policy_q(spark, sf_dir):
+        # the frontier ACTION over the host-hygiene censuses: traps +
+        # soft-404 + link rank -> per-host block/boost/normal verdicts
+        from textgraphs_spark.operators.linkgraph import host_link_rank
+        from textgraphs_spark.operators.webdata import (
+            crawl_policy, crawler_traps, soft404_hosts,
+        )
+        from textgraphs_spark.sources.pages import (
+            link_pages, soft404_pages, trap_pages,
+        )
+
+        return crawl_policy(
+            crawler_traps(trap_pages(spark)),
+            soft404_hosts(soft404_pages(spark)),
+            host_link_rank(link_pages(spark)),
+        )
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1824,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": resolve_redirects_q,
         "soft404_hosts": soft404_hosts_q,
         "host_lang_entropy": host_lang_entropy_q,
+        "crawl_policy": crawl_policy_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2361,6 +2379,9 @@ def oracle_sql() -> dict[str, str]:
         host_lang_entropy_select as _hle_sql,
     )
     from textgraphs_spark.sources.pages import soft404_pages_sql as _s404_pages_sql
+    from textgraphs_spark.operators.webdata import (
+        crawl_policy_oracle_sql as _policy_sql,
+    )
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
@@ -2825,6 +2846,11 @@ FROM d GROUP BY url
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "soft404_hosts": _s404_sql(_s404_pages_sql()),
         "host_lang_entropy": _hle_sql("SELECT * FROM documents", max_entropy=1.4),
+        "crawl_policy": _policy_sql(
+            _trap_sql(_trap_pages_sql()),
+            _s404_sql(_s404_pages_sql()),
+            _hlr_sql(_link_pages_sql()),
+        ),
         "token_stats_by_lang": f"""
 WITH per_doc AS (
   SELECT lang, len({toks_u}) AS n_words, length(text) AS n_chars

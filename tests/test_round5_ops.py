@@ -1419,3 +1419,32 @@ def test_host_lang_entropy_flags_mt_mix(spark):
     assert abs(got["farm.example"]["lang_entropy"] - round(math.log(4), 6)) < 1e-9
     assert got["farm.example"]["is_mixed"]
     assert not got["tiny.example"]["is_mixed"]  # 4 docs < min_docs
+
+
+def test_crawl_policy_composes_signals(spark):
+    """Blocked where either hygiene flag fires (even with zero rank
+    signal), boosted only for clean high-rank hosts, and hosts missing
+    from a census default to no-signal rather than erroring."""
+    from textgraphs_spark.operators.webdata import crawl_policy
+
+    traps = spark.createDataFrame(
+        [("cal.example", True), ("org0.example", False)],
+        "host string, is_trap boolean",
+    )
+    soft = spark.createDataFrame(
+        [("dead.example", True), ("org0.example", False)],
+        "host string, is_suspect boolean",
+    )
+    ranks = spark.createDataFrame(
+        [("org0.example", 0.4), ("quiet.example", 0.01)],
+        "host string, rank double",
+    )
+    got = {r["host"]: r for r in
+           crawl_policy(traps, soft, ranks, high_rank=0.1).collect()}
+    assert got["cal.example"]["verdict"] == "block"
+    assert got["cal.example"]["rank"] == 0.0  # absent from ranks
+    assert got["dead.example"]["verdict"] == "block"
+    assert not got["dead.example"]["is_trap"]  # absent from traps
+    assert got["org0.example"]["verdict"] == "boost"
+    assert got["quiet.example"]["verdict"] == "normal"
+    assert len(got) == 4

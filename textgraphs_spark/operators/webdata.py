@@ -2227,3 +2227,79 @@ SELECT host, n_docs, n_langs,
        (n_docs >= {int(min_docs)} AND lang_entropy > {float(max_entropy)}) AS is_mixed
 FROM per_host
 """
+
+
+def crawl_policy(
+    traps: DataFrame,
+    soft404: DataFrame,
+    ranks: DataFrame,
+    *,
+    high_rank: float = 0.1,
+) -> DataFrame:
+    """The curation ACTION over the host-hygiene censuses — per host:
+    (host, is_trap, is_soft404, rank, verdict). Joins the three
+    host-keyed signal tables (``crawler_traps``, ``soft404_hosts``,
+    ``host_link_rank``) into the frontier's per-host fetch policy:
+
+    * ``block`` — url-template explosion OR body collapse: stop
+      spending fetch budget on manufactured urls / error-page bodies.
+    * ``boost`` — clean host with link-authority rank ≥ ``high_rank``:
+      the over-sample candidates for source weighting.
+    * ``normal`` — everything else.
+
+    A host absent from a signal table simply lacks that signal (flags
+    default false, rank 0.0) — full outer joins, so no census has to be
+    complete before the policy can run. Shape: all three inputs are
+    host-vocabulary-sized rollups already; two host-keyed joins and a
+    map-only CASE. The corpus itself is never touched here.
+    """
+    t = traps.select("host", "is_trap")
+    s = soft404.select("host", F.col("is_suspect").alias("is_soft404"))
+    r = ranks.select("host", "rank")
+    j = (
+        t.join(s, "host", "full")
+        .join(r, "host", "full")
+        .select(
+            "host",
+            F.coalesce("is_trap", F.lit(False)).alias("is_trap"),
+            F.coalesce("is_soft404", F.lit(False)).alias("is_soft404"),
+            F.coalesce("rank", F.lit(0.0)).alias("rank"),
+        )
+    )
+    verdict = (
+        F.when(F.col("is_trap") | F.col("is_soft404"), F.lit("block"))
+        .when(F.col("rank") >= float(high_rank), F.lit("boost"))
+        .otherwise(F.lit("normal"))
+    )
+    return j.select("host", "is_trap", "is_soft404", "rank",
+                    verdict.alias("verdict"))
+
+
+def crawl_policy_oracle_sql(
+    traps_sql: str,
+    soft404_sql: str,
+    ranks_sql: str,
+    *,
+    high_rank: float = 0.1,
+) -> str:
+    """DuckDB twin of ``crawl_policy`` — full-join composition of the
+    three census twins (pass the SAME generated SQL the individual
+    oracles use, so the composition cannot drift from its parts)."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT host, is_trap FROM ({traps_sql})),
+s AS MATERIALIZED (SELECT host, is_suspect AS is_soft404 FROM ({soft404_sql})),
+r AS MATERIALIZED (SELECT host, rank FROM ({ranks_sql})),
+j AS (
+  SELECT coalesce(t.host, s.host, r.host) AS host,
+         coalesce(t.is_trap, false) AS is_trap,
+         coalesce(s.is_soft404, false) AS is_soft404,
+         coalesce(r.rank, 0.0) AS rank
+  FROM t FULL JOIN s ON t.host = s.host
+         FULL JOIN r ON coalesce(t.host, s.host) = r.host
+)
+SELECT host, is_trap, is_soft404, rank,
+       CASE WHEN is_trap OR is_soft404 THEN 'block'
+            WHEN rank >= {float(high_rank)} THEN 'boost'
+            ELSE 'normal' END AS verdict
+FROM j
+"""
