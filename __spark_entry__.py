@@ -678,6 +678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def entity_pmi_q(spark, sf_dir):
+        # document-level co-mention PMI of noun lemma nodes — the
+        # distributional-affinity twin of gor_affinity; shares the
+        # extraction UDF and the generated tagger SQL (graph_ctes)
+        from textgraphs_spark.operators.extract import entity_pmi
+
+        return entity_pmi(_docs(spark, sf_dir))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1842,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_hosts": soft404_hosts_q,
         "host_lang_entropy": host_lang_entropy_q,
         "crawl_policy": crawl_policy_q,
+        "entity_pmi": entity_pmi_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2797,6 +2806,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_canopy_blocking_sql,
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
+    from textgraphs_spark.plans.er_oracle import entity_pmi_sql
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
         fs_review_queue_sql, fs_tf_adjustments_sql,
@@ -2888,6 +2898,7 @@ FROM per_doc GROUP BY lang
         "vocab_growth": _vocab_growth_sql(toks_u),
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_canopy_blocking": er_canopy_blocking_sql(),
+        "entity_pmi": entity_pmi_sql(),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),

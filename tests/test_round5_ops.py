@@ -1448,3 +1448,45 @@ def test_crawl_policy_composes_signals(spark):
     assert got["org0.example"]["verdict"] == "boost"
     assert got["quiet.example"]["verdict"] == "normal"
     assert len(got) == 4
+
+
+def test_entity_pmi_math_and_gates(spark):
+    """PMI is ln(co*N / (df_a*df_b)) over doc-level co-mention; min_co
+    prunes one-off pairs; the per-doc cap excludes listy documents."""
+    import math
+
+    from textgraphs_spark.operators.extract import entity_pmi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the festival visited germany", "en"),
+            (2, "the festival visited germany", "en"),
+            (3, "the festival continued", "en"),
+            (4, "a quiet day", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["key_a"], r["key_b"]): r
+           for r in entity_pmi(docs, min_co=2, max_per_doc=10).collect()}
+    k = ("festival.NOUN", "germany.NOUN")
+    assert k in got
+    r = got[k]
+    # festival df=3, germany df=2, co=2, N=4
+    assert (r["co_docs"], r["df_a"], r["df_b"]) == (2, 3, 2)
+    assert abs(r["pmi"] - round(math.log(2 * 4 / (3 * 2)), 6)) < 1e-9
+    # 'day' co-occurs with nothing twice -> pruned by min_co
+    assert not any("day.NOUN" in key for key in got)
+
+
+def test_entity_pmi_per_doc_cap_drops_listy_docs(spark):
+    """A document whose entity set exceeds max_per_doc contributes no
+    pairs at all."""
+    from textgraphs_spark.operators.extract import entity_pmi
+
+    listy = "alpha beta gamma delta epsilon zeta"  # 6 nouns
+    docs = spark.createDataFrame(
+        [(1, listy, "en"), (2, listy, "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert entity_pmi(docs, min_co=2, max_per_doc=5).count() == 0
+    assert entity_pmi(docs, min_co=2, max_per_doc=6).count() == 15

@@ -336,3 +336,77 @@ def corpus_edges(extracted: DataFrame) -> DataFrame:
         e.groupBy("src_key", "dst_key", "kind", "rel")
         .agg(F.sum("count").alias("count"), F.max("prob").alias("prob"))
     )
+
+
+def entity_pmi(
+    docs: DataFrame,
+    *,
+    pos: str = "NOUN",
+    min_co: int = 2,
+    max_per_doc: int = 50,
+) -> DataFrame:
+    """Entity co-occurrence PMI — (key_a, key_b, co_docs, df_a, df_b,
+    pmi) over document-level co-mention of linked ``pos`` lemma nodes
+    (default NOUN — the lowercase tagger folds proper nouns into NOUN,
+    so noun lemmas ARE the entity surface here). ``pmi = ln(P(a,b) / (P(a)·P(b)))``
+    with probabilities as document frequencies over the corpus — the
+    distributional-affinity signal (Church & Hanks 1990) for the same
+    question textgraphs' GOR affinity answers at the relation level
+    (gor.py:454-479): which graph elements belong together more than
+    chance. High-PMI entity pairs seed relation-extraction candidates
+    and KG edge priors.
+
+    Scale shape: per-doc entity sets are DISTINCT'd then gated at
+    ``max_per_doc`` (a listy page with 10^3 names would contribute
+    ~10^6 pairs — the documented quadratic-fanout cap, same discipline
+    as every blocking channel); the pair self-join is doc-keyed with
+    bounded per-key fanout, the df join is entity-vocabulary-sized,
+    and the corpus size enters as a broadcast 1-row frame. ``min_co``
+    prunes the pair tail before the df joins.
+    """
+    ex = extract_graphs(docs, parts=("mentions",))
+    m = (
+        mentions_table(ex)
+        .filter((F.col("kind") == "lem") & (F.col("pos") == pos))
+        .select("doc_id", "node_key")
+        .distinct()
+    )
+    eligible = (
+        m.groupBy("doc_id").agg(F.count("*").alias("k"))
+        .filter(F.col("k") <= int(max_per_doc)).select("doc_id")
+    )
+    m2 = m.join(eligible, "doc_id")
+    df = m2.groupBy("node_key").agg(F.count("*").alias("df"))
+    pairs = (
+        m2.alias("a")
+        .join(
+            m2.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.node_key") < F.col("b.node_key")),
+        )
+        .groupBy(
+            F.col("a.node_key").alias("key_a"),
+            F.col("b.node_key").alias("key_b"),
+        )
+        .agg(F.count("*").alias("co_docs"))
+        .filter(F.col("co_docs") >= int(min_co))
+    )
+    n = docs.select(F.count("*").alias("n_docs"))
+    return (
+        pairs.join(
+            df.select(F.col("node_key").alias("key_a"), F.col("df").alias("df_a")),
+            "key_a",
+        )
+        .join(
+            df.select(F.col("node_key").alias("key_b"), F.col("df").alias("df_b")),
+            "key_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "key_a", "key_b", "co_docs", "df_a", "df_b",
+            F.round(
+                F.log(F.col("co_docs") * F.col("n_docs")
+                      / (F.col("df_a") * F.col("df_b"))), 6
+            ).alias("pmi"),
+        )
+    )

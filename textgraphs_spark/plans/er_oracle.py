@@ -1446,3 +1446,37 @@ SELECT a.node, round(a.auth, 6) AS authority, round(h.hub, 6) AS hub
 FROM h_a{max_iter} a JOIN h_h{max_iter} h ON a.node = h.node
 ORDER BY a.node
 """
+
+
+def entity_pmi_sql(
+    table: str = "documents",
+    *,
+    pos: str = "NOUN",
+    min_co: int = 2,
+    max_per_doc: int = 50,
+) -> str:
+    """Oracle for extract.entity_pmi — document-level co-mention PMI of
+    linked ``pos`` lemma nodes, sharing graph_ctes with the tagger twin
+    so the mention set cannot drift."""
+    return f"""WITH
+{graph_ctes(table)},
+m AS MATERIALIZED (
+  SELECT DISTINCT doc_id, node_key FROM mention_rows
+  WHERE kind = 'lem' AND pos = '{pos}'
+),
+elig AS (SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) <= {int(max_per_doc)}),
+m2 AS MATERIALIZED (SELECT m.* FROM m JOIN elig USING (doc_id)),
+df AS (SELECT node_key, count(*) AS df FROM m2 GROUP BY node_key),
+pairs AS (
+  SELECT a.node_key AS key_a, b.node_key AS key_b, count(*) AS co_docs
+  FROM m2 a JOIN m2 b ON a.doc_id = b.doc_id AND a.node_key < b.node_key
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_co)}
+),
+tot AS (SELECT count(*) AS n_docs FROM {table})
+SELECT key_a, key_b, co_docs, da.df AS df_a, db.df AS df_b,
+       round(ln(co_docs * 1.0 * n_docs / (da.df * db.df)), 6) AS pmi
+FROM pairs
+JOIN df da ON pairs.key_a = da.node_key
+JOIN df db ON pairs.key_b = db.node_key
+CROSS JOIN tot
+"""
