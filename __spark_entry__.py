@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return entity_pmi(_docs(spark, sf_dir))
 
+    def bpe_pair_census_q(spark, sf_dir):
+        # tokenizer-training statistic: top-k adjacent char pairs (the
+        # first BPE merge table) — codegen explode kernel, alphabet²-
+        # bounded shuffle
+        return TQ.bpe_pair_census(_docs(spark, sf_dir))
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1851,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_lang_entropy": host_lang_entropy_q,
         "crawl_policy": crawl_policy_q,
         "entity_pmi": entity_pmi_q,
+        "bpe_pair_census": bpe_pair_census_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2807,6 +2814,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_suffix_blocking_sql, er_threshold_sweep_sql, er_tfidf_pairs_sql,
     )
     from textgraphs_spark.plans.er_oracle import entity_pmi_sql
+    from textgraphs_spark.operators.textquality import (
+        bpe_pair_census_select as _bpe_sql,
+    )
     from textgraphs_spark.plans.er_weights import (
         fs_classified_metrics_sql, fs_cluster_eval_sql, fs_match_weights_sql,
         fs_review_queue_sql, fs_tf_adjustments_sql,
@@ -2899,6 +2909,7 @@ FROM per_doc GROUP BY lang
         "er_suffix_blocking": er_suffix_blocking_sql(),
         "er_canopy_blocking": er_canopy_blocking_sql(),
         "entity_pmi": entity_pmi_sql(),
+        "bpe_pair_census": _bpe_sql("SELECT * FROM documents"),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),

@@ -1490,3 +1490,25 @@ def test_entity_pmi_per_doc_cap_drops_listy_docs(spark):
     )
     assert entity_pmi(docs, min_co=2, max_per_doc=5).count() == 0
     assert entity_pmi(docs, min_co=2, max_per_doc=6).count() == 15
+
+
+def test_bpe_pair_census_counts_occurrences(spark):
+    """Pairs are counted over word OCCURRENCES (not distinct words),
+    single-char words contribute nothing, and the (n desc, pair asc)
+    tie-break is total."""
+    from textgraphs_spark.operators.textquality import bpe_pair_census
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab x")],
+        "doc_id long, text string",
+    )
+    got = [(r["pair"], r["n"]) for r in
+           bpe_pair_census(docs, top_k=10).collect()]
+    # 'abab' x2 occurrences: ab,ba,ab each -> ab 4/occurrence-pair math:
+    # per 'abab': ab(2), ba(1); two occurrences + one 'ab' word
+    assert got[0] == ("ab", 5)
+    assert ("ba", 2) in got
+    assert all(p != "x" for p, _ in got)  # len-1 word excluded
+    # tie-break: equal-count pairs sort ascending by pair
+    ns = [n for _, n in got]
+    assert ns == sorted(ns, reverse=True)

@@ -592,3 +592,61 @@ def token_stats_by_lang(docs: DataFrame, *, text_col: str = "text", lang_col: st
             ).alias("avg_chars_per_word"),
         )
     )
+
+
+def bpe_pair_census(
+    docs: DataFrame, *, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """First BPE merge-round statistic — (pair, n): the ``top_k`` most
+    frequent adjacent character pairs inside words, counted over word
+    OCCURRENCES corpus-wide. This is exactly the table byte-pair
+    encoding's first iteration maximizes over (Sennrich et al. 2016),
+    and the census a tokenizer-training pipeline runs on its corpus
+    before any merge: the head of this table IS the first merge list.
+
+    100 TB shape: explode(words) → explode(sequence) + plain substr
+    projection (whole-stage codegen, no interpreted HOF lambdas —
+    invariant 6), one pair-keyed hash agg whose partial combine
+    collapses each partition to ≤ |alphabet|² rows (≤ ~1.3k for
+    [a-z0-9]) before the shuffle, then TakeOrdered for the global
+    top-k — the shuffle carries ~alphabet²·partitions rows regardless
+    of corpus size. Tie-break (n desc, pair asc) is total, so top_k is
+    deterministic.
+    """
+    w = docs.select(F.explode(tokens_col(text_col)).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(int(top_k))
+    )
+
+
+def bpe_pair_census_select(
+    source_sql: str, *, text_col: str = "text", top_k: int = 50
+) -> str:
+    """DuckDB twin of ``bpe_pair_census`` — same unicode-letter token
+    split (RE2 ``\\p{L}`` ≡ Java ``\\p{L}``, proven by the fingerprint
+    oracle) and the same total tie-break."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}),"
+        " '[^\\p{L}0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT t.w FROM (SELECT {toks} AS ws FROM ({source_sql})) d,
+       unnest(d.ws) AS t(w)
+  WHERE length(t.w) >= 2
+),
+pairs AS (
+  SELECT substr(w, CAST(r.i AS INT), 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS r(i)
+)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {int(top_k)}
+"""
