@@ -516,6 +516,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the signature prefilter is most selective in this regime
         return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.7)
 
+    def dedup_minhash_incremental(spark, sf_dir):
+        # daily-batch-vs-corpus dedup: docs with doc_id % 10 == 0 are
+        # the fresh batch; new-empty buckets pruned before the
+        # self-join, every pair has >= 1 new side — work scales with
+        # the batch, not the corpus
+        return D.minhash_dedup_pairs(
+            _docs(spark, sf_dir).withColumn(
+                "is_new", F.col("doc_id") % 10 == 0
+            ),
+            threshold=0.7,
+            new_col="is_new",
+        )
+
     def dedup_simhash(spark, sf_dir):
         return D.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8)
 
@@ -1858,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_policy": crawl_policy_q,
         "entity_pmi": entity_pmi_q,
         "bpe_pair_census": bpe_pair_census_q,
+        "dedup_minhash_incremental": dedup_minhash_incremental,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2957,6 +2971,9 @@ FROM per_doc GROUP BY lang
         "lm_xent_buckets": lm_xent_buckets_sql,
         "lm_xent_bucket_stats": lm_xent_bucket_stats_sql,
         "dedup_minhash": minhash_oracle_sql(threshold=0.7),
+        "dedup_minhash_incremental": minhash_oracle_sql(
+            threshold=0.7, new_pred="doc_id % 10 = 0"
+        ),
         "winnow_fingerprints": winnow_oracle_sql(),
         "dedup_winnow": winnow_pairs_oracle_sql(min_shared=2, max_df=1000),
         "dedup_span_removal": span_removal_oracle_sql(),

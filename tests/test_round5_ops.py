@@ -1512,3 +1512,28 @@ def test_bpe_pair_census_counts_occurrences(spark):
     # tie-break: equal-count pairs sort ascending by pair
     ns = [n for _, n in got]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_minhash_incremental_restricts_to_new_sides(spark):
+    """Incremental mode emits exactly the full-run pairs touching a new
+    doc: new-new and new-old pairs survive, old-old pairs are pruned,
+    and jaccard values match the full run's."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, False), (2, base, False),              # old-old dup
+        (3, base + " tail", True),                        # new, near both
+        (4, "completely different content here", True),   # new, no dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    full = {(r["left_id"], r["right_id"]): r["jaccard"]
+            for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    inc = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in minhash_dedup_pairs(
+               docs, threshold=0.5, new_col="is_new").collect()}
+    assert (1, 2) in full and (1, 2) not in inc          # old-old pruned
+    expected = {k: v for k, v in full.items() if 3 in k or 4 in k}
+    assert inc == expected and (1, 3) in inc and (2, 3) in inc

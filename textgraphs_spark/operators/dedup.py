@@ -255,8 +255,21 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
     max_bucket: int = 200,
     hash_family: str = "md5",
+    new_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified by true shingle Jaccard.
+
+    **Incremental mode** (``new_col``: boolean column marking the fresh
+    batch): only pairs with at least one NEW side are emitted — old-old
+    pairs were resolved when the old docs were themselves the batch —
+    and, the actual scale win, buckets containing NO new member are
+    pruned BEFORE the self-join, so candidate generation scales with
+    the batch's bucket footprint, not the corpus's. This is the daily
+    crawl-against-corpus dedup shape: at 10^12 accumulated docs a full
+    re-dedup per batch is off the table; in production the old side's
+    signatures/buckets come from the persisted signature table rather
+    than being recomputed (this function recomputes them when handed
+    raw text — hand it the signature store's output to skip that).
 
     Candidates come from band-bucket equality (narrow + one shuffle on the
     bucket key); buckets larger than ``max_bucket`` are dropped — a band
@@ -314,19 +327,38 @@ def minhash_dedup_pairs(
     banded = band_keys_from_signatures(sigs, "_id", num_hashes=num_hashes, bands=bands)
     bucket_key = F.concat_ws("|", "band_id", "band_key")
     keyed = banded.select(bucket_key.alias("bk"), F.col("_id"))
-    counts = keyed.groupBy("bk").agg(F.count("*").alias("_n"))
+    if new_col is not None:
+        nf = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(new_col).cast("boolean").alias("_new"),
+        )
+        keyed = keyed.join(nf, "_id")
+        counts = keyed.groupBy("bk").agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("_new").cast("int")).alias("_nn"),
+        )
+        bucket_gate = (
+            (F.col("_n") > 1) & (F.col("_n") <= max_bucket)
+            & (F.col("_nn") >= 1)
+        )
+    else:
+        counts = keyed.groupBy("bk").agg(F.count("*").alias("_n"))
+        bucket_gate = (F.col("_n") > 1) & (F.col("_n") <= max_bucket)
     bounded = (
-        keyed.join(counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)), "bk")
-        .drop("_n")
+        keyed.join(counts.filter(bucket_gate).select("bk"), "bk")
     )
-    a = bounded.select("bk", F.col("_id").alias("left_id"))
-    b = bounded.select("bk", F.col("_id").alias("right_id"))
-    cands = (
-        a.join(b, "bk")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
-        .distinct()
+    a = bounded.select(
+        "bk", F.col("_id").alias("left_id"),
+        *([F.col("_new").alias("_lnew")] if new_col is not None else []),
     )
+    b = bounded.select(
+        "bk", F.col("_id").alias("right_id"),
+        *([F.col("_new").alias("_rnew")] if new_col is not None else []),
+    )
+    cands = a.join(b, "bk").filter(F.col("left_id") < F.col("right_id"))
+    if new_col is not None:
+        cands = cands.filter(F.col("_lnew") | F.col("_rnew"))
+    cands = cands.select("left_id", "right_id").distinct()
     rows_per_band = num_hashes // bands
     if num_hashes - rows_per_band > 0:
         matches = F.expr(
@@ -387,6 +419,7 @@ def minhash_oracle_sql(
     shingle: int = 5,
     threshold: float = 0.6,
     max_bucket: int = 200,
+    new_pred: str | None = None,
 ) -> str:
     """DuckDB SQL reproducing ``minhash_dedup_pairs`` (md5 hash family)
     value-for-value: same md5-top-60-bit shingle hashes, same XOR-mixed
@@ -394,6 +427,9 @@ def minhash_oracle_sql(
     exact-Jaccard verify. The only representational difference is the
     verify stage's shingle sets (raw strings here, xxhash64-hashed longs
     in Spark) — Jaccard is identical modulo 64-bit collisions (~1e-13).
+    ``new_pred`` (SQL boolean over the base table's columns) mirrors the
+    engine's ``new_col`` incremental mode: new-empty buckets pruned,
+    pairs require ≥ 1 new side.
     """
     from .blocking import minhash_xor_constants
 
@@ -415,8 +451,35 @@ def minhash_oracle_sql(
         f"(CASE WHEN l.h{s} = r.h{s} THEN 1 ELSE 0 END)" for s in range(num_hashes)
     )
     est_floor = max(threshold - sig_margin, 0.0)
+    if new_pred is not None:
+        nf_cte = (
+            f"nf AS (SELECT {id_col} AS _id, ({new_pred}) AS _new"
+            f" FROM {table}),\n"
+        )
+        keyed_cte = (
+            "keyed AS (SELECT concat_ws('|', band_id, band_key) AS bk,"
+            " banded._id, nf._new FROM banded JOIN nf ON banded._id = nf._id)"
+        )
+        cnt_cte = (
+            "cnt AS (SELECT bk, count(*) AS _n,"
+            " sum(CASE WHEN _new THEN 1 ELSE 0 END) AS _nn"
+            " FROM keyed GROUP BY bk)"
+        )
+        bounded_gate = f"c._n > 1 AND c._n <= {max_bucket} AND c._nn >= 1"
+        bounded_cols = "k.bk, k._id, k._new"
+        cand_gate = " AND (a._new OR b._new)"
+    else:
+        nf_cte = ""
+        keyed_cte = (
+            "keyed AS (SELECT concat_ws('|', band_id, band_key) AS bk, _id"
+            " FROM banded)"
+        )
+        cnt_cte = "cnt AS (SELECT bk, count(*) AS _n FROM keyed GROUP BY bk)"
+        bounded_gate = f"c._n > 1 AND c._n <= {max_bucket}"
+        bounded_cols = "k.bk, k._id"
+        cand_gate = ""
     return f"""
-WITH d AS (SELECT {id_col} AS _id, lower({text_col}) AS _t FROM {table}),
+WITH {nf_cte}d AS (SELECT {id_col} AS _id, lower({text_col}) AS _t FROM {table}),
 sh AS (
   SELECT _id, substr(_t, CAST(i.i AS INT), {shingle}) AS _sh
   FROM d, unnest(range(1, greatest(length(_t) - {shingle - 1}, 1) + 1)) AS i(i)
@@ -434,15 +497,15 @@ banded AS (
     END AS band_key
   FROM sig, (VALUES {band_ids}) AS b(band_id)
 ),
-keyed AS (SELECT concat_ws('|', band_id, band_key) AS bk, _id FROM banded),
-cnt AS (SELECT bk, count(*) AS _n FROM keyed GROUP BY bk),
+{keyed_cte},
+{cnt_cte},
 bounded AS (
-  SELECT k.bk, k._id FROM keyed k JOIN cnt c ON k.bk = c.bk
-  WHERE c._n > 1 AND c._n <= {max_bucket}
+  SELECT {bounded_cols} FROM keyed k JOIN cnt c ON k.bk = c.bk
+  WHERE {bounded_gate}
 ),
 cands AS (
   SELECT DISTINCT a._id AS left_id, b._id AS right_id
-  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a._id < b._id
+  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a._id < b._id{cand_gate}
 ),
 pref AS (
   SELECT c.left_id, c.right_id
