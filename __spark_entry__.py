@@ -731,6 +731,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def decontaminate_bloom(spark, sf_dir):
+        # scale twin of decontaminate_overlap: broadcast Bloom bitmap
+        # prefilter + exact verify — output-identical by construction,
+        # so it shares the EXACT oracle (hash-green = losslessness
+        # proof, the er_edit_join naive-oracle contract)
+        docs = _docs(spark, sf_dir)
+        return WD.contaminated_docs_bloom(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=4,
+        )
+
     def corpus_curation(spark, sf_dir):
         # end-to-end keep/drop verdict: near-dup closure + lang +
         # quality + repetition gates in one first-failing-reason ladder
@@ -1872,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": entity_pmi_q,
         "bpe_pair_census": bpe_pair_census_q,
         "dedup_minhash_incremental": dedup_minhash_incremental,
+        "decontaminate_bloom": decontaminate_bloom,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -3060,7 +3073,9 @@ per_doc AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id)
 SELECT gram, count(*) AS df, CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM per_doc GROUP BY gram HAVING count(*) >= 5
 """,
-        "decontaminate_overlap": f"""
+        # decontaminate_bloom is output-identical (Bloom prefilter +
+        # exact verify), so both queries share this exact oracle
+        **{key: f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -3085,7 +3100,7 @@ agg AS (
 SELECT doc_id, n_grams, n_matched,
        round(n_matched * 1.0 / n_grams, 6) AS overlap_frac
 FROM agg WHERE n_matched > 0
-""",
+""" for key in ("decontaminate_overlap", "decontaminate_bloom")},
         "ann_cosine": ann_oracle_sql(),
         "ann_ivf": ivf_oracle_sql(n_cells=8, nprobe=4),
         "ann_recall": _ann_recall_oracle(),

@@ -1537,3 +1537,32 @@ def test_minhash_incremental_restricts_to_new_sides(spark):
     assert (1, 2) in full and (1, 2) not in inc          # old-old pruned
     expected = {k: v for k, v in full.items() if 3 in k or 4 in k}
     assert inc == expected and (1, 3) in inc and (2, 3) in inc
+
+
+def test_bloom_decontamination_matches_exact_even_saturated(spark):
+    """Bloom + exact verify equals the exact operator; with m_bits tiny
+    enough that the bitmap saturates (every probe hits), the verify
+    stage still kills every false positive — the losslessness contract
+    under the worst case."""
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.webdata import (
+        contaminated_docs, contaminated_docs_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta shared one two three four"
+          if i % 3 == 0 else f"tok{i} five six seven eight nine ten")
+         for i in range(1, 31)],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = {r["doc_id"]: r for r in contaminated_docs(corpus, ev, n=3).collect()}
+    for m_bits in (1 << 16, 64):  # healthy and fully saturated
+        got = {r["doc_id"]: r for r in contaminated_docs_bloom(
+            corpus, ev, n=3, m_bits=m_bits).collect()}
+        assert got.keys() == exact.keys()
+        for k in exact:
+            assert got[k]["n_matched"] == exact[k]["n_matched"]
+            assert got[k]["overlap_frac"] == exact[k]["overlap_frac"]

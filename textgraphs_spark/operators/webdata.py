@@ -2303,3 +2303,84 @@ SELECT host, is_trap, is_soft404, rank,
             ELSE 'normal' END AS verdict
 FROM j
 """
+
+
+def contaminated_docs_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Output-identical scale twin of ``contaminated_docs``: the
+    broadcast of the raw eval-gram TABLE (gated at ~10^6 grams) is
+    replaced by a hand-built **broadcast Bloom bitmap** — ``m_bits``
+    bits packed into an ``m_bits/64``-entry long map in ONE row
+    (128 KiB at the default 2^20), which broadcasts at ANY eval-suite
+    size. Corpus grams probe the bitmap map-side (k xxhash64 probes,
+    pure codegen bit tests — no Python, no join); only Bloom survivors
+    reach the exact verify join against the true eval grams, so the
+    gram-keyed shuffle carries the survivor set (true matches + the
+    ~(1-e^(-kn/m))^k false-positive sliver), not the corpus. No false
+    negatives exist, and the verify kills every false positive — the
+    hash-green against the EXACT oracle is the losslessness proof
+    (same naive-oracle contract as er_edit_join / er_jaccard_join).
+
+    Spark's own ``bloom_filter_agg`` is optimizer-internal (not a
+    public routine), hence the explicit build: probe → bit word/mask →
+    ``bit_or`` per word → one map row.
+    """
+    toks = F.expr(_TOKENS.format(c=text_col))
+    eval_grams = (
+        eval_docs.select(toks.alias("_toks"))
+        .select(F.explode(_gram_col(n)).alias("gram"))
+        .distinct()
+    )
+
+    def _probe_sql(s):
+        # F.shiftleft requires a literal shift amount, so the bit math
+        # stays in SQL-expr form (all codegen either way)
+        return f"pmod(xxhash64({s}, gram), {int(m_bits)}L)"
+
+    probes = eval_grams.select(
+        F.explode(F.array(
+            *[F.expr(_probe_sql(s)) for s in range(k)])).alias("idx")
+    )
+    bitmap = (
+        probes.select(
+            (F.col("idx") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")
+            .alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bm"))
+        .groupBy()
+        .agg(F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bm")).alias("bloom"))
+    )
+    corpus_grams = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(_gram_col(n))).alias("gram"))
+    )
+    probed = corpus_grams.crossJoin(F.broadcast(bitmap))
+    hit_sql = " AND ".join(
+        f"(coalesce(try_element_at(bloom, CAST({_probe_sql(s)} / 64 AS BIGINT)), 0L)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({_probe_sql(s)} % 64 AS INT)))"
+        f" = shiftleft(CAST(1 AS BIGINT), CAST({_probe_sql(s)} % 64 AS INT))"
+        for s in range(k)
+    )
+    survivors = probed.filter(F.expr(hit_sql)).select(id_col, "gram")
+    # exact verify: deliberately NOT broadcast — at real eval-suite
+    # scale the gram table exceeds the broadcast gate; the shuffle is
+    # survivor-sized either way
+    verified = survivors.join(eval_grams, "gram", "left_semi")
+    totals = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    matched = verified.groupBy(id_col).agg(F.count("*").alias("n_matched"))
+    return matched.join(totals, id_col).select(
+        F.col(id_col), "n_grams", "n_matched",
+        F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("overlap_frac"),
+    )
