@@ -630,6 +630,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             link_pages(spark), ["site0.example", "site1.example"]
         )
 
+    def host_scc_q(spark, sf_dir):
+        # strongly connected components of the directed host graph
+        # (coloring kernel) over the mixed ring/chain fixture; the
+        # mutual-reachability ring signal link_reciprocity only
+        # approximates pairwise
+        from textgraphs_spark.operators.linkgraph import host_scc
+        from textgraphs_spark.sources.pages import ring_pages
+
+        return host_scc(ring_pages(spark))
+
     def crawl_snapshot_delta(spark, sf_dir):
         # crawl-ops rollup: per snapshot, first-seen vs changed vs
         # wasted-refetch counts (url-partitioned lag, no hot key)
@@ -1875,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_census": anchor_text_census_q,
         "link_reciprocity": link_reciprocity_q,
         "host_trustrank": host_trustrank_q,
+        "host_scc": host_scc_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
         "resolve_redirects": resolve_redirects_q,
@@ -2422,6 +2433,8 @@ def oracle_sql() -> dict[str, str]:
         host_lang_entropy_select as _hle_sql,
     )
     from textgraphs_spark.sources.pages import soft404_pages_sql as _s404_pages_sql
+    from textgraphs_spark.operators.linkgraph import host_scc_sql as _scc_sql
+    from textgraphs_spark.sources.pages import ring_pages_sql as _ring_pages_sql
     from textgraphs_spark.operators.webdata import (
         crawl_policy_oracle_sql as _policy_sql,
     )
@@ -2889,6 +2902,7 @@ FROM d GROUP BY url
             _link_pages_sql(), ["site0.example", "site1.example"]
         ),
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
+        "host_scc": _scc_sql(_ring_pages_sql()),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "soft404_hosts": _s404_sql(_s404_pages_sql()),

@@ -1566,3 +1566,53 @@ def test_bloom_decontamination_matches_exact_even_saturated(spark):
         for k in exact:
             assert got[k]["n_matched"] == exact[k]["n_matched"]
             assert got[k]["overlap_frac"] == exact[k]["overlap_frac"]
+
+
+def test_scc_known_graph(spark):
+    """3-cycle, feeder, 2-cycle, and chain vertices resolve to the
+    textbook SCC partition; scc_id is the min member."""
+    from textgraphs_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),
+         ("e", "f"), ("f", "e"), ("g", "d")],
+        "src string, dst string",
+    )
+    stats = {}
+    got = sorted((r["node"], r["scc_id"]) for r in
+                 strongly_connected_components(edges, stats=stats).collect())
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"),
+                   ("e", "e"), ("f", "e"), ("g", "g")]
+    assert stats["rounds"] >= 1
+
+
+def test_scc_direction_matters_vs_undirected_cc(spark):
+    """A path a->b->c is ONE weak component but THREE SCCs — the
+    directed closure the undirected kernel cannot express."""
+    from textgraphs_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["scc_id"] for r in
+           strongly_connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_host_scc_ring_fixture_partition(spark):
+    """Ring groups collapse to one SCC per group keyed by the group's
+    first host; chain hosts stay singletons."""
+    import collections
+
+    from textgraphs_spark.operators.linkgraph import host_scc
+    from textgraphs_spark.sources.pages import ring_pages
+
+    got = host_scc(ring_pages(spark, 24)).collect()
+    sizes = collections.Counter(r["scc_id"] for r in got)
+    assert sizes["r00.example"] == 4 and sizes["r16.example"] == 4
+    assert sum(1 for v in sizes.values() if v == 1) == 8
+    assert len(got) == 24

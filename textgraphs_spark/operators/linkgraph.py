@@ -368,3 +368,49 @@ trseedsin AS MATERIALIZED ({seed_rows}),
 {pr}
 SELECT node AS host, round(rank, 6) AS trust FROM {final}
 """
+
+
+def host_scc(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(host, scc_id) — strongly connected components of the DIRECTED
+    host link graph, scc_id = min member host. Mutual-reachability
+    rings are the structural link-farm signal ``link_reciprocity``
+    approximates pairwise: a farm whose members link in a cycle is ONE
+    SCC even when no single pair reciprocates. Rides the generic
+    coloring SCC kernel (operators/components.py) over the
+    vocabulary-sized host-pair aggregate — the page graph never
+    materializes."""
+    from .components import strongly_connected_components
+
+    g = host_link_graph(pages, url_col=url_col, html_col=html_col)
+    return strongly_connected_components(
+        g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    ).select(F.col("node").alias("host"), "scc_id")
+
+
+def host_scc_sql(source_sql: str, *, url_col: str = "url",
+                 html_col: str = "html") -> str:
+    """DuckDB twin of ``host_scc`` — full transitive closure by
+    recursive CTE, then scc_id(v) = min over {v} ∪ {u : v↔u mutually
+    reachable}. Quadratic-closure oracle is fixture-sized by design;
+    the engine's coloring kernel is the scale path."""
+    return f"""WITH RECURSIVE {_outlinks_sql(source_sql, url_col=url_col, html_col=html_col)},
+lg AS MATERIALIZED (
+  SELECT src_host, dst_host FROM outlinks
+  WHERE src_host <> dst_host GROUP BY 1, 2
+),
+verts AS (SELECT src_host AS v FROM lg UNION SELECT dst_host FROM lg),
+reach AS (
+  SELECT src_host AS a, dst_host AS b FROM lg
+  UNION
+  SELECT r.a, e.dst_host AS b FROM reach r JOIN lg e ON r.b = e.src_host
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION
+  SELECT v, v FROM verts
+)
+SELECT v AS host, min(u) AS scc_id FROM mutual GROUP BY v
+"""

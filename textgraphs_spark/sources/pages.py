@@ -1009,3 +1009,54 @@ SELECT i AS doc_id,
   END AS text
 FROM range(0, {n_pages}) t(i)
 """
+
+
+def ring_pages(spark: SparkSession, n_hosts: int = 24) -> DataFrame:
+    """Deterministic directed-link corpus for SCC — (doc_id, url,
+    html:binary), ONE page per host ``r{i:02d}.example`` (zero-padded so
+    lexicographic min == numeric min). Host ``i`` sits in group
+    ``g = i // 4`` at position ``p = i % 4``:
+
+    * ``g % 3 < 2`` — ring group: p links to (p+1) % 4 within the
+      group — a 4-host directed cycle, ONE SCC per group.
+    * otherwise — chain group: p < 3 links to i+1, p == 3 links into
+      host 0's ring — four singleton SCCs (one-directional edges only).
+
+    ``n_hosts`` must be a multiple of 4.
+    """
+    i = F.col("id")
+    g = (i / 4).cast("long")
+    p = i % 4
+    host = F.format_string("r%02d.example", i.cast("int"))
+    tgt_idx = (
+        F.when(g % 3 < 2, g * 4 + (p + 1) % 4)
+        .when(p < 3, i + 1)
+        .otherwise(F.lit(0))
+    )
+    tgt = F.format_string("r%02d.example", tgt_idx.cast("int"))
+    html = F.format_string(
+        '<html><body><a href="https://%s/p">go</a></body></html>', tgt
+    )
+    return spark.range(0, n_hosts).select(
+        i.alias("doc_id"),
+        F.format_string("https://%s/p/%d", host, i.cast("int")).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+
+
+def ring_pages_sql(n_hosts: int = 24) -> str:
+    """DuckDB twin of ``ring_pages`` — keep the group arithmetic in
+    lockstep."""
+    return f"""
+SELECT i AS doc_id,
+  'https://' || printf('r%02d.example', CAST(i AS INT)) || '/p/' || i AS url,
+  '<html><body><a href="https://' || printf('r%02d.example', CAST(t AS INT))
+    || '/p">go</a></body></html>' AS html
+FROM (
+  SELECT t.i AS i,
+    CASE WHEN (t.i // 4) % 3 < 2 THEN (t.i // 4) * 4 + (t.i + 1) % 4
+         WHEN t.i % 4 < 3 THEN t.i + 1
+         ELSE 0 END AS t
+  FROM range(0, {n_hosts}) t(i)
+)
+"""
