@@ -715,6 +715,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded shuffle
         return TQ.bpe_pair_census(_docs(spark, sf_dir))
 
+    def frontier_schedule_q(spark, sf_dir):
+        # politeness scheduling over the policy verdicts: blocked hosts
+        # dropped, boost hosts interleaved 2x, per-host waves via
+        # grouped_rank (no hot-host funnel)
+        from textgraphs_spark.operators.linkgraph import host_link_rank
+        from textgraphs_spark.operators.webdata import (
+            crawl_policy, crawler_traps, frontier_schedule, soft404_hosts,
+        )
+        from textgraphs_spark.sources.pages import (
+            link_pages, soft404_pages, trap_pages,
+        )
+
+        pol = crawl_policy(
+            crawler_traps(trap_pages(spark)),
+            soft404_hosts(soft404_pages(spark)),
+            host_link_rank(link_pages(spark)),
+        )
+        cands = (
+            trap_pages(spark).select("url")
+            .unionByName(soft404_pages(spark).select("url"))
+            .unionByName(link_pages(spark).select("url"))
+        )
+        return frontier_schedule(cands, pol)
+
     def dedup_winnow(spark, sf_dir):
         # containment channel: localizable shared spans, scored by
         # shared / min(|fp|) — the quotation/plagiarism signal the
@@ -1892,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_hosts": soft404_hosts_q,
         "host_lang_entropy": host_lang_entropy_q,
         "crawl_policy": crawl_policy_q,
+        "frontier_schedule": frontier_schedule_q,
         "entity_pmi": entity_pmi_q,
         "bpe_pair_census": bpe_pair_census_q,
         "dedup_minhash_incremental": dedup_minhash_incremental,
@@ -2437,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.sources.pages import ring_pages_sql as _ring_pages_sql
     from textgraphs_spark.operators.webdata import (
         crawl_policy_oracle_sql as _policy_sql,
+        frontier_schedule_oracle_sql as _frontier_sql,
     )
     from textgraphs_spark.sources.pages import capture_pages_sql as _capture_pages_sql
     from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
@@ -2911,6 +2937,16 @@ FROM d GROUP BY url
             _trap_sql(_trap_pages_sql()),
             _s404_sql(_s404_pages_sql()),
             _hlr_sql(_link_pages_sql()),
+        ),
+        "frontier_schedule": _frontier_sql(
+            f"SELECT url FROM ({_trap_pages_sql()}) "
+            f"UNION ALL SELECT url FROM ({_s404_pages_sql()}) "
+            f"UNION ALL SELECT url FROM ({_link_pages_sql()})",
+            _policy_sql(
+                _trap_sql(_trap_pages_sql()),
+                _s404_sql(_s404_pages_sql()),
+                _hlr_sql(_link_pages_sql()),
+            ),
         ),
         "token_stats_by_lang": f"""
 WITH per_doc AS (

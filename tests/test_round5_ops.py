@@ -1616,3 +1616,30 @@ def test_host_scc_ring_fixture_partition(spark):
     assert sizes["r00.example"] == 4 and sizes["r16.example"] == 4
     assert sum(1 for v in sizes.values() if v == 1) == 8
     assert len(got) == 24
+
+
+def test_frontier_schedule_waves_and_gates(spark):
+    """Blocked hosts vanish, unknown hosts default to normal, boost
+    hosts ship two urls per wave, normal hosts one per wave."""
+    from textgraphs_spark.operators.webdata import frontier_schedule
+
+    cands = spark.createDataFrame(
+        [(f"https://{h}/p/{i}",) for h in
+         ("fast.example", "slow.example", "bad.example", "new.example")
+         for i in range(4)],
+        "url string",
+    )
+    pol = spark.createDataFrame(
+        [("fast.example", "boost"), ("slow.example", "normal"),
+         ("bad.example", "block")],
+        "host string, verdict string",
+    )
+    got = {(r["host"], r["url"]): r["wave"] for r in
+           frontier_schedule(cands, pol).collect()}
+    hosts = {h for h, _ in got}
+    assert "bad.example" not in hosts and "new.example" in hosts
+    fast = sorted(v for (h, _), v in got.items() if h == "fast.example")
+    slow = sorted(v for (h, _), v in got.items() if h == "slow.example")
+    new = sorted(v for (h, _), v in got.items() if h == "new.example")
+    assert fast == [1, 1, 2, 2]     # 2x interleave
+    assert slow == [1, 2, 3, 4] and new == [1, 2, 3, 4]

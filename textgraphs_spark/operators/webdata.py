@@ -2384,3 +2384,74 @@ def contaminated_docs_bloom(
         F.col(id_col), "n_grams", "n_matched",
         F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("overlap_frac"),
     )
+
+
+def frontier_schedule(
+    candidates: DataFrame,
+    policy: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduling of the crawl frontier — (url, host, wave):
+    candidate urls joined to the per-host ``crawl_policy`` verdicts,
+    ``block`` hosts dropped, and each host's surviving urls numbered
+    1..n in deterministic url order. ``wave`` is the fetch round under
+    a one-request-per-host-per-wave politeness rule, with ``boost``
+    hosts interleaved at twice the rate (their k-th url goes out in
+    wave ceil(k/2)) — the frontier emits wave w by filtering
+    ``wave = w``, no global sort anywhere.
+
+    Scale shape: one host-keyed join against the vocabulary-sized
+    policy table (hosts absent from the policy default to ``normal``),
+    then per-host numbering via rankops.grouped_rank — exact window
+    semantics with NO hot-host single-task funnel (a head domain with
+    10^8 frontier urls is the normal case, not the edge case).
+    """
+    from .rankops import grouped_rank
+
+    d = candidates.where(F.col(url_col).isNotNull()).select(
+        F.col(url_col).alias("url"), host_col(url_col).alias("host")
+    )
+    pol = policy.select("host", "verdict")
+    joined = (
+        d.join(pol, "host", "left")
+        .withColumn("verdict", F.coalesce("verdict", F.lit("normal")))
+        .filter(F.col("verdict") != "block")
+    )
+    ranked = grouped_rank(joined, "host", [F.asc("url")], rank_col="rk")
+    wave = F.when(
+        F.col("verdict") == "boost", F.ceil(F.col("rk") / 2)
+    ).otherwise(F.col("rk")).cast("long")
+    return ranked.select("url", "host", wave.alias("wave"))
+
+
+def frontier_schedule_oracle_sql(
+    candidates_sql: str,
+    policy_sql: str,
+    *,
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of ``frontier_schedule`` — plain window row_number
+    (the oracle may funnel; the engine must not)."""
+    h = _host_sql(url_col)
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT {url_col} AS url, {h} AS host
+  FROM ({candidates_sql}) WHERE {url_col} IS NOT NULL
+),
+pol AS (SELECT host, verdict FROM ({policy_sql})),
+joined AS (
+  SELECT cand.url, cand.host, coalesce(pol.verdict, 'normal') AS verdict
+  FROM cand LEFT JOIN pol ON cand.host = pol.host
+  WHERE coalesce(pol.verdict, 'normal') <> 'block'
+),
+ranked AS (
+  SELECT url, host, verdict,
+         row_number() OVER (PARTITION BY host ORDER BY url ASC) AS rk
+  FROM joined
+)
+SELECT url, host,
+       CAST(CASE WHEN verdict = 'boost' THEN ceil(rk / 2.0) ELSE rk END
+            AS BIGINT) AS wave
+FROM ranked
+"""
