@@ -46,6 +46,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 
 
+# BM25 audit queries over the documents corpus's common vocabulary —
+# ONE definition feeding both the Spark query and the DuckDB oracle so
+# the two sides can never drift
+_BM25_QUERIES = [
+    (1, "window row value"),
+    (2, "group column line"),
+    (3, "festival germany"),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textgraphs_spark.operators import dedup as D
     from textgraphs_spark.operators import gor as G
@@ -708,6 +718,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from textgraphs_spark.operators.extract import entity_pmi
 
         return entity_pmi(_docs(spark, sf_dir))
+
+    def bm25_topk_q(spark, sf_dir):
+        # BM25 ranked retrieval over the corpus-common vocabulary:
+        # broadcast query set, inverted-index scoring, grouped top-k.
+        # Rank rides the ROUNDED score so ordering is engine-total.
+        qdf = spark.createDataFrame(
+            _BM25_QUERIES, "q_id long, q_text string"
+        )
+        return TQ.bm25_topk(_docs(spark, sf_dir), qdf)
 
     def bpe_pair_census_q(spark, sf_dir):
         # tokenizer-training statistic: top-k adjacent char pairs (the
@@ -1919,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": frontier_schedule_q,
         "entity_pmi": entity_pmi_q,
         "bpe_pair_census": bpe_pair_census_q,
+        "bm25_topk": bm25_topk_q,
         "dedup_minhash_incremental": dedup_minhash_incremental,
         "decontaminate_bloom": decontaminate_bloom,
         "token_stats_by_lang": token_stats_by_lang,
@@ -2881,6 +2901,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     )
     from textgraphs_spark.plans.er_oracle import entity_pmi_sql
     from textgraphs_spark.operators.textquality import (
+        bm25_topk_select as _bm25_sql,
         bpe_pair_census_select as _bpe_sql,
     )
     from textgraphs_spark.plans.er_weights import (
@@ -2987,6 +3008,10 @@ FROM per_doc GROUP BY lang
         "er_canopy_blocking": er_canopy_blocking_sql(),
         "entity_pmi": entity_pmi_sql(),
         "bpe_pair_census": _bpe_sql("SELECT * FROM documents"),
+        "bm25_topk": _bm25_sql(
+            "SELECT * FROM documents",
+            ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES),
+        ),
         "er_phonetic_blocking": er_phonetic_blocking_sql(),
         "er_five_channel_recall": er_five_channel_recall_sql(),
         "er_dice": er_dice_sql(),

@@ -1643,3 +1643,30 @@ def test_frontier_schedule_waves_and_gates(spark):
     new = sorted(v for (h, _), v in got.items() if h == "new.example")
     assert fast == [1, 1, 2, 2]     # 2x interleave
     assert slow == [1, 2, 3, 4] and new == [1, 2, 3, 4]
+
+
+def test_bm25_ranks_relevance_and_length_norm(spark):
+    """A doc matching both query terms outranks single-term docs; among
+    single-term docs the SHORTER one ranks higher (length
+    normalization); a no-match query returns nothing."""
+    from textgraphs_spark.operators.textquality import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),                      # both terms, short
+            (2, "apple pear plum cherry fig date"),   # one term, long
+            (3, "apple pear"),                        # one term, short
+            (4, "kiwi mango"),                        # no terms
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "apple banana"), (2, "zzz")], "q_id long, q_text string"
+    )
+    got = bm25_topk(docs, q, top_k=5).collect()
+    r1 = [r["doc_id"] for r in sorted(
+        (r for r in got if r["q_id"] == 1), key=lambda r: r["rk"])]
+    assert r1[0] == 1           # both terms win
+    assert r1.index(3) < r1.index(2)  # shorter single-term doc ranks higher
+    assert 4 not in r1
+    assert not [r for r in got if r["q_id"] == 2]

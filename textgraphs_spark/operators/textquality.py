@@ -650,3 +650,139 @@ pairs AS (
 SELECT pair, count(*) AS n FROM pairs
 GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {int(top_k)}
 """
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval — (q_id, doc_id, score, rk): the top
+    ``top_k`` documents per query under Okapi BM25 with the Lucene
+    idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive).
+    The retrieval primitive a curation pipeline uses for targeted
+    audits ("find the documents about X") and retrieval-based dedup.
+
+    Scale shape: ONE corpus scan builds the (doc, term, tf) inverted
+    index + doc lengths (two hash aggs, map-side combining); N and
+    avg doclen ride a broadcast 1-row frame; df joins term-keyed
+    (vocabulary-sized). The query set — the small side by definition —
+    is exploded to (q_id, term) and BROADCAST, so scoring is a map-side
+    join over the index, one (q_id, doc)-keyed agg, then exact per-query
+    top-k via rankops.grouped_rank (no global sort; a query matching
+    10^9 docs does not funnel into one task). Ranking uses the ROUNDED
+    score (6 dp) with doc-id tie-break so the order is total and
+    engine-independent (raw float sums differ at the last ulp across
+    engines — the same discipline as ranked_phrases).
+    """
+    from .rankops import grouped_rank
+
+    toks = tokens_col(text_col)
+    terms = docs.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dlen = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dlen.groupBy().agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = queries.select(
+        "q_id", F.explode(tokens_col("q_text")).alias("term")
+    ).distinct()
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(df_t, "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (float(k1) + 1.0))
+            / (
+                F.col("tf")
+                + float(k1)
+                * (1.0 - float(b) + float(b) * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    ranked = grouped_rank(
+        scored, "q_id", [F.desc("score"), F.asc(id_col)], rank_col="rk"
+    )
+    return ranked.filter(F.col("rk") <= int(top_k)).select(
+        "q_id", id_col, "score", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def bm25_topk_select(
+    source_sql: str,
+    queries_values: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of ``bm25_topk``. ``queries_values`` is a VALUES
+    list ``(q_id, q_text)``. Rank over the rounded score + doc-id
+    tie-break, same as the engine."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}),"
+        " '[^\\p{L}0-9]+'), t -> t <> '')"
+    )
+    qtoks = (
+        "list_filter(string_split_regex(lower(q_text),"
+        " '[^\\p{L}0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT {id_col}, t.term FROM
+    (SELECT {id_col}, {toks} AS ts FROM ({source_sql})) d,
+    unnest(d.ts) AS t(term)
+),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dlen AS (SELECT {id_col}, count(*) AS dl FROM terms GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dlen),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (
+  SELECT DISTINCT q_id, t.term FROM
+    (SELECT q_id, {qtoks} AS ts FROM (VALUES {queries_values}) q(q_id, q_text)) d,
+    unnest(d.ts) AS t(term)
+),
+scored AS (
+  SELECT qt.q_id, tf.{id_col},
+         round(sum(
+           ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+           * (tf.tf * ({float(k1)} + 1.0))
+           / (tf.tf + {float(k1)} * (1.0 - {float(b)}
+              + {float(b)} * dlen.dl / stats.avg_dl))
+         ), 6) AS score
+  FROM tf
+  JOIN qt USING (term)
+  JOIN df_t USING (term)
+  JOIN dlen USING ({id_col})
+  CROSS JOIN stats
+  GROUP BY qt.q_id, tf.{id_col}
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, {id_col}, score,
+       CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, {id_col} ASC) AS rk
+  FROM scored
+) WHERE rk <= {int(top_k)}
+"""
