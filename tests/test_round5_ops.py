@@ -1670,3 +1670,47 @@ def test_bm25_ranks_relevance_and_length_norm(spark):
     assert r1.index(3) < r1.index(2)  # shorter single-term doc ranks higher
     assert 4 not in r1
     assert not [r for r in got if r["q_id"] == 2]
+
+
+def test_round5_ops_empty_inputs(spark):
+    """Every round-5 operator returns an empty, correctly-schema'd
+    frame on empty input instead of throwing — the resume/first-batch
+    path of a staged pipeline."""
+    from textgraphs_spark.operators.components import (
+        strongly_connected_components,
+    )
+    from textgraphs_spark.operators.webdata import (
+        crawl_policy, crawler_traps, frontier_schedule, resolve_redirects,
+        soft404_hosts,
+    )
+
+    no_urls = spark.createDataFrame([], "doc_id long, url string")
+    no_pages = spark.createDataFrame([], "doc_id long, url string, text string")
+    no_redirects = spark.createDataFrame([], "url string, redirect_to string")
+    no_edges = spark.createDataFrame([], "src string, dst string")
+    no_policy = spark.createDataFrame([], "host string, verdict string")
+
+    assert crawler_traps(no_urls).count() == 0
+    assert soft404_hosts(no_pages).count() == 0
+    rr = resolve_redirects(no_redirects)
+    assert rr.count() == 0 and set(rr.columns) == {
+        "url", "final_url", "n_hops", "is_cycle"}
+    scc = strongly_connected_components(no_edges)
+    assert scc.count() == 0 and set(scc.columns) == {"node", "scc_id"}
+    pol = crawl_policy(
+        crawler_traps(no_urls), soft404_hosts(no_pages),
+        spark.createDataFrame([], "host string, rank double"),
+    )
+    assert pol.count() == 0
+    assert frontier_schedule(no_urls.select("url"), no_policy).count() == 0
+
+
+def test_entity_pmi_and_bm25_empty_inputs(spark):
+    """Extraction-backed round-5 operators tolerate an empty corpus."""
+    from textgraphs_spark.operators.extract import entity_pmi
+    from textgraphs_spark.operators.textquality import bm25_topk
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert entity_pmi(no_docs).count() == 0
+    q = spark.createDataFrame([(1, "anything")], "q_id long, q_text string")
+    assert bm25_topk(no_docs, q).count() == 0
