@@ -487,6 +487,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup family ---------------------------------------------------
 
+    def plan_shards_q(spark, sf_dir):
+        # byte-balanced output sharding within each source: exact
+        # grouped cumsum (anti-funnel kernel), integer arithmetic only
+        from textgraphs_spark.operators.webdata import plan_shards
+
+        return plan_shards(_docs(spark, sf_dir), target_bytes=16384)
+
+    def dsir_resample_q(spark, sf_dir):
+        # the DSIR ACTION: deterministic Bernoulli keep at
+        # min(1, exp(weight)), integer-discretized so the keep decision
+        # is exact on both engines
+        from textgraphs_spark.operators.webdata import dsir_resample
+
+        return dsir_resample(_docs(spark, sf_dir))
+
     def dsir_weights(spark, sf_dir):
         # DSIR-style data selection (unigram features): importance
         # weight = mean ln p_target/p_raw per token occurrence, target
@@ -1941,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk_q,
         "dedup_minhash_incremental": dedup_minhash_incremental,
         "decontaminate_bloom": decontaminate_bloom,
+        "plan_shards": plan_shards_q,
+        "dsir_resample": dsir_resample_q,
         "token_stats_by_lang": token_stats_by_lang,
         "er_star_clusters": er_star_clusters,
         "quality_gopher": quality_gopher,
@@ -2765,6 +2782,7 @@ FROM b GROUP BY lang, bucket ORDER BY lang, bucket
     # deterministic sampling / per-source caps: the Lehmer mixer is
     # plain integer arithmetic, reproduced exactly by DuckDB
     from textgraphs_spark.operators.webdata import _LEHMER_P, det_hash_sql
+    from textgraphs_spark.operators.webdata import plan_shards_select as _shards_sql
 
     # sequence packing: same mixer for shard assignment; the running
     # token total is an identical per-shard ordered window (HUGEINT sum
@@ -3188,6 +3206,17 @@ FROM agg WHERE n_matched > 0
         "er_two_table_metrics": er_two_table_metrics_sql(),
         "dedup_ablation": _dedup_ablation_oracle(),
         "dsir_weights": dsir_sql,
+        "plan_shards": _shards_sql("SELECT * FROM documents", target_bytes=16384),
+        "dsir_resample": f"""
+WITH base AS ({dsir_sql})
+SELECT doc_id, dsir_weight,
+       least(1000000, CAST(floor(exp(round(dsir_weight, 6)) * 1000000)
+                           AS BIGINT)) AS keep_prob_micro,
+       ({det_hash_sql('doc_id')}) % 1000000
+         < least(1000000, CAST(floor(exp(round(dsir_weight, 6)) * 1000000)
+                               AS BIGINT)) AS kept
+FROM base WHERE dsir_weight IS NOT NULL
+""",
         "dedup_semantic": semdedup_oracle_sql(n_cells=8, threshold=0.4),
         "embedding_near_dup_lsh": near_dup_lsh_oracle_sql(threshold=0.4),
         "multimodal_features": multimodal_oracle_sql(200),

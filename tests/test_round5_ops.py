@@ -1714,3 +1714,62 @@ def test_entity_pmi_and_bm25_empty_inputs(spark):
     assert entity_pmi(no_docs).count() == 0
     q = spark.createDataFrame([(1, "anything")], "q_id long, q_text string")
     assert bm25_topk(no_docs, q).count() == 0
+
+
+def test_plan_shards_byte_balance_and_determinism(spark):
+    """Shards within a source respect the byte target (every shard but
+    the last holds >= target once it closes), indices start at 0, and
+    the assignment is a pure function of the table."""
+    from textgraphs_spark.operators.webdata import plan_shards
+
+    docs = spark.createDataFrame(
+        [(i, "s1" if i < 8 else "s2", 100) for i in range(12)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r["shard_idx"] for r in
+           plan_shards(docs, target_bytes=300).collect()}
+    # s1: cum-exclusive 0,100,200 -> shard 0; 300..500 -> 1; 600,700 -> 2
+    assert [got[i] for i in range(8)] == [0, 0, 0, 1, 1, 1, 2, 2]
+    # s2 restarts at shard 0
+    assert got[8] == 0 and got[11] == 1
+    again = {r["doc_id"]: r["shard_idx"] for r in
+             plan_shards(docs.repartition(7), target_bytes=300).collect()}
+    assert again == got  # partition-layout independent
+
+
+def test_dsir_resample_gate_semantics(spark):
+    """kept is exactly (hash-micro < keep_prob_micro); positive-weight
+    docs cap at 10^6 (always kept); token-less docs are dropped."""
+    from textgraphs_spark.operators.webdata import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta gamma delta epsilon"),
+         (2, "zz qq xx"), (3, "...")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_resample(docs).collect()}
+    assert 3 not in got  # token-less: no signal, no sample
+    for r in got.values():
+        assert 0 <= r["keep_prob_micro"] <= 1_000_000
+        if r["keep_prob_micro"] == 1_000_000:
+            assert r["kept"]
+
+
+def test_grouped_cumsum_matches_window(spark):
+    """The anti-funnel grouped cumsum is value-identical to the SQL
+    window form, including across repartitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from textgraphs_spark.operators.rankops import grouped_cumsum
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("o"),
+        (F.col("id") % 13 + 1).alias("v"),
+    ).repartition(11)
+    got = grouped_cumsum(df, "g", [F.asc("o")], "v").orderBy("g", "o")
+    w = Window.partitionBy("g").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, 0)
+    exp = df.withColumn("cum", F.sum("v").over(w).cast("long")).orderBy("g", "o")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in exp.select(got.columns).collect()]

@@ -179,3 +179,55 @@ def grouped_ntile(
         .withColumn(tile_col, tile.cast("int"))
         .drop("_grk", "_tg", "_n_total")
     )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols,
+    value_col: str,
+    *,
+    cumsum_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group running sum (``sum(value) OVER (PARTITION BY
+    group ORDER BY ... ROWS UNBOUNDED PRECEDING)``, inclusive) with the
+    grouped_rank anti-funnel shape: range-partition on (group, order),
+    cumulate locally, and add per-(partition, group) VALUE offsets
+    cumulated per group — a hot group spans many partitions instead of
+    serializing into one window task. The offsets table is
+    vocabulary×k-sized and joined back (null-safe; NULL groups cumulate
+    as one group, matching window semantics). Order must be total per
+    group or the running sum is ambiguous — same contract as the SQL
+    window."""
+    spark = df.sparkSession
+    k = partitions or spark.sparkContext.defaultParallelism * 2
+    cols = _as_cols(order_cols)
+    d = df.repartitionByRange(k, F.col(group_col), *cols).localCheckpoint()
+    dp = d.withColumn("_pid", F.spark_partition_id())
+    sums = dp.groupBy("_pid", group_col).agg(F.sum(value_col).alias("_s"))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        F.col("_pid").alias("_opid"),
+        F.col(group_col).alias("_og"),
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias("_off"),
+    )
+    w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dp.withColumn("_local", F.sum(value_col).over(w))
+        .join(
+            offsets,
+            (F.col("_pid") == F.col("_opid"))
+            & F.col(group_col).eqNullSafe(F.col("_og")),
+        )
+        .withColumn(cumsum_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_opid", "_og", "_local", "_off")
+    )

@@ -2455,3 +2455,100 @@ SELECT url, host,
             AS BIGINT) AS wave
 FROM ranked
 """
+
+
+def plan_shards(
+    docs: DataFrame,
+    *,
+    target_bytes: int = 1 << 20,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Output-shard planning — (doc_id, source, shard_idx): assign each
+    document to a byte-balanced shard WITHIN its source, shard_idx =
+    floor(exclusive-prefix-bytes / target_bytes) in doc_id order. The
+    "write 100 TB as right-sized files" step: a writer partitioned by
+    (source, shard_idx) emits ~target_bytes files instead of one
+    skew-shaped file per source, and the assignment is a pure function
+    of the table (rerun-stable, unlike anything derived from task
+    layout). Integer arithmetic end to end — no float crosses the
+    engine boundary.
+
+    Scale shape: rides rankops.grouped_cumsum (range-partition +
+    per-(partition, source) offsets), so a head source with 10^9 docs
+    never funnels into one window task.
+    """
+    from .rankops import grouped_cumsum
+
+    d = docs.select(F.col(id_col), F.col(source_col), F.col(size_col))
+    c = grouped_cumsum(d, source_col, [F.asc(id_col)], size_col,
+                       cumsum_col="_cum")
+    return c.select(
+        id_col, source_col,
+        F.floor((F.col("_cum") - F.col(size_col)) / int(target_bytes))
+        .cast("long").alias("shard_idx"),
+    )
+
+
+def plan_shards_select(
+    source_sql: str,
+    *,
+    target_bytes: int = 1 << 20,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of ``plan_shards`` — plain window cumsum (the oracle
+    may funnel; the engine must not)."""
+    return f"""
+SELECT {id_col}, {source_col},
+       CAST(floor((cum - {size_col}) * 1.0 / {int(target_bytes)}) AS BIGINT)
+         AS shard_idx
+FROM (
+  SELECT {id_col}, {source_col}, {size_col},
+         sum({size_col}) OVER (PARTITION BY {source_col} ORDER BY {id_col}
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ({source_sql})
+)
+"""
+
+
+def dsir_resample(
+    docs: DataFrame,
+    *,
+    target_quality: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR resampling ACTION over ``dsir_importance_weights`` —
+    (doc_id, dsir_weight, keep_prob_micro, kept): deterministic
+    Bernoulli keep with probability min(1, exp(weight)), discretized to
+    MICRO-units so the keep decision is an INTEGER comparison on both
+    engine and oracle: ``keep_prob_micro = floor(exp(round(w, 6))·10^6)``
+    (capped at 10^6) against ``pmod(det_hash(doc_id), 10^6)``. The
+    discretization is part of the operator's DEFINITION, not an
+    implementation detail — a float inequality at the keep boundary
+    would be last-ulp engine-dependent; the integer form is exact.
+    Token-less docs (NULL weight) are dropped: no signal, no sample.
+    Deterministic in the id, so the sample is identical across retries,
+    partitionings, and resumed runs — the deterministic_sample contract
+    applied to importance weights.
+
+    Shape: dsir_importance_weights' one-explode/two-agg plan plus a
+    map-only hash + CASE. Nothing new shuffles.
+    """
+    w = dsir_importance_weights(
+        docs, target_quality=target_quality,
+        text_col=text_col, id_col=id_col,
+    ).filter(F.col("dsir_weight").isNotNull())
+    prob = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(F.exp(F.round("dsir_weight", 6)) * 1_000_000).cast("long"),
+    )
+    key = F.pmod(_det_hash(F.col(id_col)), F.lit(1_000_000))
+    return w.select(
+        id_col, "dsir_weight",
+        prob.alias("keep_prob_micro"),
+        (key < prob).alias("kept"),
+    )
