@@ -665,6 +665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_scc(ring_pages(spark))
 
+    def host_condensation_q(spark, sf_dir):
+        # condensation DAG: SCCs contracted to nodes, cross-component
+        # links aggregated — acyclic by construction
+        from textgraphs_spark.operators.linkgraph import host_condensation
+        from textgraphs_spark.sources.pages import ring_pages
+
+        return host_condensation(ring_pages(spark))
+
     def crawl_snapshot_delta(spark, sf_dir):
         # crawl-ops rollup: per snapshot, first-seen vs changed vs
         # wasted-refetch counts (url-partitioned lag, no hot key)
@@ -1944,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": link_reciprocity_q,
         "host_trustrank": host_trustrank_q,
         "host_scc": host_scc_q,
+        "host_condensation": host_condensation_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
         "resolve_redirects": resolve_redirects_q,
@@ -2496,6 +2505,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from textgraphs_spark.sources.pages import soft404_pages_sql as _s404_pages_sql
     from textgraphs_spark.operators.linkgraph import host_scc_sql as _scc_sql
+    from textgraphs_spark.operators.linkgraph import (
+        host_condensation_sql as _cond_sql,
+    )
     from textgraphs_spark.sources.pages import ring_pages_sql as _ring_pages_sql
     from textgraphs_spark.operators.webdata import (
         crawl_policy_oracle_sql as _policy_sql,
@@ -2968,6 +2980,7 @@ FROM d GROUP BY url
         ),
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
         "host_scc": _scc_sql(_ring_pages_sql()),
+        "host_condensation": _cond_sql(_ring_pages_sql()),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "soft404_hosts": _s404_sql(_s404_pages_sql()),

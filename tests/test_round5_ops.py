@@ -1773,3 +1773,18 @@ def test_grouped_cumsum_matches_window(spark):
     exp = df.withColumn("cum", F.sum("v").over(w).cast("long")).orderBy("g", "o")
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in exp.select(got.columns).collect()]
+
+
+def test_host_condensation_is_acyclic_dag(spark):
+    """Condensing the ring fixture leaves only the chain edges (rings
+    collapse internally), the result references SCC ids on both sides,
+    and no mutual pair survives — acyclicity at the pair level."""
+    from textgraphs_spark.operators.linkgraph import host_condensation
+    from textgraphs_spark.sources.pages import ring_pages
+
+    got = [(r["src_scc"], r["dst_scc"]) for r in
+           host_condensation(ring_pages(spark, 24)).collect()]
+    assert len(got) == 8
+    pairs = set(got)
+    assert not any((b, a) in pairs for a, b in pairs)  # no 2-cycles
+    assert ("r11.example", "r00.example") in pairs      # chain into ring 0

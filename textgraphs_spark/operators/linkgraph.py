@@ -414,3 +414,59 @@ mutual AS (
 )
 SELECT v AS host, min(u) AS scc_id FROM mutual GROUP BY v
 """
+
+
+def host_condensation(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_scc, dst_scc, n_links) — the condensation DAG of the host
+    link graph: contract every strongly connected component of
+    ``host_scc`` to one node and aggregate the links crossing
+    components. Acyclic by construction, which is what makes it
+    processable in topological order (authority flows, crawl
+    prioritization by DAG depth) when the raw graph is not. Two
+    host-keyed joins against the vocabulary-sized SCC mapping + one
+    pair-keyed hash agg."""
+    g = host_link_graph(pages, url_col=url_col, html_col=html_col)
+    scc = host_scc(pages, url_col=url_col, html_col=html_col)
+    return (
+        g.join(scc.select(F.col("host").alias("src_host"),
+                          F.col("scc_id").alias("src_scc")), "src_host")
+        .join(scc.select(F.col("host").alias("dst_host"),
+                         F.col("scc_id").alias("dst_scc")), "dst_host")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+
+
+def host_condensation_sql(source_sql: str, *, url_col: str = "url",
+                          html_col: str = "html") -> str:
+    """DuckDB twin of ``host_condensation`` — contracts the same
+    recursive-closure SCC mapping over the same lg aggregate."""
+    return f"""WITH RECURSIVE {_outlinks_sql(source_sql, url_col=url_col, html_col=html_col)},
+lg AS MATERIALIZED (
+  SELECT src_host, dst_host, count(*) AS n_links FROM outlinks
+  WHERE src_host <> dst_host GROUP BY 1, 2
+),
+verts AS (SELECT src_host AS v FROM lg UNION SELECT dst_host FROM lg),
+reach AS (
+  SELECT src_host AS a, dst_host AS b FROM lg
+  UNION
+  SELECT r.a, e.dst_host AS b FROM reach r JOIN lg e ON r.b = e.src_host
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION
+  SELECT v, v FROM verts
+),
+scc AS (SELECT v AS host, min(u) AS scc_id FROM mutual GROUP BY v)
+SELECT s.scc_id AS src_scc, d.scc_id AS dst_scc,
+       CAST(sum(lg.n_links) AS BIGINT) AS n_links
+FROM lg
+JOIN scc s ON lg.src_host = s.host
+JOIN scc d ON lg.dst_host = d.host
+WHERE s.scc_id <> d.scc_id
+GROUP BY 1, 2
+"""
