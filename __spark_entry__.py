@@ -673,6 +673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_condensation(ring_pages(spark))
 
+    def condensation_depth_q(spark, sf_dir):
+        # topological layer per SCC in the condensation DAG — the
+        # crawl-prioritization key; emit layer d with a filter, no sort
+        from textgraphs_spark.operators.linkgraph import condensation_depth
+        from textgraphs_spark.sources.pages import ring_pages
+
+        return condensation_depth(ring_pages(spark))
+
     def crawl_snapshot_delta(spark, sf_dir):
         # crawl-ops rollup: per snapshot, first-seen vs changed vs
         # wasted-refetch counts (url-partitioned lag, no hot key)
@@ -1953,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": host_trustrank_q,
         "host_scc": host_scc_q,
         "host_condensation": host_condensation_q,
+        "condensation_depth": condensation_depth_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
         "resolve_redirects": resolve_redirects_q,
@@ -2506,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.sources.pages import soft404_pages_sql as _s404_pages_sql
     from textgraphs_spark.operators.linkgraph import host_scc_sql as _scc_sql
     from textgraphs_spark.operators.linkgraph import (
+        condensation_depth_sql as _depth_sql,
         host_condensation_sql as _cond_sql,
     )
     from textgraphs_spark.sources.pages import ring_pages_sql as _ring_pages_sql
@@ -2981,6 +2991,7 @@ FROM d GROUP BY url
         "crawl_snapshot_delta": _crawl_sql(_capture_pages_sql()),
         "host_scc": _scc_sql(_ring_pages_sql()),
         "host_condensation": _cond_sql(_ring_pages_sql()),
+        "condensation_depth": _depth_sql(_ring_pages_sql()),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "soft404_hosts": _s404_sql(_s404_pages_sql()),

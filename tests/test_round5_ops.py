@@ -1788,3 +1788,17 @@ def test_host_condensation_is_acyclic_dag(spark):
     pairs = set(got)
     assert not any((b, a) in pairs for a, b in pairs)  # no 2-cycles
     assert ("r11.example", "r00.example") in pairs      # chain into ring 0
+
+
+def test_condensation_depth_layers(spark):
+    """Chain components layer 0..3, the ring they feed sits one past
+    the deepest feeder, isolated rings sit at 0."""
+    from textgraphs_spark.operators.linkgraph import condensation_depth
+    from textgraphs_spark.sources.pages import ring_pages
+
+    got = {r["scc_id"]: r["depth"] for r in
+           condensation_depth(ring_pages(spark, 24)).collect()}
+    assert got["r08.example"] == 0 and got["r11.example"] == 3
+    assert got["r00.example"] == 4            # fed by both depth-3 chains
+    for iso in ("r04.example", "r12.example", "r16.example"):
+        assert got[iso] == 0

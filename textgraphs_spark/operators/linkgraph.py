@@ -470,3 +470,96 @@ JOIN scc d ON lg.dst_host = d.host
 WHERE s.scc_id <> d.scc_id
 GROUP BY 1, 2
 """
+
+
+def condensation_depth(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(scc_id, depth) — longest-path layer of each component in the
+    condensation DAG: sources (no in-edges) at depth 0, every other
+    component at 1 + max depth of its predecessors. THE topological
+    prioritization key: processing components in depth order satisfies
+    every link-dependency (authority flows, staged recrawl) without a
+    topological SORT — emit layer d by filtering ``depth = d``.
+
+    Iterative relaxation over the component DAG (vocabulary-sized):
+    each round joins depths to in-edges and takes the max — O(DAG
+    depth) rounds, the same bound and localCheckpoint discipline as
+    the other iterative kernels; capped and loudly failed. Well-defined
+    because the condensation is acyclic by construction.
+    """
+    cond = host_condensation(
+        pages, url_col=url_col, html_col=html_col
+    ).select("src_scc", "dst_scc").localCheckpoint()
+    scc = host_scc(pages, url_col=url_col, html_col=html_col)
+    nodes = scc.select(F.col("scc_id").alias("v")).distinct()
+    depth = nodes.select("v", F.lit(0).cast("long").alias("d")).localCheckpoint()
+    for _ in range(max_iter):
+        inc = (
+            cond.join(
+                depth.select(F.col("v").alias("src_scc"), F.col("d").alias("pd")),
+                "src_scc",
+            )
+            .groupBy(F.col("dst_scc").alias("v"))
+            .agg((F.max("pd") + 1).alias("nd"))
+        )
+        new = (
+            depth.join(inc, "v", "left")
+            .select("v", F.greatest("d", F.coalesce("nd", F.col("d"))).alias("d"))
+            .localCheckpoint()
+        )
+        if new.join(depth.withColumnRenamed("d", "d0"), "v").filter(
+            F.col("d") != F.col("d0")
+        ).isEmpty():
+            return new.select(F.col("v").alias("scc_id"), F.col("d").alias("depth"))
+        depth = new
+    raise RuntimeError(
+        f"condensation_depth did not converge in {max_iter} iterations — "
+        "raise max_iter (bound is the condensation-DAG depth)"
+    )
+
+
+def condensation_depth_sql(source_sql: str, *, url_col: str = "url",
+                           html_col: str = "html") -> str:
+    """DuckDB twin of ``condensation_depth`` — one flat CTE chain
+    (shared with the scc/condensation twins), then enumerate all DAG
+    paths recursively (terminates: acyclic) and take the max length
+    ending at each component. Isolated components (no cross edges)
+    come from the scc mapping and sit at depth 0, matching the
+    engine."""
+    return f"""WITH RECURSIVE {_outlinks_sql(source_sql, url_col=url_col, html_col=html_col)},
+lg AS MATERIALIZED (
+  SELECT src_host, dst_host, count(*) AS n_links FROM outlinks
+  WHERE src_host <> dst_host GROUP BY 1, 2
+),
+verts AS (SELECT src_host AS v FROM lg UNION SELECT dst_host FROM lg),
+reach AS (
+  SELECT src_host AS a, dst_host AS b FROM lg
+  UNION
+  SELECT r.a, e.dst_host AS b FROM reach r JOIN lg e ON r.b = e.src_host
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION
+  SELECT v, v FROM verts
+),
+scc AS MATERIALIZED (SELECT v AS host, min(u) AS scc_id FROM mutual GROUP BY v),
+cond AS MATERIALIZED (
+  SELECT DISTINCT s.scc_id AS src_scc, d.scc_id AS dst_scc
+  FROM lg
+  JOIN scc s ON lg.src_host = s.host
+  JOIN scc d ON lg.dst_host = d.host
+  WHERE s.scc_id <> d.scc_id
+),
+walk AS (
+  SELECT dst_scc AS v, CAST(1 AS BIGINT) AS len FROM cond
+  UNION ALL
+  SELECT c.dst_scc AS v, w.len + 1 FROM walk w JOIN cond c ON w.v = c.src_scc
+)
+SELECT n.scc_id,
+       coalesce((SELECT max(len) FROM walk WHERE walk.v = n.scc_id), 0)
+         AS depth
+FROM (SELECT DISTINCT scc_id FROM scc) n
+"""
