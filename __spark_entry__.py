@@ -681,6 +681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return condensation_depth(ring_pages(spark))
 
+    def latest_captures_q(spark, sf_dir):
+        # SCD-1 snapshot compaction: latest capture per url via one
+        # struct-argmax hash agg (no window)
+        from textgraphs_spark.operators.webdata import latest_captures
+        from textgraphs_spark.sources.pages import capture_pages
+
+        return latest_captures(capture_pages(spark))
+
     def crawl_snapshot_delta(spark, sf_dir):
         # crawl-ops rollup: per snapshot, first-seen vs changed vs
         # wasted-refetch counts (url-partitioned lag, no hot key)
@@ -1962,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_scc": host_scc_q,
         "host_condensation": host_condensation_q,
         "condensation_depth": condensation_depth_q,
+        "latest_captures": latest_captures_q,
         "crawl_snapshot_delta": crawl_snapshot_delta,
         "crawler_traps": crawler_traps_q,
         "resolve_redirects": resolve_redirects_q,
@@ -2501,6 +2510,9 @@ def oracle_sql() -> dict[str, str]:
         link_reciprocity_sql as _recip_sql,
     )
     from textgraphs_spark.operators.webdata import crawl_delta_oracle_sql as _crawl_sql
+    from textgraphs_spark.operators.webdata import (
+        latest_captures_oracle_sql as _latest_sql,
+    )
     from textgraphs_spark.operators.webdata import mirror_farms_oracle_sql as _farm_sql
     from textgraphs_spark.operators.webdata import mirror_hosts_oracle_sql as _mirror_sql
     from textgraphs_spark.operators.webdata import crawler_traps_oracle_sql as _trap_sql
@@ -2992,6 +3004,9 @@ FROM d GROUP BY url
         "host_scc": _scc_sql(_ring_pages_sql()),
         "host_condensation": _cond_sql(_ring_pages_sql()),
         "condensation_depth": _depth_sql(_ring_pages_sql()),
+        "latest_captures": _latest_sql(
+            _capture_pages_sql(), other_cols=("doc_id", "text")
+        ),
         "crawler_traps": _trap_sql(_trap_pages_sql()),
         "resolve_redirects": _redir_sql(_redir_pages_sql()),
         "soft404_hosts": _s404_sql(_s404_pages_sql()),

@@ -1802,3 +1802,26 @@ def test_condensation_depth_layers(spark):
     assert got["r00.example"] == 4            # fed by both depth-3 chains
     for iso in ("r04.example", "r12.example", "r16.example"):
         assert got[iso] == 0
+
+
+def test_latest_captures_keeps_newest_per_url(spark):
+    """One row per url, carrying the max-timestamp capture; ties break
+    deterministically by the remaining columns."""
+    import datetime as dt
+
+    from textgraphs_spark.operators.webdata import latest_captures
+
+    t = lambda s: dt.datetime(2024, 1, s)  # noqa: E731
+    rows = [
+        (1, "https://a/x", t(1), "old"),
+        (2, "https://a/x", t(5), "new"),
+        (3, "https://b/y", t(2), "only"),
+        (4, "https://c/z", t(3), "tie-lo"),
+        (5, "https://c/z", t(3), "tie-hi"),  # same ts: doc_id 5 wins
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string")
+    got = {r["url"]: r for r in latest_captures(df).collect()}
+    assert len(got) == 3
+    assert got["https://a/x"]["text"] == "new"
+    assert got["https://c/z"]["doc_id"] == 5

@@ -2552,3 +2552,48 @@ def dsir_resample(
         prob.alias("keep_prob_micro"),
         (key < prob).alias("kept"),
     )
+
+
+def latest_captures(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Snapshot compaction — keep each url's LATEST capture row (SCD-1:
+    the crawl table most consumers actually want, vs the full capture
+    history the fetcher writes). Deterministic argmax: ties on the
+    timestamp break by the remaining columns' struct order, so the
+    survivor is a pure function of the table. One url-keyed hash agg
+    via ``max_by``-style ``max(struct(ts, ...))`` — map-side combining,
+    no window, no shuffle beyond the url key."""
+    others = [c for c in captures.columns if c not in (url_col, ts_col)]
+    packed = F.struct(F.col(ts_col), *[F.col(c) for c in others])
+    agg = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(packed).alias("_top")
+    )
+    return agg.select(
+        "url",
+        F.col(f"_top.{ts_col}").alias(ts_col),
+        *[F.col(f"_top.{c}").alias(c) for c in others],
+    )
+
+
+def latest_captures_oracle_sql(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    other_cols: tuple = ("doc_id", "text"),
+) -> str:
+    """DuckDB twin of ``latest_captures`` — same struct-ordered argmax
+    via row_number with the full tie-break chain."""
+    order = ", ".join([f"{ts_col} DESC"] + [f"{c} DESC" for c in other_cols])
+    cols = ", ".join([url_col, ts_col, *other_cols])
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {url_col} ORDER BY {order}) AS rn
+  FROM ({source_sql})
+) WHERE rn = 1
+"""
