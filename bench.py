@@ -355,6 +355,42 @@ def distributed_engage(n_pages: int) -> dict:
         spark.stop()
 
 
+
+def crawlops_queries(spark):
+    """Measured walls for the round-5 crawl-ops family at SCALE (large
+    synthesized inputs, not the sf0.01 oracle fixtures) — recorded
+    under their own artifact key, NOT in the headline metric. Each
+    fixture is index-arithmetic generation, so the measured wall is
+    the OPERATOR, not an input scan."""
+    from textgraphs_spark.operators.linkgraph import host_scc
+    from textgraphs_spark.operators.webdata import (
+        crawler_traps, resolve_redirects, soft404_hosts,
+    )
+    from textgraphs_spark.sources.pages import (
+        redirect_pages, ring_pages, soft404_pages, trap_pages,
+    )
+
+    out = {}
+
+    def run(name, thunk):
+        # the thunk CALLS the operator inside the timer: the iterative
+        # kernels (resolve_redirects, host_scc) materialize eagerly via
+        # localCheckpoint at call time, so construction is the work
+        t0 = time.time()
+        n = thunk().count()
+        out[name] = round(time.time() - t0, 3)
+        _log(f"  {name}: {out[name]}s ({n} rows)")
+
+    n_urls = int(os.environ.get("SPARK_GRAFT_CRAWLOPS_URLS", "2000000"))
+    run("crawler_traps_2m",
+        lambda: crawler_traps(trap_pages(spark, n_urls)))
+    run("soft404_hosts_2m",
+        lambda: soft404_hosts(soft404_pages(spark, n_urls)))
+    run("resolve_redirects_1m",
+        lambda: resolve_redirects(redirect_pages(spark, n_urls // 12)))
+    run("host_scc_20k", lambda: host_scc(ring_pages(spark, 20000)))
+    return out
+
 def main():
     results = {}
     sf = _sf_from_dir(SF_DIR)
@@ -365,6 +401,8 @@ def main():
     results["queries"] = headline_queries(spark, SF_DIR)
     total = round(time.time() - t_all, 3)
     results["curation"] = curation_queries(spark, SF_DIR)
+    if os.environ.get("SPARK_GRAFT_SKIP_CRAWLOPS") != "1":
+        results["crawlops"] = crawlops_queries(spark)
     # OFF, not ERROR: a stopping context's accumulator-update threads log
     # their benign connection-refused traces at ERROR, which would open
     # the artifact's tail with a stack fragment
@@ -379,6 +417,8 @@ def main():
         "curation": results["curation"],
         "sf": sf,
     }
+    if "crawlops" in results:
+        payload["crawlops"] = results["crawlops"]
 
     if (os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1"
             and os.environ.get("SPARK_GRAFT_SKIP_ENGAGE") != "1"):
