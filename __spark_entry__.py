@@ -750,6 +750,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def pld_rollup_q(spark, sf_dir):
+        # registered-domain (pay-level-domain) census over the
+        # deterministic multi-level-TLD corpus (sources/pages.pld_pages
+        # — RNG-free, regenerated by the oracle): map-only PSL
+        # longest-match via short-array HOFs, one domain-keyed hash agg
+        from textgraphs_spark.operators.webdata import pld_rollup
+        from textgraphs_spark.sources.pages import pld_pages
+
+        return pld_rollup(pld_pages(spark))
+
+    def revisit_schedule_q(spark, sf_dir):
+        # crawl revisit policy from observed per-url change rates over
+        # the multi-capture corpus — the scheduler action on top of
+        # crawl_snapshot_delta's census (same url-partitioned lag)
+        from textgraphs_spark.operators.webdata import revisit_schedule
+        from textgraphs_spark.sources.pages import capture_pages
+
+        return revisit_schedule(capture_pages(spark))
+
+    def leakage_safe_split_q(spark, sf_dir):
+        # group-aware train/val/test assignment: the split hashes the
+        # exact-dup group key (md5 of text), so duplicate docs can never
+        # straddle the eval boundary; map-only, zero shuffle
+        from textgraphs_spark.operators.webdata import leakage_safe_split
+
+        return leakage_safe_split(_docs(spark, sf_dir), val_pct=10, test_pct=10)
+
+    def doremi_mixture_q(spark, sf_dir):
+        # DoReMi-style domain reweighting: one multiplicative-weights
+        # step over per-source unigram-LM excess loss (corpus LM as the
+        # proxy model); eta=1, 6dp-rounded before exp for engine parity
+        from textgraphs_spark.operators.webdata import doremi_mixture
+
+        return doremi_mixture(_docs(spark, sf_dir))
+
     def entity_pmi_q(spark, sf_dir):
         # document-level co-mention PMI of noun lemma nodes — the
         # distributional-affinity twin of gor_affinity; shares the
@@ -1957,6 +1992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "pld_rollup": pld_rollup_q,
+        "revisit_schedule": revisit_schedule_q,
+        "leakage_safe_split": leakage_safe_split_q,
+        "doremi_mixture": doremi_mixture_q,
         "dedup_imatch": dedup_imatch,
         "imatch_signatures": imatch_signatures_q,
         "capture_drift": capture_drift,
@@ -2539,8 +2578,15 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.sources.pages import trap_pages_sql as _trap_pages_sql
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
     from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
+    from textgraphs_spark.sources.pages import pld_pages_sql as _pld_pages_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
+    from textgraphs_spark.operators.webdata import (
+        doremi_mixture_select as _doremi_sql,
+        leakage_safe_split_select as _leakage_split_sql,
+        pld_rollup_select as _pld_rollup_select,
+        revisit_schedule_select as _revisit_sql,
+    )
 
     toks = _TOKS.format(c="text")
     # Unicode-aware twin of _TOKS for the textquality family: the Spark
@@ -2971,6 +3017,22 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         "er_incremental": er_clusters_sql(),
         "dedup_imatch": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=True),
         "imatch_signatures": _D.imatch_oracle_sql(min_df=2, max_df_frac=0.8, groups=False),
+        # registered-domain census: regenerate the RNG-free multi-level-
+        # TLD corpus (pld_pages_sql) and apply the shared longest-match
+        # twin (webdata.pld_rollup_select — same suffix pool, same PSL
+        # fallback and suffix-only NULL rules)
+        "pld_rollup": _pld_rollup_select(_pld_pages_sql()),
+        # revisit policy: shared twin over the regenerated capture
+        # corpus — same md5 identity, lag window, exact-integer rate
+        "revisit_schedule": _revisit_sql(_capture_pages_sql()),
+        # group-aware split: same md5→int64 reduction + Lehmer
+        # thresholds as the engine (det_hash_sql keeps them in lockstep)
+        "leakage_safe_split": _leakage_split_sql(
+            "SELECT * FROM documents", val_pct=10, test_pct=10
+        ),
+        # DoReMi step: shared twin with the dedup tokenizer macro — the
+        # 6dp-before-exp discipline makes exp() engine-safe
+        "doremi_mixture": _doremi_sql("SELECT * FROM documents", _TOKS.format(c="text")),
         "capture_drift": f"""
 WITH captures AS ({_capture_pages_sql()}),
 fp AS ({_simhash_sql(src='captures')}),

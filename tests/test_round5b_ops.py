@@ -1,0 +1,148 @@
+"""Round-5 session-6 operator tests: registered-domain extraction,
+revisit scheduling, leakage-safe splits, DoReMi mixture reweighting.
+
+Each pins hand-computable values on tiny synthetic frames — the oracle
+sweep covers corpus-scale value parity, these cover the semantics the
+oracle can't isolate (PSL longest-match and fallback rules, the
+no-straddle split guarantee, the eta=0 degenerate mixture)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from textgraphs_spark.operators.webdata import (
+    doremi_mixture,
+    leakage_safe_split,
+    pld_rollup,
+    registered_domains,
+    revisit_schedule,
+)
+
+
+def _hosts(spark, hosts):
+    return spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                                 "doc_id long, host string")
+
+
+def test_registered_domain_longest_match_wins(spark):
+    # both "uk" and "co.uk" are listed; the longer suffix must win
+    out = registered_domains(
+        _hosts(spark, ["blog.alpha.co.uk"]), ["uk", "co.uk"]
+    ).collect()[0]
+    assert out["public_suffix"] == "co.uk"
+    assert out["reg_domain"] == "alpha.co.uk"
+
+
+def test_registered_domain_psl_fallback_and_suffix_only(spark):
+    # "xyz" is not listed -> PSL "*" rule: last label is the suffix;
+    # a bare-suffix host has no registrable part -> NULL
+    rows = {r["host"]: r for r in registered_domains(
+        _hosts(spark, ["a.b.site.xyz", "com", "co.uk"]), ["com", "uk", "co.uk"]
+    ).collect()}
+    assert rows["a.b.site.xyz"]["public_suffix"] == "xyz"
+    assert rows["a.b.site.xyz"]["reg_domain"] == "site.xyz"
+    assert rows["com"]["reg_domain"] is None
+    assert rows["co.uk"]["reg_domain"] is None
+
+
+def test_registered_domain_no_partial_label_match(spark):
+    # "foocom" must NOT match suffix "com" (the match is label-aligned:
+    # host == s or host ends with "." + s)
+    out = registered_domains(_hosts(spark, ["foocom"]), ["com"]).collect()[0]
+    assert out["public_suffix"] == "foocom"
+    assert out["reg_domain"] is None
+
+
+def test_pld_rollup_groups_subdomains(spark):
+    # three hosts of one site + one of another -> two domain rows
+    df = _hosts(spark, ["alpha.com", "www.alpha.com", "blog.alpha.com", "beta.com"])
+    rows = {r["reg_domain"]: r for r in pld_rollup(df, ["com"]).collect()}
+    assert rows["alpha.com"]["n_hosts"] == 3
+    assert rows["alpha.com"]["n_pages"] == 3
+    assert rows["beta.com"]["n_hosts"] == 1
+
+
+def test_revisit_schedule_rates_and_buckets(spark):
+    # u1: 3 captures, both refetches changed -> rate 1.0 -> daily
+    # u2: 3 captures, no change            -> rate 0.0 -> monthly
+    # u3: single capture                   -> no evidence -> monthly (rate 0)
+    rows = [
+        ("u1", "2024-01-01", "a"), ("u1", "2024-01-02", "b"), ("u1", "2024-01-03", "c"),
+        ("u2", "2024-01-01", "x"), ("u2", "2024-01-02", "x"), ("u2", "2024-01-03", "x"),
+        ("u3", "2024-01-01", "z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    got = {r["url"]: r for r in revisit_schedule(df).collect()}
+    assert got["u1"]["n_changes"] == 2 and got["u1"]["revisit"] == "daily"
+    assert got["u2"]["n_changes"] == 0 and got["u2"]["revisit"] == "monthly"
+    assert got["u3"]["n_caps"] == 1 and got["u3"]["revisit"] == "monthly"
+
+
+def test_revisit_schedule_weekly_band(spark):
+    # 1 change in 4 refetches = 0.25 -> weekly at (fast=0.5, slow=0.2)
+    rows = [("u", f"2024-01-0{i}", t) for i, t in enumerate("aabbb", start=1)]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    got = revisit_schedule(df).collect()[0]
+    assert got["n_caps"] == 5 and got["n_changes"] == 1
+    assert got["change_rate"] == 0.25 and got["revisit"] == "weekly"
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    # byte-identical texts must land in the same split, whatever it is;
+    # with 20/20 the tiny corpus still hits all three splits
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 40}") for i in range(200)], "doc_id long, text string"
+    )
+    out = leakage_safe_split(docs, val_pct=20, test_pct=20)
+    per_group = out.groupBy("group_key").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.agg(F.max("n_splits")).collect()[0][0] == 1
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_group_col_override(spark):
+    # with an explicit group column, docs sharing the group id stay
+    # together even when their texts differ (the near-dup-cluster use)
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}", i % 7) for i in range(70)],
+        "doc_id long, text string, cluster long",
+    )
+    out = leakage_safe_split(docs, group_col="cluster", val_pct=25, test_pct=25)
+    per_group = out.groupBy("group_key").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.agg(F.max("n_splits")).collect()[0][0] == 1
+    assert out.select("group_key").distinct().count() == 7
+
+
+def test_leakage_safe_split_rejects_bad_pcts(spark):
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, val_pct=60, test_pct=60)
+
+
+def _mixture_docs(spark):
+    # source "easy": tokens drawn from the corpus-common head words;
+    # source "hard": each doc adds rare tokens -> higher xent
+    rows = [(i, "the quick brown fox " * 5, "easy") for i in range(20)]
+    rows += [(100 + i, f"the zq{i}x wv{i}k jj{i}m", "hard") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_doremi_eta_zero_is_baseline_share(spark):
+    out = {r["source"]: r for r in doremi_mixture(_mixture_docs(spark), eta=0.0).collect()}
+    for r in out.values():
+        assert r["weight"] == pytest.approx(r["share"], abs=2e-6)
+
+
+def test_doremi_upweights_hard_source(spark):
+    out = {r["source"]: r for r in doremi_mixture(_mixture_docs(spark), eta=1.0).collect()}
+    assert out["hard"]["loss"] > out["easy"]["loss"]
+    assert out["hard"]["excess"] > 0.0 and out["easy"]["excess"] == 0.0
+    # the hard source's weight exceeds its baseline share; weights renormalize
+    assert out["hard"]["weight"] > out["hard"]["share"]
+    total = sum(r["weight"] for r in out.values())
+    assert math.isclose(total, 1.0, abs_tol=5e-6)

@@ -2597,3 +2597,422 @@ SELECT {cols} FROM (
   FROM ({source_sql})
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# registered-domain (pay-level-domain) extraction
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for the public-suffix list (the real PSL is a
+# ~10k-row table — same plan either way: it rides INSIDE the row as a
+# literal array here because the fixture needs only these; a full PSL
+# deployment swaps the literal for a broadcast join on the exploded
+# suffix chain, identical semantics). Multi-label entries ("co.uk")
+# exercise longest-match against their single-label prefixes ("uk").
+PSL_SUFFIXES = ["com", "org", "net", "uk", "co.uk", "jp", "ac.jp"]
+
+
+def registered_domains(
+    pages: DataFrame,
+    suffixes: list[str] | None = None,
+    *,
+    host_col: str = "host",
+) -> DataFrame:
+    """Registered-domain (PLD) extraction — input columns plus
+    (public_suffix, reg_domain): the longest public suffix matching the
+    host's tail, and the one extra label to its left — the unit web
+    corpora group by for per-site caps, link-graph contraction, and
+    robots/politeness state ("blog.alpha.co.uk" → "alpha.co.uk").
+
+    PSL semantics: longest listed suffix wins ("co.uk" beats "uk");
+    a host not matching any listed suffix falls back to its last label
+    (the PSL "*" default rule); a host that IS a bare suffix has no
+    registrable part → reg_domain NULL.
+
+    100 TB shape: map-only codegen — the suffix pool is a short literal
+    array probed with array HOFs (bounded by |suffixes|, the "short
+    arrays only" HOF exception), so extraction adds zero shuffle to any
+    consumer. Argmax over matches is ``array_max(struct(len, s))`` —
+    unambiguous because two distinct suffixes of equal length cannot
+    both be the same host's tail.
+    """
+    sufs = F.array(*[F.lit(s) for s in suffixes or PSL_SUFFIXES])
+    host = F.col(host_col)
+    matched = F.filter(
+        sufs, lambda s: (host == s) | host.endswith(F.concat(F.lit("."), s))
+    )
+    best = F.array_max(
+        F.transform(matched, lambda s: F.struct(F.length(s).alias("l"), s.alias("s")))
+    )["s"]
+    suffix = F.coalesce(best, F.element_at(F.split(host, r"\."), -1))
+    rem = F.expr(
+        f"substring({host_col}, 1, length({host_col}) - length(_psl_suffix) - 1)"
+    )
+    return (
+        pages.withColumn("_psl_suffix", suffix)
+        .withColumn(
+            "reg_domain",
+            F.when(host == F.col("_psl_suffix"), F.lit(None).cast("string")).otherwise(
+                F.concat(
+                    F.element_at(F.split(rem, r"\."), -1),
+                    F.lit("."),
+                    F.col("_psl_suffix"),
+                )
+            ),
+        )
+        .withColumnRenamed("_psl_suffix", "public_suffix")
+    )
+
+
+def pld_rollup(pages: DataFrame, suffixes: list[str] | None = None,
+               *, host_col: str = "host") -> DataFrame:
+    """Per-registered-domain census — (reg_domain, public_suffix,
+    n_hosts, n_pages). The registered domain is the natural key for
+    per-site caps and crawl budgets (per-HOST state undercounts a site
+    that shards itself across subdomains). Map-only extraction + ONE
+    hash agg keyed by the domain vocabulary; suffix-only hosts roll up
+    under the NULL domain so nothing silently drops."""
+    r = registered_domains(pages, suffixes, host_col=host_col)
+    return r.groupBy("reg_domain", "public_suffix").agg(
+        F.countDistinct(host_col).alias("n_hosts"),
+        F.count("*").alias("n_pages"),
+    )
+
+
+def registered_domains_select(
+    source_sql: str, suffixes: list[str] | None = None, *, host_col: str = "host"
+) -> str:
+    """DuckDB twin of ``registered_domains`` over any relation with a
+    host column — longest-match via unnest-join + ``arg_max(s,
+    length(s))`` (lengths are unique among a host's tail matches), same
+    fallback and suffix-only NULL rules."""
+    values = ", ".join(f"('{s}')" for s in (suffixes or PSL_SUFFIXES))
+    return f"""
+WITH _p AS ({source_sql}),
+_sufs(s) AS (VALUES {values}),
+_hit AS (
+  SELECT _p.{host_col} AS host, s FROM (SELECT DISTINCT {host_col} FROM _p) _p
+  JOIN _sufs ON _p.{host_col} = s OR _p.{host_col} LIKE '%.' || s
+),
+_best AS (SELECT host, arg_max(s, length(s)) AS s FROM _hit GROUP BY host),
+_j AS (
+  SELECT _p.*, coalesce(_best.s, string_split(_p.{host_col}, '.')[-1]) AS public_suffix
+  FROM _p LEFT JOIN _best ON _p.{host_col} = _best.host
+)
+SELECT *,
+  CASE WHEN {host_col} = public_suffix THEN NULL
+       ELSE string_split(substr({host_col}, 1,
+              length({host_col}) - length(public_suffix) - 1), '.')[-1]
+            || '.' || public_suffix END AS reg_domain
+FROM _j
+"""
+
+
+def pld_rollup_select(source_sql: str, suffixes: list[str] | None = None,
+                      *, host_col: str = "host") -> str:
+    """DuckDB twin of ``pld_rollup``."""
+    return f"""
+SELECT reg_domain, public_suffix,
+       CAST(count(DISTINCT {host_col}) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM ({registered_domains_select(source_sql, suffixes, host_col=host_col)})
+GROUP BY reg_domain, public_suffix
+"""
+
+
+# ---------------------------------------------------------------------------
+# revisit scheduling from capture change rates
+# ---------------------------------------------------------------------------
+
+def revisit_schedule(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    fast: float = 0.5,
+    slow: float = 0.2,
+) -> DataFrame:
+    """Crawl revisit policy from observed change rates — (url, n_caps,
+    n_changes, change_rate, revisit): the scheduler's counterpart to
+    ``crawl_delta``'s per-snapshot census. A url whose content changed
+    in ≥ ``fast`` of its re-fetches is scheduled 'daily', ≥ ``slow``
+    'weekly', else 'monthly'; single-capture urls have no change
+    evidence (rate 0) and land in 'monthly'.
+
+    100 TB shape: one md5 per row (map-only), one lag window
+    PARTITIONED BY url — per-url capture counts are bounded by crawl
+    frequency (the ``crawl_delta`` precedent: no hot key can form), then
+    ONE url-keyed hash agg. ``change_rate`` is a single IEEE division
+    of two exact integers — bit-identical across engines, so the
+    threshold CASE can never flap between engine and oracle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    changed = (
+        captures.select(F.col(url_col).alias("url"), F.col(ts_col), h.alias("_h"))
+        .withColumn("_prev", F.lag("_h").over(w))
+        .withColumn(
+            "_chg", (F.col("_prev").isNotNull() & (F.col("_h") != F.col("_prev"))).cast("long")
+        )
+    )
+    agg = changed.groupBy("url").agg(
+        F.count("*").alias("n_caps"), F.sum("_chg").alias("n_changes")
+    )
+    rate = F.when(
+        F.col("n_caps") > 1, F.col("n_changes") / (F.col("n_caps") - 1)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "url", "n_caps", "n_changes", rate.alias("change_rate"),
+        F.when(rate >= fast, F.lit("daily"))
+        .when(rate >= slow, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+        .alias("revisit"),
+    )
+
+
+def revisit_schedule_select(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    fast: float = 0.5,
+    slow: float = 0.2,
+) -> str:
+    """DuckDB twin of ``revisit_schedule`` — same md5 identity, lag
+    window, exact-integer rate, and threshold CASE."""
+    return f"""
+WITH _c AS (
+  SELECT {url_col} AS url,
+         md5(coalesce({text_col}, '')) AS h,
+         lag(md5(coalesce({text_col}, ''))) OVER (
+           PARTITION BY {url_col} ORDER BY {ts_col}) AS prev
+  FROM ({source_sql})
+),
+_a AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_caps,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND h <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes
+  FROM _c GROUP BY url
+)
+SELECT url, n_caps, n_changes,
+  CASE WHEN n_caps > 1 THEN n_changes * 1.0 / (n_caps - 1) ELSE 0.0 END AS change_rate,
+  CASE WHEN (CASE WHEN n_caps > 1 THEN n_changes * 1.0 / (n_caps - 1) ELSE 0.0 END) >= {fast}
+         THEN 'daily'
+       WHEN (CASE WHEN n_caps > 1 THEN n_changes * 1.0 / (n_caps - 1) ELSE 0.0 END) >= {slow}
+         THEN 'weekly'
+       ELSE 'monthly' END AS revisit
+FROM _a
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(
+    docs: DataFrame,
+    *,
+    val_pct: int = 1,
+    test_pct: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Group-aware deterministic split — (id, group_key, split): the
+    split decision hashes the duplicate-GROUP key, not the document id,
+    so byte-identical documents can never straddle train/val/test (the
+    eval-leakage failure mode a per-doc hash split has by construction:
+    with 1% val, a duplicated doc leaks across the boundary with
+    probability ~2%·dup_rate — at web dup rates that is most of val).
+
+    Default grouping is exact-content identity (md5 of text); pass
+    ``group_col`` to split by a coarser precomputed key instead — e.g.
+    a near-dup cluster id from ``near_dup_clusters``, which extends the
+    no-straddle guarantee from exact to near duplicates.
+
+    Percentages are INTEGER percent points carved off the Lehmer hash
+    space (test below ``test_pct``%, val next, train the rest) — the
+    same engine-neutral mixer as ``deterministic_sample``, so split
+    membership is a pure function of content: stable across partition
+    layout, cluster size, retries, and corpus growth (a doc keeps its
+    split when new docs arrive). Map-only codegen, zero shuffle.
+    """
+    if not 0 <= val_pct + test_pct <= 100:
+        raise ValueError("val_pct + test_pct must be within [0, 100]")
+    key = (
+        F.col(group_col).cast("string") if group_col
+        else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    gid = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    h = _det_hash(gid)
+    t_hi = int(_LEHMER_P * test_pct / 100)
+    v_hi = int(_LEHMER_P * (test_pct + val_pct) / 100)
+    return docs.select(
+        F.col(id_col),
+        key.alias("group_key"),
+        F.when(h < t_hi, F.lit("test"))
+        .when(h < v_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def leakage_safe_split_select(
+    source_sql: str,
+    *,
+    val_pct: int = 1,
+    test_pct: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_expr: str | None = None,
+) -> str:
+    """DuckDB twin of ``leakage_safe_split`` — same md5→int64 reduction
+    and Lehmer thresholds."""
+    key = group_expr or f"md5(coalesce({text_col}, ''))"
+    gid = f"CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT)"
+    h = det_hash_sql(gid)
+    t_hi = int(_LEHMER_P * test_pct / 100)
+    v_hi = int(_LEHMER_P * (test_pct + val_pct) / 100)
+    return f"""
+SELECT {id_col}, {key} AS group_key,
+  CASE WHEN {h} < {t_hi} THEN 'test'
+       WHEN {h} < {v_hi} THEN 'val'
+       ELSE 'train' END AS split
+FROM ({source_sql})
+"""
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain mixture reweighting
+# ---------------------------------------------------------------------------
+
+def doremi_mixture(
+    docs: DataFrame,
+    *,
+    eta: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """One multiplicative-weights domain-reweighting step (the DoReMi
+    update shape, Xie et al. 2023, arXiv:2305.10429, with the corpus
+    unigram LM standing in for the proxy model) — per source: (source,
+    n_docs, n_tokens, loss, share, excess, weight).
+
+    ``loss`` is the token-weighted mean unigram cross-entropy of the
+    source (from ``unigram_cross_entropy``); ``excess`` its clamp-at-0
+    regret against the token-weighted corpus mean; the updated mixture
+    ``weight ∝ share · exp(eta · excess)``, normalized. Sources harder
+    than the corpus average are upweighted; eta=0 degrades to the
+    baseline token shares exactly.
+
+    100 TB shape: the per-doc xent plan (one explode, vocabulary-sized
+    frequency agg, token-keyed join back) + one id-keyed join to the
+    source column + ONE source-keyed hash agg (|sources| rows).
+    Normalizers ride 1-row broadcast crossJoins — no SinglePartition
+    exchange, no collect. Engine-neutrality: loss and the reference
+    loss are rounded to 6dp BEFORE entering exp(), so the only cross-
+    engine float hazards are the documented last-ulp sum-order drifts
+    already absorbed by 6dp rounding throughout this module.
+    """
+    x = unigram_cross_entropy(docs, text_col=text_col, id_col=id_col)
+    per_src = (
+        docs.select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(x, id_col)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("xent") * F.col("n_tokens"))
+                / F.nullif(F.sum(F.when(F.col("xent").isNotNull(), F.col("n_tokens"))), F.lit(0)),
+                6,
+            ).alias("loss"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.round(
+            F.sum(F.col("loss") * F.col("n_tokens"))
+            / F.nullif(F.sum(F.when(F.col("loss").isNotNull(), F.col("n_tokens"))), F.lit(0)),
+            6,
+        ).alias("_ref"),
+    )
+    excess = F.greatest(F.lit(0.0), F.col("loss") - F.col("_ref"))
+    raw = (F.col("n_tokens") / F.col("_total")) * F.exp(F.lit(eta) * excess)
+    scored = per_src.crossJoin(F.broadcast(totals)).withColumn("_raw", raw)
+    norm = scored.agg(F.sum("_raw").alias("_z"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "source", "n_docs", "n_tokens", "loss",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("share"),
+            F.round(excess, 6).alias("excess"),
+            F.round(F.col("_raw") / F.col("_z"), 6).alias("weight"),
+        )
+    )
+
+
+def doremi_mixture_select(
+    corpus_sql: str,
+    toks_expr: str,
+    *,
+    eta: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of ``doremi_mixture`` over any (id, text, source)
+    relation; ``toks_expr`` must match the Spark tokenizer
+    (dedup._TOKENS) — same per-doc rounding, same 6dp pre-exp
+    discipline, same normalization order."""
+    return f"""
+WITH _corpus AS ({corpus_sql}),
+_d AS (SELECT {id_col}, {toks_expr} AS toks FROM _corpus),
+_occ AS (SELECT {id_col}, unnest(toks) AS tok FROM _d),
+_freq AS (SELECT tok, count(*) AS c FROM _occ GROUP BY tok),
+_tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM _freq),
+_scored AS (
+  SELECT _occ.{id_col}, count(*) AS n_tokens,
+         round(avg(-ln(_freq.c / _tot.total)), 6) AS xent
+  FROM _occ JOIN _freq ON _occ.tok = _freq.tok CROSS JOIN _tot
+  GROUP BY _occ.{id_col}
+),
+_x AS (
+  SELECT _d.{id_col},
+         coalesce(_scored.n_tokens, len(_d.toks)) AS n_tokens,
+         _scored.xent AS xent
+  FROM _d LEFT JOIN _scored ON _d.{id_col} = _scored.{id_col}
+),
+_src AS (
+  SELECT c.{source_col} AS source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x.n_tokens) AS BIGINT) AS n_tokens,
+         round(sum(x.xent * x.n_tokens)
+               / nullif(sum(CASE WHEN x.xent IS NOT NULL THEN x.n_tokens END), 0), 6)
+           AS loss
+  FROM _corpus c JOIN _x x ON c.{id_col} = x.{id_col}
+  GROUP BY c.{source_col}
+),
+_totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         round(sum(loss * n_tokens)
+               / nullif(sum(CASE WHEN loss IS NOT NULL THEN n_tokens END), 0), 6) AS ref
+  FROM _src
+),
+_raw AS (
+  SELECT _src.*, _totals.total,
+         (n_tokens * 1.0 / total) * exp({eta} * greatest(0.0, loss - ref)) AS raw,
+         greatest(0.0, loss - ref) AS excess_raw
+  FROM _src CROSS JOIN _totals
+),
+_z AS (SELECT sum(raw) AS z FROM _raw)
+SELECT source, n_docs, n_tokens, loss,
+       round(n_tokens * 1.0 / total, 6) AS share,
+       round(excess_raw, 6) AS excess,
+       round(raw / z, 6) AS weight
+FROM _raw CROSS JOIN _z
+"""

@@ -1060,3 +1060,59 @@ FROM (
   FROM range(0, {n_hosts}) t(i)
 )
 """
+
+
+def pld_pages(spark: SparkSession, n_pages: int = 420) -> DataFrame:
+    """Deterministic multi-level-TLD URL corpus for registered-domain
+    (pay-level-domain) extraction — (doc_id, url, host), pure index
+    arithmetic (RNG-free; ``pld_pages_sql`` regenerates it
+    bit-identically).
+
+    Host ``i`` composes prefix ``P[i % 5]`` + name ``D[(i//5) % 8]``
+    + "." + suffix ``S[(i//40) % 6]``; every multiple of 83 is the bare
+    suffix alone (a suffix-only host — no registrable part). The suffix
+    pool deliberately includes multi-label suffixes ("co.uk", "ac.jp")
+    to exercise longest-match against single-label "uk", and "xyz"
+    which is NOT in the operator's default suffix list, to exercise the
+    PSL "*" fallback (last label treated as the public suffix).
+    """
+    i = F.col("id")
+    pick = lambda xs, idx: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in xs]), (idx + 1).cast("int")
+    )
+    pfx = pick(_PLD_PREFIXES, i % 5)
+    name = pick(_PLD_NAMES, (F.floor(i / 5)) % 8)
+    suf = pick(_PLD_SUFFIXES, (F.floor(i / 40)) % 6)
+    host = F.when(i % 83 == 0, suf).otherwise(F.concat(pfx, name, F.lit("."), suf))
+    return spark.range(0, n_pages).select(
+        i.alias("doc_id"),
+        F.format_string("https://%s/p/%d", host, i.cast("int")).alias("url"),
+        host.alias("host"),
+    )
+
+
+_PLD_PREFIXES = ["", "www.", "blog.", "cdn.static.", "a.b."]
+_PLD_NAMES = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+_PLD_SUFFIXES = ["com", "org", "net", "co.uk", "ac.jp", "xyz"]
+
+
+def pld_pages_sql(n_pages: int = 420) -> str:
+    """DuckDB twin of ``pld_pages`` — keep the component pools and the
+    index arithmetic in lockstep."""
+    lst = lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"  # noqa: E731
+    return f"""
+SELECT i AS doc_id,
+  'https://' || host || '/p/' || i AS url,
+  host
+FROM (
+  SELECT t.i AS i,
+    CASE WHEN t.i % 83 = 0
+         THEN ({lst(_PLD_SUFFIXES)})[CAST((t.i // 40) % 6 AS INT) + 1]
+         ELSE ({lst(_PLD_PREFIXES)})[CAST(t.i % 5 AS INT) + 1]
+           || ({lst(_PLD_NAMES)})[CAST((t.i // 5) % 8 AS INT) + 1]
+           || '.'
+           || ({lst(_PLD_SUFFIXES)})[CAST((t.i // 40) % 6 AS INT) + 1]
+    END AS host
+  FROM range(0, {n_pages}) t(i)
+)
+"""
