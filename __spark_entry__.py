@@ -750,6 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def pld_link_graph_q(spark, sf_dir):
+        # site-level web graph: the host link graph contracted to
+        # registered domains over the subdomain-rich corpus
+        # (sources/pages.sublink_pages — RNG-free, regenerated by the
+        # oracle); intra-site cross-subdomain links must collapse away
+        from textgraphs_spark.operators.linkgraph import pld_link_graph
+        from textgraphs_spark.sources.pages import sublink_pages
+
+        return pld_link_graph(sublink_pages(spark))
+
     def pld_rollup_q(spark, sf_dir):
         # registered-domain (pay-level-domain) census over the
         # deterministic multi-level-TLD corpus (sources/pages.pld_pages
@@ -1992,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "pld_link_graph": pld_link_graph_q,
         "pld_rollup": pld_rollup_q,
         "revisit_schedule": revisit_schedule_q,
         "leakage_safe_split": leakage_safe_split_q,
@@ -2579,6 +2590,8 @@ def oracle_sql() -> dict[str, str]:
     from textgraphs_spark.sources.pages import link_pages_sql as _link_pages_sql
     from textgraphs_spark.sources.pages import mirror_pages_sql as _mirror_pages_sql
     from textgraphs_spark.sources.pages import pld_pages_sql as _pld_pages_sql
+    from textgraphs_spark.sources.pages import sublink_pages_sql as _sublink_pages_sql
+    from textgraphs_spark.operators.linkgraph import pld_link_graph_sql as _pld_link_sql
     from textgraphs_spark.operators.gor import affinity_oracle_sql
     from textgraphs_spark.operators.webdata import minhash_clusters_oracle_sql
     from textgraphs_spark.operators.webdata import (
@@ -3022,6 +3035,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # twin (webdata.pld_rollup_select — same suffix pool, same PSL
         # fallback and suffix-only NULL rules)
         "pld_rollup": _pld_rollup_select(_pld_pages_sql()),
+        # site-level link graph: shared outlink CTE piped through the
+        # registered-domain twin once per endpoint
+        "pld_link_graph": _pld_link_sql(_sublink_pages_sql()),
         # revisit policy: shared twin over the regenerated capture
         # corpus — same md5 identity, lag window, exact-integer rate
         "revisit_schedule": _revisit_sql(_capture_pages_sql()),

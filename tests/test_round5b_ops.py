@@ -146,3 +146,24 @@ def test_doremi_upweights_hard_source(spark):
     assert out["hard"]["weight"] > out["hard"]["share"]
     total = sum(r["weight"] for r in out.values())
     assert math.isclose(total, 1.0, abs_tol=5e-6)
+
+
+def test_pld_link_graph_collapses_intra_site_links(spark):
+    # two subdomains of alpha.com link each other (must vanish) and both
+    # link beta.com (must merge into ONE site-level edge of weight 2)
+    rows = [
+        (0, "https://blog.alpha.com/p/0",
+         b'<a href="https://docs.alpha.com/x">in</a>'),
+        (1, "https://docs.alpha.com/p/1",
+         b'<a href="https://beta.com/x">out</a>'),
+        (2, "https://blog.alpha.com/p/2",
+         b'<a href="https://beta.com/x">out</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    from textgraphs_spark.operators.linkgraph import pld_link_graph
+
+    got = pld_link_graph(df, ["com"]).collect()
+    assert len(got) == 1
+    assert got[0]["src_domain"] == "alpha.com"
+    assert got[0]["dst_domain"] == "beta.com"
+    assert got[0]["n_links"] == 2

@@ -563,3 +563,73 @@ SELECT n.scc_id,
          AS depth
 FROM (SELECT DISTINCT scc_id FROM scc) n
 """
+
+
+def pld_link_graph(
+    pages: DataFrame,
+    suffixes: list[str] | None = None,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links) — the host link graph
+    contracted to registered domains: the SITE-level web graph, the
+    unit ranking and spam pipelines actually operate on (a site that
+    shards itself across blog./docs./cdn. subdomains is one endorsement
+    source, not four — per-host ranks let it vote once per subdomain).
+
+    Contraction rules: both endpoints map through ``registered_domains``
+    (PSL longest-match + fallback); intra-site cross-subdomain links
+    collapse into self-edges and drop with the same self-edge filter as
+    ``host_link_graph``; bare-suffix endpoints carry no site identity
+    and drop. Plan shape: the map-only outlink parse + map-only PLD
+    extraction (short-array HOFs), then ONE domain-pair hash agg — the
+    contraction adds ZERO shuffles over ``host_link_graph``, and the
+    aggregate output is smaller (domains ≤ hosts).
+    """
+    from .webdata import registered_domains
+
+    ol = extract_outlinks(pages, url_col=url_col, html_col=html_col)
+    a = registered_domains(ol, suffixes, host_col="src_host").select(
+        F.col("reg_domain").alias("src_domain"), "dst_host"
+    )
+    b = registered_domains(a, suffixes, host_col="dst_host").select(
+        "src_domain", F.col("reg_domain").alias("dst_domain")
+    )
+    return (
+        b.filter(
+            F.col("src_domain").isNotNull()
+            & F.col("dst_domain").isNotNull()
+            & (F.col("src_domain") != F.col("dst_domain"))
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def pld_link_graph_sql(
+    source_sql: str,
+    suffixes: list[str] | None = None,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> str:
+    """DuckDB twin of ``pld_link_graph`` — the shared outlink CTE piped
+    through ``registered_domains_select`` once per endpoint (nested-CTE
+    subqueries keep each application's internals scoped), same NULL and
+    self-edge rules."""
+    from .webdata import registered_domains_select
+
+    ol = f"""WITH {_outlinks_sql(source_sql, url_col=url_col, html_col=html_col)}
+SELECT src_host, dst_host FROM outlinks"""
+    a = f"""SELECT reg_domain AS src_domain, dst_host
+FROM ({registered_domains_select(ol, suffixes, host_col='src_host')})"""
+    b = f"""SELECT src_domain, reg_domain AS dst_domain
+FROM ({registered_domains_select(a, suffixes, host_col='dst_host')})"""
+    return f"""
+SELECT src_domain, dst_domain, count(*) AS n_links
+FROM ({b})
+WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
+  AND src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+"""

@@ -1116,3 +1116,80 @@ FROM (
   FROM range(0, {n_pages}) t(i)
 )
 """
+
+
+def sublink_pages(spark: SparkSession, n_pages: int = 480) -> DataFrame:
+    """Deterministic subdomain-rich hyperlinked corpus for the
+    site-level (registered-domain-contracted) link graph —
+    (doc_id, url, html:binary), pure index arithmetic (RNG-free;
+    ``sublink_pages_sql`` regenerates it bit-identically).
+
+    Page ``i`` lives on site ``s = i % 8`` (name ``_PLD_NAMES[s]``,
+    suffix ``{com, co.uk, org}[s % 3]``) under subdomain
+    ``{'', www., blog., docs.}[(i//8) % 4]``, and carries ONE outlink:
+
+    * ``i % 5 == 0`` — an INTRA-site cross-subdomain link (same site,
+      next subdomain): a host-level edge the site-level contraction
+      must collapse into a self-edge and drop;
+    * otherwise — a cross-site link to site ``(s + 1 + (i//24) % 3) % 8``
+      (offset 1..3, never self) under subdomain ``(i//96) % 4``.
+    """
+    i = F.col("id")
+    pick = lambda xs, idx: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in xs]), (idx + 1).cast("int")
+    )
+
+    def _host(site, sub):
+        return F.concat(
+            pick(_SUBLINK_SUBS, sub), pick(_PLD_NAMES, site),
+            F.lit("."), pick(_SUBLINK_SUFS, site % 3),
+        )
+
+    s = i % 8
+    p = F.floor(i / 8) % 4
+    intra = i % 5 == 0
+    t = F.when(intra, s).otherwise((s + 1 + F.floor(i / 24) % 3) % 8)
+    q = F.when(intra, (p + 1) % 4).otherwise(F.floor(i / 96) % 4)
+    src = _host(s, p)
+    dst = _host(t, q)
+    html = F.format_string(
+        '<html><body><p>page %d</p><a href="https://%s/x/%d">go %s</a></body></html>',
+        i.cast("int"), dst, (i % 7).cast("int"), pick(_PLD_NAMES, t),
+    )
+    return spark.range(0, n_pages).select(
+        i.alias("doc_id"),
+        F.format_string("https://%s/p/%d", src, i.cast("int")).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+
+
+_SUBLINK_SUBS = ["", "www.", "blog.", "docs."]
+_SUBLINK_SUFS = ["com", "co.uk", "org"]
+
+
+def sublink_pages_sql(n_pages: int = 480) -> str:
+    """DuckDB twin of ``sublink_pages`` — keep the site/subdomain
+    arithmetic and the html shape in lockstep."""
+    lst = lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"  # noqa: E731
+    subs, names, sufs = lst(_SUBLINK_SUBS), lst(_PLD_NAMES), lst(_SUBLINK_SUFS)
+    return f"""
+SELECT i AS doc_id,
+  'https://' || src || '/p/' || i AS url,
+  '<html><body><p>page ' || i || '</p><a href="https://' || dst || '/x/'
+    || (i % 7) || '">go ' || ({names})[CAST(t AS INT) + 1] || '</a></body></html>' AS html
+FROM (
+  SELECT i, t,
+    ({subs})[CAST(p AS INT) + 1] || ({names})[CAST(s AS INT) + 1]
+      || '.' || ({sufs})[CAST(s % 3 AS INT) + 1] AS src,
+    ({subs})[CAST(q AS INT) + 1] || ({names})[CAST(t AS INT) + 1]
+      || '.' || ({sufs})[CAST(t % 3 AS INT) + 1] AS dst
+  FROM (
+    SELECT t.i AS i, t.i % 8 AS s, (t.i // 8) % 4 AS p,
+      CASE WHEN t.i % 5 = 0 THEN t.i % 8
+           ELSE (t.i % 8 + 1 + (t.i // 24) % 3) % 8 END AS t,
+      CASE WHEN t.i % 5 = 0 THEN ((t.i // 8) % 4 + 1) % 4
+           ELSE (t.i // 96) % 4 END AS q
+    FROM range(0, {n_pages}) t(i)
+  )
+)
+"""
