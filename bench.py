@@ -315,20 +315,21 @@ def distributed_engage(n_pages: int) -> dict:
             F.xxhash64("url").alias("doc_id"), "text"
         )
         ERPipeline(spark).run_lean(warm).count()
-        docs = synth_pages(spark, n_pages, partitions=128).select(
-            F.xxhash64("url").alias("doc_id"), "text"
-        )
+        pages = synth_pages(spark, n_pages, partitions=128)
+        docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
 
         def one(threshold: int) -> dict:
             pipe = ERPipeline(spark, small_graph_threshold=threshold)
             with warnings.catch_warnings(record=True) as wrec:
                 warnings.simplefilter("always")
                 t0 = time.time()
-                row = pipe.run_lean(docs).agg(
+                assignments = pipe.run_lean(docs)
+                row = assignments.agg(
                     F.expr("bit_xor(xxhash64(entity_key, cluster_id))").alias("h"),
                     F.count("*").alias("n"),
                 ).collect()[0]
                 wall = time.time() - t0
+            one.assignments = assignments
             salted = sum(
                 int(m.group(1))
                 for x in wrec
@@ -348,11 +349,57 @@ def distributed_engage(n_pages: int) -> dict:
         _log(f"  engage fast-path: {fast}")
         dist = one(0)
         _log(f"  engage star-rounds: {dist}")
+        # the north-rule QUALITY metric at engage scale: pairwise F1 vs
+        # the generator's ground truth on labeled pairs sharing a
+        # blocking key (the tests/test_er_pipeline.py protocol, run at
+        # 500k pages off the checkpointed star-round assignments)
+        from textgraphs_spark.operators.blocking import block_keys
+        from textgraphs_spark.sources.pages import truth_mentions
+
+        surfaces = truth_mentions(pages).groupBy("surface").agg(
+            F.min("entity_id").alias("entity_id")
+        )
+        labeled = surfaces.join(
+            one.assignments.select("surface", "cluster_id"), "surface"
+        )
+        keyed = block_keys(labeled)
+        a = keyed.select(
+            "block_key", F.col("surface").alias("ls"),
+            F.col("entity_id").alias("le"), F.col("cluster_id").alias("lc"),
+        )
+        b = keyed.select(
+            "block_key", F.col("surface").alias("rs"),
+            F.col("entity_id").alias("re"), F.col("cluster_id").alias("rc"),
+        )
+        s = (
+            a.join(b, "block_key").filter(F.col("ls") < F.col("rs"))
+            .select(
+                (F.col("le") == F.col("re")).cast("int").alias("is_match"),
+                (F.col("lc") == F.col("rc")).cast("int").alias("pred"),
+            )
+            .agg(
+                F.sum(F.col("is_match") * F.col("pred")).alias("tp"),
+                F.sum((1 - F.col("is_match")) * F.col("pred")).alias("fp"),
+                F.sum(F.col("is_match") * (1 - F.col("pred"))).alias("fn"),
+            )
+            .collect()[0]
+        )
+        tp, fp, fn = s["tp"] or 0, s["fp"] or 0, s["fn"] or 0
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        quality = {
+            "labeled_tp": int(tp), "labeled_fp": int(fp), "labeled_fn": int(fn),
+            "pair_precision": round(prec, 4), "pair_recall": round(rec, 4),
+            "pairwise_f1": round(f1, 4),
+        }
+        _log(f"  engage pairwise-F1: {quality}")
         return {
             "pages": n_pages,
             "max_block_size": 200,
             "fast_path": fast,
             "star_rounds": dist,
+            "quality": quality,
             "clusters_identical": (
                 fast["cluster_hash"] == dist["cluster_hash"]
                 and fast["entities"] == dist["entities"]
