@@ -750,6 +750,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def er_constrained_clusters_q(spark, sf_dir):
+        # human-in-the-loop ER: reviewer cannot-link verdicts (the
+        # deterministic 1/7 stand-in) removed from the match edges
+        # before closure, over the labeled eval corpus
+        from textgraphs_spark.plans.er_constraints import constrained_run
+        from textgraphs_spark.plans.er_eval import eval_entities
+        from textgraphs_spark.plans.er_pipeline import cluster_summary
+
+        ents = eval_entities(spark).select(
+            "entity_key", "surface", "label", "mention_count", "doc_freq"
+        )
+        return cluster_summary(constrained_run(spark, None, entities=ents)["assignments"])
+
+    def er_constraint_violations_q(spark, sf_dir):
+        # the audit: every rejected pair with whether OTHER accepted
+        # edges still reconnect it transitively (correlation-clustering
+        # repair is NP-hard — report the residue, never hide it)
+        from textgraphs_spark.plans.er_constraints import (
+            constrained_run, constraint_violations,
+        )
+        from textgraphs_spark.plans.er_eval import eval_entities
+
+        ents = eval_entities(spark).select(
+            "entity_key", "surface", "label", "mention_count", "doc_freq"
+        )
+        out = constrained_run(spark, None, entities=ents)
+        return constraint_violations(out["assignments"], out["cannot"])
+
     def pld_link_graph_q(spark, sf_dir):
         # site-level web graph: the host link graph contracted to
         # registered domains over the subdomain-rich corpus
@@ -2002,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "er_constrained_clusters": er_constrained_clusters_q,
+        "er_constraint_violations": er_constraint_violations_q,
         "pld_link_graph": pld_link_graph_q,
         "pld_rollup": pld_rollup_q,
         "revisit_schedule": revisit_schedule_q,
@@ -2998,6 +3028,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_blocking_stats_sql, er_channel_recall_sql, er_cluster_cohesion_sql,
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
+        er_constrained_clusters_sql, er_constraint_violations_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
         er_two_table_metrics_sql,
@@ -3038,6 +3069,12 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # site-level link graph: shared outlink CTE piped through the
         # registered-domain twin once per endpoint
         "pld_link_graph": _pld_link_sql(_sublink_pages_sql()),
+        # constrained clustering over the regenerated eval corpus: the
+        # oracle derives the SAME deterministic cannot-links from ITS
+        # matches CTE (shared Lehmer pair hash) and anti-joins them out
+        # before the recursive closure
+        "er_constrained_clusters": er_constrained_clusters_sql(),
+        "er_constraint_violations": er_constraint_violations_sql(),
         # revisit policy: shared twin over the regenerated capture
         # corpus — same md5 identity, lag window, exact-integer rate
         "revisit_schedule": _revisit_sql(_capture_pages_sql()),

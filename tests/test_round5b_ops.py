@@ -167,3 +167,56 @@ def test_pld_link_graph_collapses_intra_site_links(spark):
     assert got[0]["src_domain"] == "alpha.com"
     assert got[0]["dst_domain"] == "beta.com"
     assert got[0]["n_links"] == 2
+
+
+def _eval_ents(spark, n_base=20, n_twin=5):
+    from textgraphs_spark.plans.er_eval import eval_entities
+
+    return eval_entities(spark, n_base=n_base, n_twin=n_twin).select(
+        "entity_key", "surface", "label", "mention_count", "doc_freq"
+    )
+
+
+def test_constrained_modulus_one_rejects_every_edge(spark):
+    # hash % 1 == 0 always: the reviewer rejects ALL proposed matches ->
+    # every entity is a singleton and no rejected pair can reconnect
+    from textgraphs_spark.plans.er_constraints import (
+        constrained_run, constraint_violations,
+    )
+
+    out = constrained_run(spark, None, entities=_eval_ents(spark), modulus=1)
+    bad = out["assignments"].filter(F.col("cluster_id") != F.col("entity_key"))
+    assert bad.count() == 0
+    v = constraint_violations(out["assignments"], out["cannot"])
+    assert v.count() > 0
+    assert v.filter(F.col("violated")).count() == 0
+
+
+def test_constrained_empty_cannot_matches_unconstrained(spark):
+    # an empty verdict table must reproduce the unconstrained clustering
+    from textgraphs_spark.plans.er_constraints import constrained_run
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    ents = _eval_ents(spark)
+    empty = spark.createDataFrame([], "left_id string, right_id string")
+    out = constrained_run(spark, None, entities=ents, cannot_links=empty)
+    base = ERPipeline(spark).run_lean(None, entities=ents)
+    got = {(r["entity_key"], r["cluster_id"])
+           for r in out["assignments"].collect()}
+    want = {(r["entity_key"], r["cluster_id"]) for r in base.collect()}
+    assert got == want
+
+
+def test_constrained_removal_only_splits(spark):
+    # removing edges can only split clusters: the constrained run has at
+    # least as many clusters as the unconstrained one
+    from textgraphs_spark.plans.er_constraints import constrained_run
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    ents = _eval_ents(spark)
+    out = constrained_run(spark, None, entities=ents, modulus=3)
+    base = ERPipeline(spark).run_lean(None, entities=ents)
+    n_con = out["assignments"].select("cluster_id").distinct().count()
+    n_base = base.select("cluster_id").distinct().count()
+    assert out["cannot"].count() > 0
+    assert n_con >= n_base

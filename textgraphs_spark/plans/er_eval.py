@@ -3340,3 +3340,48 @@ SELECT CAST({int(n_keys)} AS INT) AS n_keys,
        round(covered_true_pairs / n_true_pairs, 6) AS pair_completeness
 FROM per, tot
 """
+
+
+def _constrained_preamble(n_base: int, n_twin: int, min_similarity: float,
+                          modulus: int) -> str:
+    """Regenerated eval corpus + the CONSTRAINED clustering chain
+    (er_oracle.constrained_clustering_ctes: deterministic-reviewer
+    cannot-link removal before the closure, ``cannot`` CTE kept visible
+    for the audit)."""
+    from .er_oracle import constrained_clustering_ctes
+
+    return f"""{eval_entities_cte(n_base=n_base, n_twin=n_twin)},
+{constrained_clustering_ctes('entities', min_similarity=min_similarity, modulus=modulus)}"""
+
+
+def er_constrained_clusters_sql(*, n_base: int = 150, n_twin: int = 30,
+                                min_similarity: float = 0.9,
+                                modulus: int = 7) -> str:
+    """Cluster summary after cannot-link removal — the constrained twin
+    of the eval-corpus clustering."""
+    return f"""WITH RECURSIVE
+{_constrained_preamble(n_base, n_twin, min_similarity, modulus)}
+SELECT cluster_id,
+       count(*) AS n_forms,
+       CAST(sum(mention_count) AS BIGINT) AS n_mentions,
+       array_to_string(list_sort(list(DISTINCT surface)), '|') AS members,
+       max(mention_count) AS max_mentions
+FROM assignments
+GROUP BY cluster_id
+ORDER BY n_mentions DESC, cluster_id
+"""
+
+
+def er_constraint_violations_sql(*, n_base: int = 150, n_twin: int = 30,
+                                 min_similarity: float = 0.9,
+                                 modulus: int = 7) -> str:
+    """The audit twin: every rejected pair with whether OTHER accepted
+    edges still put both endpoints in one cluster."""
+    return f"""WITH RECURSIVE
+{_constrained_preamble(n_base, n_twin, min_similarity, modulus)}
+SELECT c.left_id, c.right_id,
+       (a1.cluster_id = a2.cluster_id) AS violated
+FROM cannot c
+JOIN assignments a1 ON c.left_id = a1.entity_key
+JOIN assignments a2 ON c.right_id = a2.entity_key
+"""
