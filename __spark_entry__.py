@@ -750,6 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def er_cluster_churn_q(spark, sf_dir):
+        # run-over-run cluster lineage: prior = deterministic 2/3
+        # entity subset clustered on subset-internal match edges;
+        # per-current-cluster status new/grown/merged/stable — the
+        # nightly-rerun regression monitor aggregate metrics can't see
+        from textgraphs_spark.plans.er_eval import cluster_churn
+
+        ents, parts = _eval_parts(spark)
+        return cluster_churn(ents, parts)
+
     def er_constrained_clusters_q(spark, sf_dir):
         # human-in-the-loop ER: reviewer cannot-link verdicts (the
         # deterministic 1/7 stand-in) removed from the match edges
@@ -2030,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "er_cluster_churn": er_cluster_churn_q,
         "er_constrained_clusters": er_constrained_clusters_q,
         "er_constraint_violations": er_constraint_violations_q,
         "pld_link_graph": pld_link_graph_q,
@@ -3029,6 +3040,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_constrained_clusters_sql, er_constraint_violations_sql,
+        er_cluster_churn_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
         er_two_table_metrics_sql,
@@ -3075,6 +3087,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # before the recursive closure
         "er_constrained_clusters": er_constrained_clusters_sql(),
         "er_constraint_violations": er_constraint_violations_sql(),
+        # churn: second (p-prefixed) closure over the hash-filtered
+        # prior edge subset, per-cluster lineage statuses
+        "er_cluster_churn": er_cluster_churn_sql(),
         # revisit policy: shared twin over the regenerated capture
         # corpus — same md5 identity, lag window, exact-integer rate
         "revisit_schedule": _revisit_sql(_capture_pages_sql()),

@@ -220,3 +220,22 @@ def test_constrained_removal_only_splits(spark):
     n_base = base.select("cluster_id").distinct().count()
     assert out["cannot"].count() > 0
     assert n_con >= n_base
+
+
+def test_cluster_churn_boundary_fracs(spark):
+    # prior_frac=1.0: the prior run IS the current run -> every cluster
+    # 'stable'; prior_frac=0.0: no prior entities -> every cluster 'new'
+    from textgraphs_spark.plans.er_eval import cluster_churn
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    ents = _eval_ents(spark)
+    parts = ERPipeline(spark).run_lean(None, entities=ents, return_parts=True)
+    full = cluster_churn(ents, parts, prior_frac=1.0)
+    assert full.filter(F.col("status") != "stable").count() == 0
+    none = cluster_churn(ents, parts, prior_frac=0.0)
+    assert none.filter(F.col("status") != "new").count() == 0
+    # membership accounting: cluster sizes sum to the entity count
+    assert (
+        full.agg(F.sum("n_members")).collect()[0][0]
+        == ents.count()
+    )

@@ -3385,3 +3385,158 @@ FROM cannot c
 JOIN assignments a1 ON c.left_id = a1.entity_key
 JOIN assignments a2 ON c.right_id = a2.entity_key
 """
+
+
+# ---------------------------------------------------------------------------
+# run-over-run cluster churn (snapshot lineage)
+# ---------------------------------------------------------------------------
+
+def _key_hash(col):
+    """Engine-neutral Lehmer hash of an entity key (md5 → 60-bit int →
+    MINSTD mixer) — the deterministic_sample convention applied to
+    string keys, shared with the churn oracle via key_hash_sql."""
+    from ..operators.webdata import _det_hash
+
+    gid = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return _det_hash(gid)
+
+
+def key_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``_key_hash`` — keep in lockstep."""
+    from ..operators.webdata import det_hash_sql
+
+    return det_hash_sql(f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)")
+
+
+def cluster_churn(entities: DataFrame, parts: dict, *,
+                  prior_frac: float = 2 / 3) -> DataFrame:
+    """Run-over-run cluster lineage — one row per CURRENT cluster:
+    (cluster_id, n_members, n_prior, n_prior_clusters, best_prior,
+    best_overlap, status). The production ER-ops monitor: a nightly
+    rerun that silently merges yesterday's clusters (or shatters them)
+    is a pipeline regression the aggregate metrics can hide.
+
+    The PRIOR run is the deterministic ``prior_frac`` entity subset
+    (Lehmer key hash — the deterministic_sample discipline, so the
+    "yesterday" corpus is stable across retries) clustered on its
+    subset-internal match edges — exactly the closure an earlier run
+    over only those entities would have produced, derived WITHOUT a
+    second blocking/scoring pass (edge filtering, not re-scoring: the
+    er_incremental reuse argument). Status per current cluster:
+
+    * ``new``    — no member existed in the prior run;
+    * ``merged`` — members arrive from >= 2 distinct prior clusters
+                   (chaining alarm: review before shipping);
+    * ``grown``  — one prior cluster plus newly-arrived entities;
+    * ``stable`` — byte-identical membership carried forward.
+
+    100 TB shape: one extra CC over the FILTERED edge set (shared
+    128-bit kernel, size-adaptive), then two key-keyed joins and two
+    vocabulary-sized hash aggs; best-overlap is a ``max(struct)``
+    argmax, no window.
+    """
+    from ..operators import components as C
+    from ..operators.webdata import _LEHMER_P
+
+    thr = int(prior_frac * _LEHMER_P)
+    edges = parts["match_scores"].select("left_id", "right_id")
+    e_prior = edges.filter(
+        (_key_hash(F.col("left_id")) < thr) & (_key_hash(F.col("right_id")) < thr)
+    )
+    cc = C.components_over_keys(e_prior)
+    prior = (
+        entities.filter(_key_hash(F.col("entity_key")) < thr)
+        .select("entity_key")
+        .join(cc, "entity_key", "left")
+        .withColumn("prior_id", F.coalesce("cluster_id", F.col("entity_key")))
+        .select("entity_key", "prior_id")
+    )
+    cur = parts["assignments"].select("entity_key", "cluster_id")
+    j = cur.join(prior, "entity_key", "left")
+    overlaps = (
+        j.filter(F.col("prior_id").isNotNull())
+        .groupBy("cluster_id", "prior_id")
+        .agg(F.count("*").alias("n_ij"))
+    )
+    best = overlaps.groupBy("cluster_id").agg(
+        F.count("*").alias("n_prior_clusters"),
+        F.max(F.struct(F.col("n_ij").alias("n"), F.col("prior_id").alias("p"))).alias("_b"),
+    )
+    sizes = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.count("prior_id").alias("n_prior"),
+    )
+    out = sizes.join(best, "cluster_id", "left")
+    status = (
+        F.when(F.col("n_prior") == 0, F.lit("new"))
+        .when(F.coalesce(F.col("n_prior_clusters"), F.lit(0)) >= 2, F.lit("merged"))
+        .when(F.col("n_members") > F.col("n_prior"), F.lit("grown"))
+        .otherwise(F.lit("stable"))
+    )
+    return out.select(
+        "cluster_id", "n_members", "n_prior",
+        F.coalesce(F.col("n_prior_clusters"), F.lit(0)).alias("n_prior_clusters"),
+        F.col("_b.p").alias("best_prior"),
+        F.coalesce(F.col("_b.n"), F.lit(0)).alias("best_overlap"),
+        status.alias("status"),
+    )
+
+
+def er_cluster_churn_sql(*, n_base: int = 150, n_twin: int = 30,
+                         min_similarity: float = 0.9,
+                         prior_frac: float = 2 / 3) -> str:
+    """Oracle for ``cluster_churn``: the eval clustering chain plus a
+    p-prefixed second closure over the hash-filtered prior edge subset
+    (the er_clustering_agreement two-closure pattern)."""
+    from ..operators.webdata import _LEHMER_P
+
+    thr = int(prior_frac * _LEHMER_P)
+    hl = key_hash_sql("left_id")
+    hr = key_hash_sql("right_id")
+    hk = key_hash_sql("entity_key")
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+pmatch AS MATERIALIZED (
+  SELECT left_id, right_id FROM matches
+  WHERE ({hl}) < {thr} AND ({hr}) < {thr}
+),
+pedges AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM pmatch
+  UNION SELECT right_id, left_id FROM pmatch
+),
+preach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities WHERE ({hk}) < {thr}
+  UNION
+  SELECT e.b, x.r FROM preach x JOIN pedges e ON e.a = x.node
+),
+prior_assign AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS prior_id FROM preach GROUP BY node
+),
+joined AS (
+  SELECT a.cluster_id, p.prior_id
+  FROM assignments a LEFT JOIN prior_assign p ON a.entity_key = p.entity_key
+),
+ovl AS (
+  SELECT cluster_id, prior_id, CAST(count(*) AS BIGINT) AS n_ij
+  FROM joined WHERE prior_id IS NOT NULL GROUP BY cluster_id, prior_id
+),
+best AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_prior_clusters,
+         max({{'n': n_ij, 'p': prior_id}}) AS b
+  FROM ovl GROUP BY cluster_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(prior_id) AS BIGINT) AS n_prior
+  FROM joined GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.n_members, s.n_prior,
+       coalesce(b.n_prior_clusters, 0) AS n_prior_clusters,
+       b.b.p AS best_prior,
+       coalesce(b.b.n, 0) AS best_overlap,
+       CASE WHEN s.n_prior = 0 THEN 'new'
+            WHEN coalesce(b.n_prior_clusters, 0) >= 2 THEN 'merged'
+            WHEN s.n_members > s.n_prior THEN 'grown'
+            ELSE 'stable' END AS status
+FROM sizes s LEFT JOIN best b USING (cluster_id)
+"""
