@@ -808,6 +808,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pld_rollup(pld_pages(spark))
 
+    def url_history_q(spark, sf_dir):
+        # SCD-2 capture history over the multi-capture corpus: one row
+        # per (url, revision interval), half-open valid_from/valid_to,
+        # wasted re-fetches folded into n_captures
+        from textgraphs_spark.operators.webdata import url_history
+        from textgraphs_spark.sources.pages import capture_pages
+
+        return url_history(capture_pages(spark))
+
     def revisit_schedule_q(spark, sf_dir):
         # crawl revisit policy from observed per-url change rates over
         # the multi-capture corpus — the scheduler action on top of
@@ -2045,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_constraint_violations": er_constraint_violations_q,
         "pld_link_graph": pld_link_graph_q,
         "pld_rollup": pld_rollup_q,
+        "url_history": url_history_q,
         "revisit_schedule": revisit_schedule_q,
         "leakage_safe_split": leakage_safe_split_q,
         "doremi_mixture": doremi_mixture_q,
@@ -2640,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         leakage_safe_split_select as _leakage_split_sql,
         pld_rollup_select as _pld_rollup_select,
         revisit_schedule_select as _revisit_sql,
+        url_history_select as _url_history_sql,
     )
 
     toks = _TOKS.format(c="text")
@@ -3093,6 +3104,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # revisit policy: shared twin over the regenerated capture
         # corpus — same md5 identity, lag window, exact-integer rate
         "revisit_schedule": _revisit_sql(_capture_pages_sql()),
+        # SCD-2 history: same hash identity, running-sum revision
+        # numbering, lead() valid_to
+        "url_history": _url_history_sql(_capture_pages_sql()),
         # group-aware split: same md5→int64 reduction + Lehmer
         # thresholds as the engine (det_hash_sql keeps them in lockstep)
         "leakage_safe_split": _leakage_split_sql(

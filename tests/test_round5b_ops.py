@@ -239,3 +239,22 @@ def test_cluster_churn_boundary_fracs(spark):
         full.agg(F.sum("n_members")).collect()[0][0]
         == ents.count()
     )
+
+
+def test_url_history_intervals(spark):
+    # url u: captures a a b a -> three revisions; middle re-fetch folds
+    # into revision 1 (n_captures 2); only the last row is current
+    rows = [("u", f"2024-01-0{i}", t) for i, t in enumerate("aaba", start=1)]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    from textgraphs_spark.operators.webdata import url_history
+
+    got = sorted(url_history(df).collect(), key=lambda r: r["valid_from"])
+    assert [r["n_captures"] for r in got] == [2, 1, 1]
+    assert [r["is_current"] for r in got] == [False, False, True]
+    # half-open chain: each valid_to is the next valid_from
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+    assert got[2]["valid_to"] is None
+    # revisions 0 and 2 carry the same content -> same hash
+    assert got[0]["content_hash"] == got[2]["content_hash"]
+    assert got[0]["content_hash"] != got[1]["content_hash"]

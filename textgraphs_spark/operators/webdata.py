@@ -3025,3 +3025,102 @@ SELECT source, n_docs, n_tokens, loss,
        round(raw / z, 6) AS weight
 FROM _raw CROSS JOIN _z
 """
+
+
+def url_history(
+    captures: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCD-2 capture history — one row per (url, revision INTERVAL):
+    (url, valid_from, valid_to, n_captures, content_hash, is_current).
+    The type-2 twin of ``latest_captures``: consumers who need
+    "what did this page say on date D" (decontamination forensics,
+    crawl-delta audits, link-rot studies) get an AS-OF-joinable interval
+    table instead of the latest row.
+
+    Revision boundaries are content-hash changes between consecutive
+    captures; unchanged re-fetches fold into their interval and are
+    COUNTED (n_captures — the wasted-refetch evidence rides along).
+    valid_to is the next revision's valid_from (half-open, the AS-OF
+    convention events_asof_attribution uses), NULL on the current row.
+
+    100 TB shape: md5 per row map-only, then TWO url-partitioned lag/
+    lead windows (per-url capture counts bounded by crawl frequency —
+    the crawl_delta no-hot-key argument) and one (url, rev)-keyed hash
+    agg. No global sort, no funnel.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    rows = (
+        captures.select(F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+                        h.alias("_h"))
+        .withColumn("_prev", F.lag("_h").over(Window.partitionBy("url").orderBy("ts")))
+        .withColumn(
+            "_rev",
+            F.sum(
+                (F.col("_prev").isNull() | (F.col("_h") != F.col("_prev"))).cast("long")
+            ).over(
+                Window.partitionBy("url").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    iv = rows.groupBy("url", "_rev").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_captures"),
+        # every row of a (url, rev) group carries the same hash by
+        # construction; min() states that determinism, first() wouldn't
+        F.min("_h").alias("content_hash"),
+    )
+    w2 = Window.partitionBy("url").orderBy("valid_from")
+    return (
+        iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "url", "valid_from", "valid_to", "n_captures", "content_hash",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def url_history_select(
+    source_sql: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``url_history`` — same hash identity, revision
+    numbering via the running sum of change flags, lead() valid_to."""
+    return f"""
+WITH _r AS (
+  SELECT {url_col} AS url, {ts_col} AS ts,
+         md5(coalesce({text_col}, '')) AS h,
+         lag(md5(coalesce({text_col}, ''))) OVER (
+           PARTITION BY {url_col} ORDER BY {ts_col}) AS prev
+  FROM ({source_sql})
+),
+_n AS (
+  SELECT url, ts, h,
+         sum(CASE WHEN prev IS NULL OR h <> prev THEN 1 ELSE 0 END) OVER (
+           PARTITION BY url ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev
+  FROM _r
+),
+_iv AS (
+  SELECT url, rev, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         min(h) AS content_hash
+  FROM _n GROUP BY url, rev
+)
+SELECT url, valid_from,
+       lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from) AS valid_to,
+       n_captures, content_hash,
+       (lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from) IS NULL)
+         AS is_current
+FROM _iv
+"""
