@@ -808,6 +808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pld_rollup(pld_pages(spark))
 
+    def training_manifest_q(spark, sf_dir):
+        # the end-to-end training-data plan as one DataFrame: curation
+        # ladder -> leakage-safe split -> byte-balanced shards ->
+        # (split, source, shard) manifest a training launcher consumes
+        from textgraphs_spark.plans.curation_pipeline import training_manifest
+
+        return training_manifest(_docs(spark, sf_dir), target_bytes=16384)
+
     def url_history_q(spark, sf_dir):
         # SCD-2 capture history over the multi-capture corpus: one row
         # per (url, revision interval), half-open valid_from/valid_to,
@@ -2054,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_constraint_violations": er_constraint_violations_q,
         "pld_link_graph": pld_link_graph_q,
         "pld_rollup": pld_rollup_q,
+        "training_manifest": training_manifest_q,
         "url_history": url_history_q,
         "revisit_schedule": revisit_schedule_q,
         "leakage_safe_split": leakage_safe_split_q,
@@ -2830,6 +2839,31 @@ FROM documents d JOIN ({corpus_curation_sql}) cur ON d.doc_id = cur.doc_id
 GROUP BY d.source
 """
 
+    # end-to-end manifest: the curation verdict CTE piped through the
+    # shared split and shard twins, then the (split, source, shard)
+    # rollup — every stage's twin is the one its standalone oracle uses
+    from textgraphs_spark.operators.webdata import plan_shards_select as _shards_sql
+
+    training_manifest_sql = f"""
+WITH cur AS ({{CUR}}),
+kept AS (
+  SELECT d.* FROM documents d JOIN cur ON d.doc_id = cur.doc_id WHERE cur.keep
+),
+sp AS ({_leakage_split_sql('SELECT * FROM kept', val_pct=10, test_pct=10)}),
+labeled AS (
+  SELECT k.doc_id, k.source, k.n_chars, sp.split,
+         sp.split || '|' || k.source AS grp
+  FROM kept k JOIN sp ON k.doc_id = sp.doc_id
+),
+sh AS ({_shards_sql('SELECT doc_id, grp, n_chars FROM labeled',
+                    source_col='grp', target_bytes=16384)})
+SELECT l.split, l.source, sh.shard_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.n_chars) AS BIGINT) AS n_bytes
+FROM sh JOIN labeled l ON sh.doc_id = l.doc_id
+GROUP BY l.split, l.source, sh.shard_idx
+"""
+
     # URL canonicalize-then-dedup: regenerate the RNG-free URL corpus
     # (sources/pages.url_pages_sql) and byte-reproduce
     # webdata.canonical_url_col via the shared SQL twin
@@ -3107,6 +3141,11 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # SCD-2 history: same hash identity, running-sum revision
         # numbering, lead() valid_to
         "url_history": _url_history_sql(_capture_pages_sql()),
+        # manifest: the curation CTE is spliced in verbatim (placeholder
+        # avoids re-interpolating its braces through the outer f-string)
+        "training_manifest": training_manifest_sql.replace(
+            "{CUR}", corpus_curation_sql
+        ),
         # group-aware split: same md5→int64 reduction + Lehmer
         # thresholds as the engine (det_hash_sql keeps them in lockstep)
         "leakage_safe_split": _leakage_split_sql(

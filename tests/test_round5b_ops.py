@@ -258,3 +258,26 @@ def test_url_history_intervals(spark):
     # revisions 0 and 2 carry the same content -> same hash
     assert got[0]["content_hash"] == got[2]["content_hash"]
     assert got[0]["content_hash"] != got[1]["content_hash"]
+
+
+def test_training_manifest_accounting(spark, sf_dir):
+    # every curated-keep doc lands in exactly one (split, source, shard)
+    # cell; bytes reconcile with the kept corpus
+    from textgraphs_spark.operators.webdata import curation_decisions
+    from textgraphs_spark.plans.curation_pipeline import training_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = training_manifest(docs, target_bytes=8192)
+    rows = m.collect()
+    assert rows and all(r["n_docs"] > 0 and r["n_bytes"] > 0 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    kept = docs.join(
+        curation_decisions(docs, threshold=0.7).filter(F.col("keep"))
+        .select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    want = kept.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("b")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == want["n"]
+    assert sum(r["n_bytes"] for r in rows) == want["b"]

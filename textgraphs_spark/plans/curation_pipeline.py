@@ -105,3 +105,57 @@ class CurationPipeline(StagedPipeline):
             )
         self.write_lineage()
         return out
+
+
+def training_manifest(
+    docs,
+    *,
+    threshold: float = 0.7,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    target_bytes: int = 1 << 20,
+):
+    """The end-to-end training-data plan as ONE declarative DataFrame —
+    (split, source, shard_idx, n_docs, n_bytes): curation verdict ladder
+    → leakage-safe group split → byte-balanced shard assignment →
+    manifest rollup. This is the table a training launcher consumes: a
+    writer partitioned by (split, source, shard_idx) emits right-sized
+    files whose membership is a pure function of the corpus — rerun the
+    job tomorrow on different hardware and every document lands in the
+    same file.
+
+    Composition, not new machinery: curation_decisions (near-dup
+    closure + lang/quality/repetition ladder), leakage_safe_split
+    (dup-group-keyed Lehmer split — exact duplicates cannot straddle
+    train/val/test), plan_shards over the composite (split|source) key
+    (grouped-cumsum anti-funnel kernel, integer arithmetic end to end).
+    Every stage is individually oracle-verified; the manifest adds one
+    semi-join, one id-keyed join, and one vocabulary-sized rollup.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.webdata import (
+        curation_decisions, leakage_safe_split, plan_shards,
+    )
+
+    verdicts = curation_decisions(docs, threshold=threshold)
+    kept = docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sp = leakage_safe_split(kept, val_pct=val_pct, test_pct=test_pct)
+    labeled = (
+        kept.select("doc_id", "source", "n_chars")
+        .join(sp.select("doc_id", "split"), "doc_id")
+        .withColumn("_grp", F.concat_ws("|", "split", "source"))
+    )
+    sh = plan_shards(
+        labeled, target_bytes=target_bytes, source_col="_grp"
+    )
+    return (
+        sh.join(labeled.select("doc_id", "split", "source", "n_chars"), "doc_id")
+        .groupBy("split", "source", "shard_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_bytes"),
+        )
+    )
