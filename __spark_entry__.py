@@ -750,6 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def er_blocking_budget_q(spark, sf_dir):
+        # the salting-cap tuning curve over the hot-block fixture: pair
+        # budget and coverage per max_block_size, REAL candidate_pairs
+        # per branch, shard assignment reproduced by the xxh sidecar
+        from textgraphs_spark.plans.er_eval import blocking_budget_curve
+        from textgraphs_spark.plans.salt_oracle import hot_entities
+
+        ents = spark.createDataFrame(hot_entities(), ["entity_key", "surface"])
+        return blocking_budget_curve(ents)
+
     def er_cluster_churn_q(spark, sf_dir):
         # run-over-run cluster lineage: prior = deterministic 2/3
         # entity subset clustered on subset-internal match edges;
@@ -2057,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ordering (least-recently-driver-verified first):
         # (a) never in any driver record — round-5 additions, then the
         # four added after the r4 snapshot
+        "er_blocking_budget": er_blocking_budget_q,
         "er_cluster_churn": er_cluster_churn_q,
         "er_constrained_clusters": er_constrained_clusters_q,
         "er_constraint_violations": er_constraint_violations_q,
@@ -3086,6 +3097,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_constrained_clusters_sql, er_constraint_violations_sql,
         er_cluster_churn_sql,
+        blocking_budget_curve_sql as _ER_EVAL_budget_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
         er_two_table_metrics_sql,
@@ -3135,6 +3147,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # churn: second (p-prefixed) closure over the hash-filtered
         # prior edge subset, per-cluster lineage statuses
         "er_cluster_churn": er_cluster_churn_sql(),
+        # budget curve: one salted-blocking twin per cap, coverage vs
+        # the unsalted instance
+        "er_blocking_budget": _ER_EVAL_budget_sql(),
         # revisit policy: shared twin over the regenerated capture
         # corpus — same md5 identity, lag window, exact-integer rate
         "revisit_schedule": _revisit_sql(_capture_pages_sql()),

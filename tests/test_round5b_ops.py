@@ -281,3 +281,18 @@ def test_training_manifest_accounting(spark, sf_dir):
     ).collect()[0]
     assert sum(r["n_docs"] for r in rows) == want["n"]
     assert sum(r["n_bytes"] for r in rows) == want["b"]
+
+
+def test_blocking_budget_curve_monotone(spark):
+    # larger caps can only keep more pairs; an unsalted-size cap keeps
+    # every pair (coverage exactly 1.0); block count is cap-invariant
+    from textgraphs_spark.plans.er_eval import blocking_budget_curve
+    from textgraphs_spark.plans.salt_oracle import hot_entities
+
+    ents = spark.createDataFrame(hot_entities(), ["entity_key", "surface"])
+    rows = sorted(blocking_budget_curve(ents).collect(),
+                  key=lambda r: r["max_block_size"])
+    pairs = [r["n_pairs"] for r in rows]
+    assert pairs == sorted(pairs)
+    assert rows[-1]["pair_coverage"] == 1.0
+    assert len({r["n_blocks"] for r in rows}) == 1

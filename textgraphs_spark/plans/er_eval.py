@@ -3540,3 +3540,77 @@ SELECT s.cluster_id, s.n_members, s.n_prior,
             ELSE 'stable' END AS status
 FROM sizes s LEFT JOIN best b USING (cluster_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# blocking pair-budget curve (the salting-cap tuning study)
+# ---------------------------------------------------------------------------
+
+def blocking_budget_curve(entities: DataFrame,
+                          caps: tuple = (10, 25, 50, 200)) -> DataFrame:
+    """Candidate-pair budget as a function of ``max_block_size`` — one
+    row per cap: (max_block_size, n_pairs, n_blocks, max_block_pairs,
+    pair_coverage). The measurement that TUNES the skew knob: salting a
+    hot block to ceil(n/cap) shards deliberately drops cross-shard
+    pairs, and this curve quantifies exactly how much recall potential
+    each cap trades for its pair budget (pair_coverage = surviving
+    pairs / the unsalted total).
+
+    Runs the REAL ``blocking.candidate_pairs`` once per cap over the
+    same keyed entities (each run a bounded block self-join; the union
+    is |caps| independent branches), plus one unsalted baseline ridden
+    in as a 1-row broadcast. Per-branch stats are two-level
+    vocabulary-sized aggs (per-block counts, then one row).
+    """
+    from functools import reduce
+
+    from ..operators import blocking as B
+
+    def stats(cap: int) -> DataFrame:
+        p = B.candidate_pairs(B.block_keys(entities), max_block_size=cap)
+        g = p.groupBy("block_key").agg(F.count("*").alias("_c"))
+        return g.agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.count("*").alias("n_blocks"),
+            F.coalesce(F.max("_c"), F.lit(0)).cast("long").alias("max_block_pairs"),
+        ).withColumn("max_block_size", F.lit(cap).cast("long"))
+
+    curve = reduce(lambda a, b: a.unionByName(b), [stats(c) for c in caps])
+    base = (
+        B.candidate_pairs(B.block_keys(entities), max_block_size=2**31 - 1)
+        .agg(F.count("*").alias("_base"))
+    )
+    return curve.crossJoin(F.broadcast(base)).select(
+        "max_block_size", "n_pairs", "n_blocks", "max_block_pairs",
+        F.round(F.col("n_pairs") / F.col("_base"), 6).alias("pair_coverage"),
+    )
+
+
+def blocking_budget_curve_sql(caps: tuple = (10, 25, 50, 200)) -> str:
+    """DuckDB twin over the salt-oracle hot-entity fixture: one
+    ``salted_blocking_pairs_sql`` instance per cap (same shard
+    assignment via the inlined xxhash64 sidecar), UNION ALL, coverage
+    against the unsalted instance."""
+    from .salt_oracle import salted_blocking_pairs_sql
+
+    def one(cap: int) -> str:
+        return f"""
+SELECT CAST({cap} AS BIGINT) AS max_block_size,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(coalesce(max(c), 0) AS BIGINT) AS max_block_pairs
+FROM (
+  SELECT block_key, count(*) AS c
+  FROM ({salted_blocking_pairs_sql(cap)}) GROUP BY block_key
+)"""
+
+    union = "\nUNION ALL\n".join(one(c) for c in caps)
+    return f"""
+WITH _base AS (
+  SELECT count(*) AS b FROM ({salted_blocking_pairs_sql(2**31 - 1)})
+),
+_curve AS ({union})
+SELECT max_block_size, n_pairs, n_blocks, max_block_pairs,
+       round(n_pairs * 1.0 / b, 6) AS pair_coverage
+FROM _curve CROSS JOIN _base
+"""
