@@ -296,3 +296,46 @@ def test_blocking_budget_curve_monotone(spark):
     assert pairs == sorted(pairs)
     assert rows[-1]["pair_coverage"] == 1.0
     assert len({r["n_blocks"] for r in rows}) == 1
+
+
+def test_registered_domain_parity_fuzz(spark):
+    # one random host corpus through BOTH engines: suffix choice and
+    # registered-domain composition must agree on every host, including
+    # degenerate shapes (bare suffix, single label, empty labels from
+    # doubled dots, unlisted TLDs)
+    import random
+
+    import duckdb
+
+    from textgraphs_spark.operators.webdata import (
+        registered_domains, registered_domains_select,
+    )
+
+    rng = random.Random(6_001)
+    sufs = ["com", "org", "uk", "co.uk", "ac.jp"]
+    labels = ["a", "bb", "ccc", "www", "blog", "x9", "site"]
+    hosts = set(sufs) | {"com.", "a..com", "xyz", "a.xyz"}
+    for _ in range(300):
+        n = rng.randint(1, 4)
+        host = ".".join(rng.choice(labels) for _ in range(n))
+        if rng.random() < 0.7:
+            host += "." + rng.choice(sufs + ["zz", "dev"])
+        hosts.add(host)
+    hosts = sorted(hosts)
+    sdf = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                                "doc_id long, host string")
+    got_spark = {
+        r["host"]: (r["public_suffix"], r["reg_domain"])
+        for r in registered_domains(sdf, sufs).collect()
+    }
+    vals = ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+    sql = registered_domains_select(
+        f"SELECT * FROM (VALUES {vals}) v(doc_id, host)", sufs
+    )
+    got_duck = {
+        h: (ps, rd)
+        for _, h, ps, rd in duckdb.sql(
+            f"SELECT doc_id, host, public_suffix, reg_domain FROM ({sql})"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
