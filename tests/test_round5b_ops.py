@@ -339,3 +339,40 @@ def test_registered_domain_parity_fuzz(spark):
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges (the "first crawl batch is empty" class of failure)
+# ---------------------------------------------------------------------------
+
+def test_session6_ops_empty_inputs(spark):
+    from textgraphs_spark.operators.linkgraph import pld_link_graph
+    from textgraphs_spark.operators.webdata import (
+        doremi_mixture, pld_rollup, revisit_schedule, url_history,
+    )
+    from textgraphs_spark.plans.curation_pipeline import training_manifest
+
+    hosts = spark.createDataFrame([], "doc_id long, host string")
+    assert pld_rollup(hosts).count() == 0
+    caps = spark.createDataFrame([], "url string, warc_ts string, text string")
+    assert revisit_schedule(caps).count() == 0
+    assert url_history(caps).count() == 0
+    pages = spark.createDataFrame([], "doc_id long, url string, html binary")
+    assert pld_link_graph(pages).count() == 0
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert doremi_mixture(docs).count() == 0
+    assert leakage_safe_split(docs).count() == 0
+    assert training_manifest(docs).count() == 0
+
+
+def test_blocking_budget_curve_empty_entities(spark):
+    # zero entities -> every cap row reports a zero pair budget (and the
+    # 0/0 coverage is NULL, not a crash)
+    from textgraphs_spark.plans.er_eval import blocking_budget_curve
+
+    ents = spark.createDataFrame([], "entity_key string, surface string")
+    rows = blocking_budget_curve(ents).collect()
+    assert len(rows) == 4
+    assert all(r["n_pairs"] == 0 for r in rows)

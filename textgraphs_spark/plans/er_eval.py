@@ -3580,9 +3580,12 @@ def blocking_budget_curve(entities: DataFrame,
         B.candidate_pairs(B.block_keys(entities), max_block_size=2**31 - 1)
         .agg(F.count("*").alias("_base"))
     )
+    # nullif: an empty entity table has a zero baseline — coverage is
+    # NULL then, not an ANSI divide-by-zero crash (edge-tested)
     return curve.crossJoin(F.broadcast(base)).select(
         "max_block_size", "n_pairs", "n_blocks", "max_block_pairs",
-        F.round(F.col("n_pairs") / F.col("_base"), 6).alias("pair_coverage"),
+        F.round(F.col("n_pairs") / F.nullif(F.col("_base"), F.lit(0)), 6)
+        .alias("pair_coverage"),
     )
 
 
@@ -3611,6 +3614,6 @@ WITH _base AS (
 ),
 _curve AS ({union})
 SELECT max_block_size, n_pairs, n_blocks, max_block_pairs,
-       round(n_pairs * 1.0 / b, 6) AS pair_coverage
+       round(n_pairs * 1.0 / nullif(b, 0), 6) AS pair_coverage
 FROM _curve CROSS JOIN _base
 """
