@@ -2065,8 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # event windows) sit at the tail.
     return {
         # round-5 ordering (least-recently-driver-verified first):
-        # (a) never in any driver record — round-5 additions, then the
-        # four added after the r4 snapshot
+        # (a) never in any driver record — session-6 additions first
+        # (constrained ER, churn, budget curve, PLD family, revisit/
+        # history, split/mixture/manifest), then earlier round-5
+        # additions, then the four added after the r4 snapshot
         "er_blocking_budget": er_blocking_budget_q,
         "er_cluster_churn": er_cluster_churn_q,
         "er_constrained_clusters": er_constrained_clusters_q,

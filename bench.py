@@ -131,7 +131,7 @@ def measure_scaling() -> dict:
     reps_lo = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS_LOW", "2")))
     reps_hi = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS_HIGH", "3")))
     equalize = int(os.environ.get("SPARK_GRAFT_SCALE_EQUALIZE", str(SCALE_HIGH)))
-    topup = max(0, int(os.environ.get("SPARK_GRAFT_SCALE_TOPUP", "4")))
+    topup = max(0, int(os.environ.get("SPARK_GRAFT_SCALE_TOPUP", "6")))
     bar = float(os.environ.get("SPARK_GRAFT_SCALE_BAR", "0.85"))
     ratio = SCALE_HIGH / SCALE_LOW
 
