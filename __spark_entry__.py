@@ -750,6 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def er_merge_review_q(spark, sf_dir):
+        # the review queue for churn's 'merged' alarms: every match
+        # edge stitching members of DIFFERENT prior clusters (null-safe
+        # — merges run through new entities by construction), scores
+        # riding along from the checkpointed scoring stage
+        from textgraphs_spark.plans.er_eval import merge_review
+
+        ents, parts = _eval_parts(spark)
+        return merge_review(ents, parts)
+
     def er_blocking_budget_q(spark, sf_dir):
         # the salting-cap tuning curve over the hot-block fixture: pair
         # budget and coverage per max_block_size, REAL candidate_pairs
@@ -2069,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (constrained ER, churn, budget curve, PLD family, revisit/
         # history, split/mixture/manifest), then earlier round-5
         # additions, then the four added after the r4 snapshot
+        "er_merge_review": er_merge_review_q,
         "er_blocking_budget": er_blocking_budget_q,
         "er_cluster_churn": er_cluster_churn_q,
         "er_constrained_clusters": er_constrained_clusters_q,
@@ -3098,7 +3109,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_constrained_clusters_sql, er_constraint_violations_sql,
-        er_cluster_churn_sql,
+        er_cluster_churn_sql, er_merge_review_sql,
         blocking_budget_curve_sql as _ER_EVAL_budget_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
@@ -3149,6 +3160,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # churn: second (p-prefixed) closure over the hash-filtered
         # prior edge subset, per-cluster lineage statuses
         "er_cluster_churn": er_cluster_churn_sql(),
+        # merge review: churn's prior closure + the null-safe bridging
+        # filter over scored matches, restricted to merged clusters
+        "er_merge_review": er_merge_review_sql(),
         # budget curve: one salted-blocking twin per cap, coverage vs
         # the unsalted instance
         "er_blocking_budget": _ER_EVAL_budget_sql(),

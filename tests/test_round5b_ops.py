@@ -376,3 +376,22 @@ def test_blocking_budget_curve_empty_entities(spark):
     rows = blocking_budget_curve(ents).collect()
     assert len(rows) == 4
     assert all(r["n_pairs"] == 0 for r in rows)
+
+
+def test_merge_review_covers_exactly_merged_clusters(spark):
+    # the review queue's cluster set == churn's 'merged' set, and every
+    # bridging edge joins endpoints of different prior lineage
+    from textgraphs_spark.plans.er_eval import cluster_churn, merge_review
+    from textgraphs_spark.plans.er_pipeline import ERPipeline
+
+    ents = _eval_ents(spark, n_base=60, n_twin=12)
+    parts = ERPipeline(spark).run_lean(None, entities=ents, return_parts=True)
+    churn = cluster_churn(ents, parts)
+    review = merge_review(ents, parts)
+    merged = {r["cluster_id"] for r in churn.filter(F.col("status") == "merged").collect()}
+    got = {r["cluster_id"] for r in review.select("cluster_id").distinct().collect()}
+    assert got == merged
+    bad = review.filter(
+        F.col("left_prior").eqNullSafe(F.col("right_prior"))
+    ).count()
+    assert bad == 0

@@ -3617,3 +3617,126 @@ SELECT max_block_size, n_pairs, n_blocks, max_block_pairs,
        round(n_pairs * 1.0 / nullif(b, 0), 6) AS pair_coverage
 FROM _curve CROSS JOIN _base
 """
+
+
+def merge_review(entities: DataFrame, parts: dict, *,
+                 prior_frac: float = 2 / 3) -> DataFrame:
+    """The review queue for ``cluster_churn``'s 'merged' alarms — one
+    row per BRIDGING match edge: (cluster_id, left_id, right_id, score,
+    left_prior, right_prior). A bridging edge connects members that
+    belonged to two DIFFERENT prior-run clusters; these are exactly the
+    edges a reviewer must approve before shipping the merged clustering
+    (and the natural input to the cannot-link loop in
+    plans/er_constraints.py when they reject one).
+
+    Scale shape: the prior closure is shared with cluster_churn (edge
+    filtering + the 128-bit CC kernel); bridging detection is the match
+    edges joined twice against the vocabulary-sized (entity_key →
+    prior_id, cluster_id) table, keeping only rows whose endpoints
+    carry DIFFERENT non-null prior ids — no pair materialization beyond
+    the already-checkpointed match edges. Scores ride along from the
+    scoring stage (match_scores keeps them precisely so audits never
+    re-run the UDF).
+    """
+    from ..operators import components as C
+    from ..operators.webdata import _LEHMER_P
+
+    thr = int(prior_frac * _LEHMER_P)
+    edges = parts["match_scores"]
+    e_prior = edges.filter(
+        (_key_hash(F.col("left_id")) < thr) & (_key_hash(F.col("right_id")) < thr)
+    ).select("left_id", "right_id")
+    cc = C.components_over_keys(e_prior)
+    prior = (
+        entities.filter(_key_hash(F.col("entity_key")) < thr)
+        .select("entity_key")
+        .join(cc, "entity_key", "left")
+        .withColumn("prior_id", F.coalesce("cluster_id", F.col("entity_key")))
+        .select("entity_key", "prior_id")
+    )
+    lab = parts["assignments"].select("entity_key", "cluster_id").join(
+        prior, "entity_key", "left"
+    )
+    # a cluster is MERGED when its members span >= 2 distinct prior ids;
+    # by construction a direct prior-to-prior edge cannot exist (it would
+    # have merged the priors already), so the stitching runs through NEW
+    # entities — the reviewable edges are those whose endpoints carry
+    # DIFFERENT prior lineage (null-safe: new-entity endpoints differ
+    # from every prior id, and from each other only via their cluster)
+    merged = (
+        lab.filter(F.col("prior_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("prior_id").alias("_np"))
+        .filter(F.col("_np") >= 2)
+        .select("cluster_id")
+    )
+    a = lab.select(
+        F.col("entity_key").alias("left_id"), F.col("cluster_id"),
+        F.col("prior_id").alias("left_prior"),
+    )
+    b = lab.select(
+        F.col("entity_key").alias("right_id"),
+        F.col("prior_id").alias("right_prior"),
+    )
+    return (
+        edges.join(a, "left_id").join(b, "right_id")
+        .join(merged, "cluster_id", "left_semi")
+        .filter(~F.col("left_prior").eqNullSafe(F.col("right_prior")))
+        .select(
+            "cluster_id", "left_id", "right_id",
+            F.round("score", 6).alias("score"),
+            "left_prior", "right_prior",
+        )
+    )
+
+
+def er_merge_review_sql(*, n_base: int = 150, n_twin: int = 30,
+                        min_similarity: float = 0.9,
+                        prior_frac: float = 2 / 3) -> str:
+    """Oracle for ``merge_review`` — the churn preamble's prior closure
+    plus the bridging-edge filter over the scored matches."""
+    from ..operators.webdata import _LEHMER_P
+
+    thr = int(prior_frac * _LEHMER_P)
+    hl = key_hash_sql("left_id")
+    hr = key_hash_sql("right_id")
+    hk = key_hash_sql("entity_key")
+    return f"""WITH RECURSIVE
+{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+mscore AS MATERIALIZED (
+  SELECT least(left_id, right_id) AS left_id,
+         greatest(left_id, right_id) AS right_id, score
+  FROM pair_scores WHERE score >= {min_similarity}
+),
+pmatch AS MATERIALIZED (
+  SELECT left_id, right_id FROM mscore
+  WHERE ({hl}) < {thr} AND ({hr}) < {thr}
+),
+pedges AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM pmatch
+  UNION SELECT right_id, left_id FROM pmatch
+),
+preach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities WHERE ({hk}) < {thr}
+  UNION
+  SELECT e.b, x.r FROM preach x JOIN pedges e ON e.a = x.node
+),
+prior_assign AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS prior_id FROM preach GROUP BY node
+),
+lab AS (
+  SELECT a.entity_key, a.cluster_id, p.prior_id
+  FROM assignments a LEFT JOIN prior_assign p ON a.entity_key = p.entity_key
+),
+merged AS (
+  SELECT cluster_id FROM lab WHERE prior_id IS NOT NULL
+  GROUP BY cluster_id HAVING count(DISTINCT prior_id) >= 2
+)
+SELECT la.cluster_id, m.left_id, m.right_id, round(m.score, 6) AS score,
+       la.prior_id AS left_prior, lb.prior_id AS right_prior
+FROM mscore m
+JOIN lab la ON m.left_id = la.entity_key
+JOIN lab lb ON m.right_id = lb.entity_key
+JOIN merged ON la.cluster_id = merged.cluster_id
+WHERE la.prior_id IS DISTINCT FROM lb.prior_id
+"""
