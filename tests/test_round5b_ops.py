@@ -395,3 +395,43 @@ def test_merge_review_covers_exactly_merged_clusters(spark):
         F.col("left_prior").eqNullSafe(F.col("right_prior"))
     ).count()
     assert bad == 0
+
+
+def test_plan_shards_append_stable(spark):
+    # shard assignment is an exclusive prefix cumsum in doc_id order, so
+    # appending docs with LARGER ids must never move an existing doc's
+    # shard — the property that makes incremental manifest publication
+    # safe (yesterday's files are immutable; new docs only extend tails)
+    from textgraphs_spark.operators.webdata import plan_shards
+
+    base = spark.createDataFrame(
+        [(i, f"s{i % 3}", 100 + (i % 7) * 50) for i in range(300)],
+        "doc_id long, source string, n_chars long",
+    )
+    grown = base.unionByName(spark.createDataFrame(
+        [(1000 + i, f"s{i % 3}", 100 + (i % 5) * 70) for i in range(200)],
+        "doc_id long, source string, n_chars long",
+    ))
+    before = {(r["doc_id"]): r["shard_idx"]
+              for r in plan_shards(base, target_bytes=1000).collect()}
+    after = {(r["doc_id"]): r["shard_idx"]
+             for r in plan_shards(grown, target_bytes=1000).collect()}
+    assert all(after[d] == s for d, s in before.items())
+    assert len(after) == 500
+
+
+def test_leakage_split_append_stable(spark):
+    # split membership is a pure function of content — corpus growth
+    # cannot move any existing document across the eval boundary
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    grown = docs.unionByName(spark.createDataFrame(
+        [(1000 + i, f"new text {i}") for i in range(100)],
+        "doc_id long, text string",
+    ))
+    before = {r["doc_id"]: r["split"]
+              for r in leakage_safe_split(docs, val_pct=15, test_pct=15).collect()}
+    after = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(grown, val_pct=15, test_pct=15).collect()}
+    assert all(after[d] == s for d, s in before.items())
