@@ -750,6 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             host_link_rank(link_pages(spark)),
         )
 
+    def er_reviewed_clusters_q(spark, sf_dir):
+        # the full ER-ops loop as one query: monitor (churn) -> review
+        # (bridging edges) -> constrain (reject low-score bridges) ->
+        # re-close -> summary; the table that ships after review
+        from textgraphs_spark.plans.er_eval import reviewed_clusters
+
+        ents, parts = _eval_parts(spark)
+        return reviewed_clusters(ents, parts)
+
     def er_merge_review_q(spark, sf_dir):
         # the review queue for churn's 'merged' alarms: every match
         # edge stitching members of DIFFERENT prior clusters (null-safe
@@ -2079,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (constrained ER, churn, budget curve, PLD family, revisit/
         # history, split/mixture/manifest), then earlier round-5
         # additions, then the four added after the r4 snapshot
+        "er_reviewed_clusters": er_reviewed_clusters_q,
         "er_merge_review": er_merge_review_q,
         "er_blocking_budget": er_blocking_budget_q,
         "er_cluster_churn": er_cluster_churn_q,
@@ -3109,7 +3119,7 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         er_cluster_sizes_sql,
         er_eval_blocked_sql, er_eval_clusters_sql, er_golden_records_sql,
         er_constrained_clusters_sql, er_constraint_violations_sql,
-        er_cluster_churn_sql, er_merge_review_sql,
+        er_cluster_churn_sql, er_merge_review_sql, er_reviewed_clusters_sql,
         blocking_budget_curve_sql as _ER_EVAL_budget_sql,
         er_bcubed_sql, er_clustering_agreement_sql, er_dice_sql,
         er_channel_provenance_sql, er_cluster_depth_sql, er_two_table_sql,
@@ -3163,6 +3173,9 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
         # merge review: churn's prior closure + the null-safe bridging
         # filter over scored matches, restricted to merged clusters
         "er_merge_review": er_merge_review_sql(),
+        # reviewed clustering: rejected low-score bridges removed, third
+        # recursive closure, shipped summary
+        "er_reviewed_clusters": er_reviewed_clusters_sql(),
         # budget curve: one salted-blocking twin per cap, coverage vs
         # the unsalted instance
         "er_blocking_budget": _ER_EVAL_budget_sql(),

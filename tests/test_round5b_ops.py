@@ -435,3 +435,21 @@ def test_leakage_split_append_stable(spark):
     after = {r["doc_id"]: r["split"]
              for r in leakage_safe_split(grown, val_pct=15, test_pct=15).collect()}
     assert all(after[d] == s for d, s in before.items())
+
+
+def test_reviewed_clusters_splits_only_low_score_merges(spark):
+    # rejecting low-score bridges can only SPLIT clusters (>= cluster
+    # count), and with the cut at 0 (reject nothing) the reviewed
+    # clustering equals the unconstrained one
+    from textgraphs_spark.plans.er_eval import reviewed_clusters
+    from textgraphs_spark.plans.er_pipeline import ERPipeline, cluster_summary
+
+    ents = _eval_ents(spark, n_base=60, n_twin=12)
+    parts = ERPipeline(spark).run_lean(None, entities=ents, return_parts=True)
+    base = cluster_summary(parts["assignments"])
+    noop = reviewed_clusters(ents, parts, min_bridge_score=0.0)
+    got = {(r["cluster_id"], r["members"]) for r in noop.collect()}
+    want = {(r["cluster_id"], r["members"]) for r in base.collect()}
+    assert got == want
+    strict = reviewed_clusters(ents, parts, min_bridge_score=1.01)
+    assert strict.count() >= base.count()

@@ -3690,19 +3690,20 @@ def merge_review(entities: DataFrame, parts: dict, *,
     )
 
 
-def er_merge_review_sql(*, n_base: int = 150, n_twin: int = 30,
-                        min_similarity: float = 0.9,
-                        prior_frac: float = 2 / 3) -> str:
-    """Oracle for ``merge_review`` — the churn preamble's prior closure
-    plus the bridging-edge filter over the scored matches."""
+def _merge_review_ctes(n_base: int, n_twin: int, min_similarity: float,
+                       prior_frac: float) -> str:
+    """CTE chain through ``bridges(cluster_id, left_id, right_id,
+    score, left_prior, right_prior)`` — the full clustering + prior
+    closure + merged-cluster bridging edges. Must be placed under WITH
+    RECURSIVE. Shared by the merge-review oracle and the reviewed-
+    clustering oracle (which removes rejected bridges and re-closes)."""
     from ..operators.webdata import _LEHMER_P
 
     thr = int(prior_frac * _LEHMER_P)
     hl = key_hash_sql("left_id")
     hr = key_hash_sql("right_id")
     hk = key_hash_sql("entity_key")
-    return f"""WITH RECURSIVE
-{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
+    return f"""{_eval_clustering_preamble(n_base, n_twin, min_similarity)},
 mscore AS MATERIALIZED (
   SELECT least(left_id, right_id) AS left_id,
          greatest(left_id, right_id) AS right_id, score
@@ -3731,12 +3732,114 @@ lab AS (
 merged AS (
   SELECT cluster_id FROM lab WHERE prior_id IS NOT NULL
   GROUP BY cluster_id HAVING count(DISTINCT prior_id) >= 2
-)
-SELECT la.cluster_id, m.left_id, m.right_id, round(m.score, 6) AS score,
-       la.prior_id AS left_prior, lb.prior_id AS right_prior
-FROM mscore m
-JOIN lab la ON m.left_id = la.entity_key
-JOIN lab lb ON m.right_id = lb.entity_key
-JOIN merged ON la.cluster_id = merged.cluster_id
-WHERE la.prior_id IS DISTINCT FROM lb.prior_id
+),
+bridges AS (
+  SELECT la.cluster_id, m.left_id, m.right_id, round(m.score, 6) AS score,
+         la.prior_id AS left_prior, lb.prior_id AS right_prior
+  FROM mscore m
+  JOIN lab la ON m.left_id = la.entity_key
+  JOIN lab lb ON m.right_id = lb.entity_key
+  JOIN merged ON la.cluster_id = merged.cluster_id
+  WHERE la.prior_id IS DISTINCT FROM lb.prior_id
+)"""
+
+
+def er_merge_review_sql(*, n_base: int = 150, n_twin: int = 30,
+                        min_similarity: float = 0.9,
+                        prior_frac: float = 2 / 3) -> str:
+    """Oracle for ``merge_review`` — the churn preamble's prior closure
+    plus the bridging-edge filter over the scored matches."""
+    return f"""WITH RECURSIVE
+{_merge_review_ctes(n_base, n_twin, min_similarity, prior_frac)}
+SELECT * FROM bridges
 """
+
+
+def er_reviewed_clusters_sql(*, n_base: int = 150, n_twin: int = 30,
+                             min_similarity: float = 0.9,
+                             prior_frac: float = 2 / 3,
+                             min_bridge_score: float = 0.95) -> str:
+    """Oracle for ``reviewed_clusters`` — rejected (low-score) bridges
+    removed from the scored matches, then a THIRD recursive closure and
+    the cluster summary of the reviewed clustering."""
+    return f"""WITH RECURSIVE
+{_merge_review_ctes(n_base, n_twin, min_similarity, prior_frac)},
+rejected AS MATERIALIZED (
+  SELECT left_id, right_id FROM bridges WHERE score < {min_bridge_score}
+),
+rkept AS MATERIALIZED (
+  SELECT m.left_id, m.right_id FROM mscore m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rejected r
+    WHERE r.left_id = m.left_id AND r.right_id = m.right_id
+  )
+),
+redges AS MATERIALIZED (
+  SELECT left_id AS a, right_id AS b FROM rkept
+  UNION SELECT right_id, left_id FROM rkept
+),
+rreach(node, r) AS (
+  SELECT entity_key, entity_key FROM entities
+  UNION
+  SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.node
+),
+rcomp AS MATERIALIZED (
+  SELECT node AS entity_key, min(r) AS cluster_id FROM rreach GROUP BY node
+),
+rassign AS (
+  SELECT e.entity_key, c.cluster_id, e.surface, e.mention_count
+  FROM entities e JOIN rcomp c ON e.entity_key = c.entity_key
+)
+SELECT cluster_id,
+       count(*) AS n_forms,
+       CAST(sum(mention_count) AS BIGINT) AS n_mentions,
+       array_to_string(list_sort(list(DISTINCT surface)), '|') AS members,
+       max(mention_count) AS max_mentions
+FROM rassign
+GROUP BY cluster_id
+"""
+
+
+def reviewed_clusters(entities: DataFrame, parts: dict, *,
+                      prior_frac: float = 2 / 3,
+                      min_bridge_score: float = 0.95) -> DataFrame:
+    """The full ER-ops loop as ONE query — monitor → review → constrain
+    → re-close: ``merge_review``'s bridging edges below
+    ``min_bridge_score`` are treated as reviewer REJECTIONS (the
+    low-confidence stitches a human declines), anti-joined out of the
+    match edges, and the closure re-runs. Output is the cluster summary
+    of the reviewed clustering — the table that ships after review.
+
+    High-score bridges survive (the reviewer approves confident
+    merges), so this is strictly gentler than refusing every merge;
+    clusters without merge alarms pass through untouched. One extra CC
+    over the kept edges (shared 128-bit kernel); everything upstream is
+    the already-checkpointed pipeline output.
+    """
+    from ..operators import components as C
+
+    edges = parts["match_scores"]
+    rejected = (
+        merge_review(entities, parts, prior_frac=prior_frac)
+        .filter(F.col("score") < min_bridge_score)
+        .select("left_id", "right_id")
+    )
+    kept = edges.select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
+    ).join(rejected, ["left_id", "right_id"], "left_anti")
+    clusters = C.components_over_keys(kept)
+    assignments = (
+        entities.select("entity_key", "surface", "mention_count", "doc_freq")
+        .join(clusters, "entity_key", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("entity_key")))
+    )
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_forms"),
+            F.sum("mention_count").alias("n_mentions"),
+            F.array_join(F.sort_array(F.collect_set("surface")), "|").alias("members"),
+            F.max("mention_count").alias("max_mentions"),
+        )
+    )
